@@ -1,0 +1,43 @@
+"""Cleaner tests. Golden phonemization strings (reference
+tests/test_cleaner.py:8-25) run only when a real espeak binary exists;
+the built-in fallback G2P has its own looser checks."""
+from forwardtacotron_tpu.text.cleaners import Cleaner, espeak_available
+
+
+def test_no_cleaners_whitespace_collapse():
+    cleaner = Cleaner(cleaner_name='no_cleaners', use_phonemes=False,
+                      lang='en-us')
+    assert cleaner(' Hello   there!') == 'Hello there!'
+
+
+def test_english_cleaners_numbers_and_abbrev():
+    cleaner = Cleaner(cleaner_name='english_cleaners', use_phonemes=False,
+                      lang='en-us')
+    assert cleaner('hello there Mr. 1!') == 'hello there mister one!'
+    assert cleaner('route 66') == 'route sixty-six'
+    assert cleaner('$1.50 please') == 'one dollar, fifty cents please'
+    assert cleaner('born in 1984') == 'born in nineteen eighty-four'
+    assert cleaner('the 3rd time') == 'the third time'
+
+
+def test_phonemize_espeak_goldens():
+    import pytest
+    if not espeak_available():
+        pytest.skip('no espeak binary installed')
+    cleaner = Cleaner(cleaner_name='no_cleaners', use_phonemes=True,
+                      lang='en-us')
+    assert cleaner('hello there!') == 'həloʊ ðɛɹ!'
+    assert cleaner('hello there?!.') == 'həloʊ ðɛɹ?!.'
+
+
+def test_phonemize_fallback_g2p():
+    cleaner = Cleaner(cleaner_name='no_cleaners', use_phonemes=True,
+                      lang='en-us')
+    out = cleaner('hello there!')
+    # all chars must be in the model inventory, punctuation preserved
+    from forwardtacotron_tpu.text.symbols import phonemes_set
+    assert all(c in phonemes_set for c in out)
+    assert out.endswith('!')
+    assert len(out) > 5
+    if not espeak_available():
+        assert out.startswith('həloʊ')  # lexicon word
