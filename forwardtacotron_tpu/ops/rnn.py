@@ -1,0 +1,169 @@
+"""Recurrent primitives as `lax.scan` kernels.
+
+TPU-first formulation of the reference's cuDNN GRU/LSTM stacks
+(models/common_layers.py:84,118, models/forward_tacotron.py:39,165,
+models/fatchord_version.py:118-119):
+
+- the input projection for the WHOLE sequence runs as one big matmul on
+  the MXU before the scan; the scan body only carries the hidden-state
+  recurrence (one (B,H)x(H,3H/4H) matmul per step);
+- parameters use the torch layout (stacked gates, GRU order r|z|n with
+  the "n" gate applying reset to the *hidden projection + hidden bias*;
+  LSTM order i|f|g|o) so reference checkpoints convert weight-for-weight;
+- variable-length sequences replicate pack_padded_sequence semantics:
+  the reverse direction starts at each sequence's true end, and padded
+  output positions are filled with `pad_value` like pad_packed_sequence.
+
+Parameter pytrees: {'w_ih': (G*H, D), 'w_hh': (G*H, H), 'b_ih': (G*H,),
+'b_hh': (G*H,)} with G=3 (GRU) or 4 (LSTM).
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+Params = Dict[str, jnp.ndarray]
+
+
+def gru_cell(params: Params, x: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
+    """Single GRU step from *unprojected* input x (B, D)."""
+    gi = x @ params['w_ih'].T + params['b_ih']
+    return gru_cell_from_gi(params, gi, h)
+
+
+def gru_cell_from_gi(params: Params, gi: jnp.ndarray, h: jnp.ndarray
+                     ) -> jnp.ndarray:
+    """GRU step from a precomputed input projection gi (B, 3H)."""
+    gh = h @ params['w_hh'].T + params['b_hh']
+    H = h.shape[-1]
+    i_r, i_z, i_n = gi[..., :H], gi[..., H:2 * H], gi[..., 2 * H:]
+    h_r, h_z, h_n = gh[..., :H], gh[..., H:2 * H], gh[..., 2 * H:]
+    r = jax.nn.sigmoid(i_r + h_r)
+    z = jax.nn.sigmoid(i_z + h_z)
+    n = jnp.tanh(i_n + r * h_n)
+    return (1.0 - z) * n + z * h
+
+
+def lstm_cell_from_gi(params: Params, gi: jnp.ndarray,
+                      state: Tuple[jnp.ndarray, jnp.ndarray]
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    h, c = state
+    gates = gi + h @ params['w_hh'].T + params['b_hh']
+    H = h.shape[-1]
+    i = jax.nn.sigmoid(gates[..., :H])
+    f = jax.nn.sigmoid(gates[..., H:2 * H])
+    g = jnp.tanh(gates[..., 2 * H:3 * H])
+    o = jax.nn.sigmoid(gates[..., 3 * H:])
+    c_new = f * c + i * g
+    h_new = o * jnp.tanh(c_new)
+    return h_new, c_new
+
+
+def lstm_cell(params: Params, x: jnp.ndarray,
+              state: Tuple[jnp.ndarray, jnp.ndarray]
+              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    gi = x @ params['w_ih'].T + params['b_ih']
+    return lstm_cell_from_gi(params, gi, state)
+
+
+def _directional_scan(cell_from_gi, params: Params, gi: jnp.ndarray,
+                      init_state, reverse: bool,
+                      lengths: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """Scan a recurrence over time axis 1 of gi (B, T, G*H)."""
+    B, T = gi.shape[0], gi.shape[1]
+    gi_t = jnp.swapaxes(gi, 0, 1)  # (T, B, G*H)
+    ts = jnp.arange(T)
+    if reverse:
+        gi_t = gi_t[::-1]
+        ts = ts[::-1]
+
+    def step(state, inp):
+        gi_step, t = inp
+        new_state = cell_from_gi(params, gi_step, state)
+        if lengths is not None:
+            mask = (t < lengths)[:, None]
+            new_state = jax.tree.map(
+                lambda new, old: jnp.where(mask, new, old), new_state, state)
+        h_out = new_state[0] if isinstance(new_state, tuple) else new_state
+        return new_state, h_out
+
+    _, ys = jax.lax.scan(step, init_state, (gi_t, ts))
+    if reverse:
+        ys = ys[::-1]
+    return jnp.swapaxes(ys, 0, 1)  # (B, T, H)
+
+
+def _run(cell_from_gi, n_gates: int, params: Params, x: jnp.ndarray,
+         reverse: bool, lengths: Optional[jnp.ndarray], lstm: bool
+         ) -> jnp.ndarray:
+    B = x.shape[0]
+    H = params['w_hh'].shape[1]
+    gi = x @ params['w_ih'].T + params['b_ih']  # (B, T, G*H) — one MXU pass
+    if lstm:
+        init = (jnp.zeros((B, H), x.dtype), jnp.zeros((B, H), x.dtype))
+    else:
+        init = jnp.zeros((B, H), x.dtype)
+    return _directional_scan(cell_from_gi, params, gi, init, reverse, lengths)
+
+
+def gru(params: Params, x: jnp.ndarray, reverse: bool = False,
+        lengths: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Unidirectional GRU over (B, T, D) -> (B, T, H)."""
+    return _run(gru_cell_from_gi, 3, params, x, reverse, lengths, lstm=False)
+
+
+def lstm(params: Params, x: jnp.ndarray, reverse: bool = False,
+         lengths: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    return _run(lstm_cell_from_gi, 4, params, x, reverse, lengths, lstm=True)
+
+
+def _mask_outputs(y: jnp.ndarray, lengths: Optional[jnp.ndarray],
+                  pad_value: float) -> jnp.ndarray:
+    if lengths is None:
+        return y
+    T = y.shape[1]
+    mask = jnp.arange(T)[None, :, None] < lengths[:, None, None]
+    return jnp.where(mask, y, pad_value)
+
+
+def bigru(params_fwd: Params, params_bwd: Params, x: jnp.ndarray,
+          lengths: Optional[jnp.ndarray] = None, pad_value: float = 0.0
+          ) -> jnp.ndarray:
+    """Bidirectional GRU, output (B, T, 2H) = concat(fwd, bwd).
+
+    With `lengths`, replicates torch pack_padded semantics (reverse pass
+    starts at the true end; padded outputs filled with pad_value).
+    """
+    y_f = gru(params_fwd, x, reverse=False, lengths=lengths)
+    y_b = gru(params_bwd, x, reverse=True, lengths=lengths)
+    return _mask_outputs(jnp.concatenate([y_f, y_b], axis=-1),
+                         lengths, pad_value)
+
+
+def bilstm(params_fwd: Params, params_bwd: Params, x: jnp.ndarray,
+           lengths: Optional[jnp.ndarray] = None, pad_value: float = 0.0
+           ) -> jnp.ndarray:
+    y_f = lstm(params_fwd, x, reverse=False, lengths=lengths)
+    y_b = lstm(params_bwd, x, reverse=True, lengths=lengths)
+    return _mask_outputs(jnp.concatenate([y_f, y_b], axis=-1),
+                         lengths, pad_value)
+
+
+def init_rnn_params(key: jax.Array, input_dim: int, hidden_dim: int,
+                    n_gates: int, dtype=jnp.float32) -> Params:
+    """Torch-style uniform(-1/sqrt(H), 1/sqrt(H)) initialization."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    bound = 1.0 / jnp.sqrt(hidden_dim)
+    shape_ih = (n_gates * hidden_dim, input_dim)
+    shape_hh = (n_gates * hidden_dim, hidden_dim)
+    return {
+        'w_ih': jax.random.uniform(k1, shape_ih, dtype, -bound, bound),
+        'w_hh': jax.random.uniform(k2, shape_hh, dtype, -bound, bound),
+        'b_ih': jax.random.uniform(k3, (n_gates * hidden_dim,), dtype,
+                                   -bound, bound),
+        'b_hh': jax.random.uniform(k4, (n_gates * hidden_dim,), dtype,
+                                   -bound, bound),
+    }
