@@ -1,0 +1,182 @@
+"""Shared training machinery: train state, optimizer, jitted step builders.
+
+Replaces the reference's torch Adam + backward + clip loop
+(trainer/forward_trainer.py:98-102) with optax inside a single jitted
+step: loss + grads + global-norm clip + Adam update + BN stats update all
+fuse into one XLA program. Learning rate is an injected hyperparameter so
+the schedule sessions (lr, max_step, bs) reuse one compiled step.
+"""
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from forwardtacotron_tpu.ops.masking import masked_l1
+
+
+class Averager:
+    def __init__(self) -> None:
+        self.count = 0
+        self.val = 0.0
+
+    def add(self, val: float) -> None:
+        self.val += float(val)
+        self.count += 1
+
+    def reset(self) -> None:
+        self.val, self.count = 0.0, 0
+
+    def get(self) -> float:
+        return self.val / self.count if self.count > 0 else 0.0
+
+
+class TTSSession:
+    def __init__(self, index: int, r: int, lr: float, max_step: int,
+                 bs: int, train_set, val_set) -> None:
+        self.index = index
+        self.r = r
+        self.lr = lr
+        self.max_step = max_step
+        self.bs = bs
+        self.train_set = train_set
+        self.val_set = val_set
+        self.val_sample = val_set.first_batch() if hasattr(
+            val_set, 'first_batch') else None
+
+
+class VocSession:
+    def __init__(self, index: int, lr: float, max_step: int, bs: int,
+                 train_set, val_set, val_set_samples) -> None:
+        self.index = index
+        self.lr = lr
+        self.max_step = max_step
+        self.bs = bs
+        self.train_set = train_set
+        self.val_set = val_set
+        self.val_set_samples = val_set_samples
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+    @property
+    def variables(self) -> Dict[str, Any]:
+        return {'params': self.params, 'batch_stats': self.batch_stats}
+
+
+def make_optimizer(clip_grad_norm: Optional[float], lr: float = 1e-4
+                   ) -> optax.GradientTransformation:
+    """Global-norm clip + Adam (torch defaults), lr injectable."""
+    adam = optax.inject_hyperparams(optax.adam)(learning_rate=lr)
+    if clip_grad_norm is not None:
+        return optax.chain(optax.clip_by_global_norm(float(clip_grad_norm)),
+                           adam)
+    return adam
+
+
+def set_learning_rate(opt_state, lr: float):
+    """Update the injected lr inside an optimizer state pytree."""
+    def update(s):
+        if hasattr(s, 'hyperparams') and 'learning_rate' in s.hyperparams:
+            s.hyperparams['learning_rate'] = jnp.asarray(
+                lr, dtype=s.hyperparams['learning_rate'].dtype)
+        return s
+    if isinstance(opt_state, tuple) and not hasattr(opt_state, 'hyperparams'):
+        return tuple(update(s) for s in opt_state)
+    return update(opt_state)
+
+
+def init_train_state(model, optimizer, example_batch, rng,
+                     step: int = 0, init_kwargs: Optional[Dict] = None
+                     ) -> TrainState:
+    variables = model.init({'params': rng, 'dropout': rng}, example_batch,
+                           **(init_kwargs or {}))
+    params = variables['params']
+    batch_stats = variables.get('batch_stats', {})
+    opt_state = optimizer.init(params)
+    return TrainState(params=params, batch_stats=batch_stats,
+                      opt_state=opt_state, step=jnp.asarray(step, jnp.int32))
+
+
+def forward_loss(pred: Dict[str, jnp.ndarray], batch: Dict[str, jnp.ndarray],
+                 pitch_target: jnp.ndarray, energy_target: jnp.ndarray,
+                 train_cfg: Dict[str, Any]) -> Tuple[jnp.ndarray, Dict]:
+    """ForwardTacotron/FastPitch loss (forward_trainer.py:86-96)."""
+    m1 = masked_l1(pred['mel'], batch['mel'], batch['mel_len'])
+    m2 = masked_l1(pred['mel_post'], batch['mel'], batch['mel_len'])
+    dur_loss = masked_l1(pred['dur'], batch['dur'], batch['x_len'])
+    pitch_loss = masked_l1(pred['pitch'], pitch_target, batch['x_len'])
+    energy_loss = masked_l1(pred['energy'], energy_target, batch['x_len'])
+    loss = (m1 + m2
+            + train_cfg['dur_loss_factor'] * dur_loss
+            + train_cfg['pitch_loss_factor'] * pitch_loss
+            + train_cfg['energy_loss_factor'] * energy_loss)
+    metrics = {'loss': loss, 'mel_loss': m1 + m2, 'dur_loss': dur_loss,
+               'pitch_loss': pitch_loss, 'energy_loss': energy_loss}
+    return loss, metrics
+
+
+def build_forward_train_step(model, optimizer,
+                             train_cfg: Dict[str, Any]) -> Callable:
+    """One fused training step for ForwardTacotron/FastPitch.
+
+    Includes the pitch/energy zoneout input masking
+    (forward_trainer.py:76-82) driven by the step rng.
+    """
+    pitch_zoneout = float(train_cfg.get('pitch_zoneout', 0.0))
+    energy_zoneout = float(train_cfg.get('energy_zoneout', 0.0))
+
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
+                   rng: jax.Array) -> Tuple[TrainState, Dict]:
+        zo_rng, dropout_rng = jax.random.split(rng)
+        pitch_target = batch['pitch']
+        energy_target = batch['energy']
+        if pitch_zoneout > 0 or energy_zoneout > 0:
+            k1, k2 = jax.random.split(zo_rng)
+            pitch_mask = (jax.random.uniform(k1, batch['x'].shape)
+                          > pitch_zoneout).astype(jnp.float32)
+            energy_mask = (jax.random.uniform(k2, batch['x'].shape)
+                           > energy_zoneout).astype(jnp.float32)
+            batch = dict(batch, pitch=batch['pitch'] * pitch_mask,
+                         energy=batch['energy'] * energy_mask)
+
+        def loss_fn(params):
+            pred, mutated = model.apply(
+                {'params': params, 'batch_stats': state.batch_stats},
+                batch, train=True, mutable=['batch_stats'],
+                rngs={'dropout': dropout_rng})
+            loss, metrics = forward_loss(pred, batch, pitch_target,
+                                         energy_target, train_cfg)
+            return loss, (metrics, mutated['batch_stats'])
+
+        grads, (metrics, new_stats) = jax.grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt_state = optimizer.update(grads, state.opt_state,
+                                                  state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params=new_params, batch_stats=new_stats,
+                               opt_state=new_opt_state,
+                               step=state.step + 1)
+        metrics['grad_norm'] = optax.global_norm(grads)
+        return new_state, metrics
+
+    return train_step
+
+
+def build_forward_eval_step(model, train_cfg: Dict[str, Any]) -> Callable:
+    @jax.jit
+    def eval_step(variables, batch):
+        pred = model.apply(variables, batch, train=False)
+        _, metrics = forward_loss(pred, batch, batch['pitch'],
+                                  batch['energy'], train_cfg)
+        return metrics
+    return eval_step
