@@ -1,0 +1,381 @@
+"""Datasets, collation and static-shape bucket batching.
+
+Parity surface: utils/dataset.py in the reference (TacoDataset /
+ForwardDataset / VocoderDataset field contracts, collate_tts padding
+semantics incl. the -11.5129 mel pad and r-rounding, attention filtering,
+VocCollator random windows). The torch DataLoader + BinnedLengthSampler
+are replaced by `BucketBatcher`: items are grouped by mel length into a
+fixed ladder of padded (T_text, T_mel) shapes, so the jitted train step
+compiles once per bucket instead of once per ragged batch shape — the
+TPU-native answer to the sampler's pad-waste reduction
+(dataset.py:318-347).
+
+All arrays are numpy host-side; mel is stored on disk in the reference
+layout (n_mels, T) and transposed to time-major (T, n_mels) here.
+"""
+from __future__ import annotations
+
+import random
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from forwardtacotron_tpu.utils.files import unpickle_binary
+from forwardtacotron_tpu.text.tokenizer import Tokenizer
+
+MEL_PAD = -11.5129
+
+
+def filter_max_len(dataset: List[tuple], max_mel_len: Optional[int]
+                   ) -> List[tuple]:
+    if max_mel_len is None:
+        return dataset
+    return [(i, l) for i, l in dataset if l <= max_mel_len]
+
+
+def filter_bad_attentions(dataset: List[tuple],
+                          attention_score_dict: Dict[str, tuple],
+                          min_alignment: float,
+                          min_sharpness: float) -> List[tuple]:
+    out = []
+    for item_id, mel_len in dataset:
+        align_score, sharp_score = attention_score_dict[item_id]
+        if align_score > min_alignment and sharp_score > min_sharpness:
+            out.append((item_id, mel_len))
+    return out
+
+
+class TacoDataset:
+
+    def __init__(self, path: Path, dataset_ids: Sequence[str],
+                 text_dict: Dict[str, str], tokenizer: Tokenizer) -> None:
+        self.path = Path(path)
+        self.metadata = list(dataset_ids)
+        self.text_dict = text_dict
+        self.tokenizer = tokenizer
+
+    def __getitem__(self, index: int) -> Dict:
+        item_id = self.metadata[index]
+        x = self.tokenizer(self.text_dict[item_id])
+        mel = np.load(str(self.path / 'mel' / f'{item_id}.npy'))
+        return {'x': np.asarray(x, dtype=np.int64), 'mel': mel,
+                'item_id': item_id, 'mel_len': mel.shape[-1],
+                'x_len': len(x)}
+
+    def __len__(self) -> int:
+        return len(self.metadata)
+
+
+class ForwardDataset:
+
+    def __init__(self, path: Path, dataset_ids: Sequence[str],
+                 text_dict: Dict[str, str], tokenizer: Tokenizer) -> None:
+        self.path = Path(path)
+        self.metadata = list(dataset_ids)
+        self.text_dict = text_dict
+        self.tokenizer = tokenizer
+
+    def __getitem__(self, index: int) -> Dict:
+        item_id = self.metadata[index]
+        x = self.tokenizer(self.text_dict[item_id])
+        mel = np.load(str(self.path / 'mel' / f'{item_id}.npy'))
+        dur = np.load(str(self.path / 'alg' / f'{item_id}.npy'))
+        pitch = np.load(str(self.path / 'phon_pitch' / f'{item_id}.npy'))
+        energy = np.load(str(self.path / 'phon_energy' / f'{item_id}.npy'))
+        return {'x': np.asarray(x, dtype=np.int64), 'mel': mel,
+                'item_id': item_id, 'x_len': len(x),
+                'mel_len': mel.shape[-1], 'dur': dur, 'pitch': pitch,
+                'energy': energy}
+
+    def __len__(self) -> int:
+        return len(self.metadata)
+
+
+def pad1d(x, max_len: int) -> np.ndarray:
+    return np.pad(x, (0, max_len - len(x)), mode='constant')
+
+
+def pad2d(x, max_len: int) -> np.ndarray:
+    return np.pad(x, ((0, 0), (0, max_len - x.shape[-1])),
+                  constant_values=MEL_PAD, mode='constant')
+
+
+def collate_tts(batch: List[Dict], r: int,
+                pad_to: Optional[Tuple[int, int]] = None) -> Dict:
+    """Pad and stack a list of items. Semantics match the reference
+    collate_tts (dataset.py:282-315): text zero-padded, mel padded with
+    -11.5129 to max_len+1 rounded up to a multiple of r. `pad_to`
+    optionally forces static (T_text, T_mel) bucket shapes (both still
+    r-rounded). Mel is returned time-major (B, T, n_mels)."""
+    x_len = np.asarray([b['x_len'] for b in batch], dtype=np.int64)
+    mel_lens = np.asarray([b['mel_len'] for b in batch], dtype=np.int64)
+
+    max_x_len = int(x_len.max()) if pad_to is None else pad_to[0]
+    max_spec_len = (int(mel_lens.max()) + 1) if pad_to is None else pad_to[1]
+    if max_spec_len % r != 0:
+        max_spec_len += r - max_spec_len % r
+
+    text = np.stack([pad1d(b['x'], max_x_len) for b in batch]).astype(np.int64)
+    mel = np.stack([pad2d(b['mel'], max_spec_len) for b in batch])
+    mel = mel.transpose(0, 2, 1).astype(np.float32)
+
+    out = {'x': text, 'mel': mel,
+           'item_id': [b['item_id'] for b in batch],
+           'x_len': x_len, 'mel_len': mel_lens}
+    for key in ('dur', 'pitch', 'energy'):
+        if key in batch[0]:
+            out[key] = np.stack(
+                [pad1d(b[key][:max_x_len], max_x_len) for b in batch]
+            ).astype(np.float32)
+    return out
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class BucketBatcher:
+    """Length-bucketed batch iterator with static padded shapes.
+
+    Items are assigned to buckets by mel length (ladder of multiples of
+    `mel_multiple`); each bucket's text pad is the bucket's own max,
+    rounded to `x_multiple`. Yields reference-collated numpy batches of
+    identical shape within a bucket, shuffled across and within buckets.
+    Incomplete tail batches are padded by repeating items (so shapes stay
+    static) with `n_real` marking how many rows are genuine.
+    """
+
+    def __init__(self, dataset, batch_size: int, r: int = 1,
+                 mel_multiple: int = 128, x_multiple: int = 16,
+                 seed: int = 42, drop_last: bool = False,
+                 shuffle: bool = True) -> None:
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.r = r
+        self.mel_multiple = mel_multiple
+        self.x_multiple = x_multiple
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.rng = random.Random(seed)
+
+        # metadata pass: mel_len per item (cheap: from dataset index)
+        self.buckets: Dict[int, List[int]] = {}
+        self.x_pad: Dict[int, int] = {}
+        for idx in range(len(dataset)):
+            item_id = dataset.metadata[idx]
+            mel_len = self._mel_len(dataset, idx)
+            x_len = len(dataset.tokenizer(dataset.text_dict[item_id]))
+            b = _round_up(mel_len + 1, mel_multiple)
+            self.buckets.setdefault(b, []).append(idx)
+            self.x_pad[b] = max(self.x_pad.get(b, 1), x_len)
+        for b in self.x_pad:
+            self.x_pad[b] = _round_up(self.x_pad[b], x_multiple)
+
+    @staticmethod
+    def _mel_len(dataset, idx: int) -> int:
+        item_id = dataset.metadata[idx]
+        mel = np.load(str(dataset.path / 'mel' / f'{item_id}.npy'),
+                      mmap_mode='r')
+        return mel.shape[-1]
+
+    def __len__(self) -> int:
+        n = 0
+        for idxs in self.buckets.values():
+            if self.drop_last:
+                n += len(idxs) // self.batch_size
+            else:
+                n += (len(idxs) + self.batch_size - 1) // self.batch_size
+        return n
+
+    def first_batch(self) -> Dict:
+        b = min(self.buckets)
+        idxs = self.buckets[b][:self.batch_size]
+        return self._make_batch(b, idxs)
+
+    def _make_batch(self, bucket: int, idxs: List[int]) -> Dict:
+        n_real = len(idxs)
+        while len(idxs) < self.batch_size:
+            idxs = idxs + idxs[:self.batch_size - len(idxs)]
+        items = [self.dataset[i] for i in idxs[:self.batch_size]]
+        batch = collate_tts(items, self.r,
+                            pad_to=(self.x_pad[bucket], bucket))
+        batch['n_real'] = n_real
+        return batch
+
+    def __iter__(self):
+        plan = []
+        for bucket, idxs in self.buckets.items():
+            idxs = list(idxs)
+            if self.shuffle:
+                self.rng.shuffle(idxs)
+            for i in range(0, len(idxs), self.batch_size):
+                chunk = idxs[i:i + self.batch_size]
+                if len(chunk) < self.batch_size and self.drop_last:
+                    continue
+                plan.append((bucket, chunk))
+        if self.shuffle:
+            self.rng.shuffle(plan)
+        for bucket, chunk in plan:
+            yield self._make_batch(bucket, chunk)
+
+
+def get_tts_datasets(path: Path, batch_size: int, r: int,
+                     max_mel_len: Optional[int],
+                     filter_attention: bool = True,
+                     filter_min_alignment: float = 0.5,
+                     filter_min_sharpness: float = 0.9,
+                     model_type: str = 'tacotron',
+                     mel_multiple: int = 128
+                     ) -> Tuple[BucketBatcher, BucketBatcher]:
+    """Reference get_tts_datasets (dataset.py:134-199), returning
+    BucketBatchers instead of DataLoaders."""
+    path = Path(path)
+    tokenizer = Tokenizer()
+    train_data = unpickle_binary(path / 'train_dataset.pkl')
+    val_data = unpickle_binary(path / 'val_dataset.pkl')
+    text_dict = unpickle_binary(path / 'text_dict.pkl')
+
+    train_data = filter_max_len(train_data, max_mel_len)
+    val_data = filter_max_len(val_data, max_mel_len)
+    train_len_original = len(train_data)
+
+    if model_type == 'forward' and filter_attention:
+        att_score_dict = unpickle_binary(path / 'att_score_dict.pkl')
+        train_data = filter_bad_attentions(train_data, att_score_dict,
+                                           filter_min_alignment,
+                                           filter_min_sharpness)
+        val_data = filter_bad_attentions(val_data, att_score_dict,
+                                         filter_min_alignment,
+                                         filter_min_sharpness)
+        print(f'Using {len(train_data)} train files. Filtered '
+              f'{train_len_original - len(train_data)} files due to bad '
+              f'attention!')
+
+    train_ids = [i for i, _ in train_data]
+    val_ids = [i for i, _ in val_data]
+
+    ds_cls = TacoDataset if model_type == 'tacotron' else ForwardDataset
+    if model_type not in ('tacotron', 'forward'):
+        raise ValueError(f'Unknown model: {model_type}, must be either '
+                         f'[tacotron, forward]!')
+    train_dataset = ds_cls(path=path, dataset_ids=train_ids,
+                           text_dict=text_dict, tokenizer=tokenizer)
+    val_dataset = ds_cls(path=path, dataset_ids=val_ids,
+                         text_dict=text_dict, tokenizer=tokenizer)
+
+    train_set = BucketBatcher(train_dataset, batch_size, r=r,
+                              mel_multiple=mel_multiple, shuffle=True)
+    val_set = BucketBatcher(val_dataset, batch_size, r=r,
+                            mel_multiple=mel_multiple, shuffle=False)
+    return train_set, val_set
+
+
+# ---------------------------------------------------------------- vocoder
+
+class VocoderDataset:
+
+    def __init__(self, path: Path, dataset_ids: Sequence[str],
+                 train_gta: bool = False) -> None:
+        self.metadata = list(dataset_ids)
+        self.mel_path = Path(path) / ('gta' if train_gta else 'mel')
+        self.quant_path = Path(path) / 'quant'
+
+    def __getitem__(self, index: int) -> Dict:
+        item_id = self.metadata[index]
+        mel = np.load(str(self.mel_path / f'{item_id}.npy'))
+        x = np.load(str(self.quant_path / f'{item_id}.npy'))
+        return {'mel': mel, 'x': x, 'item_id': item_id}
+
+    def __len__(self) -> int:
+        return len(self.metadata)
+
+
+class VocCollator:
+    """Random mel window + aligned waveform slice (dataset.py:86-126)."""
+
+    def __init__(self, hop_length: int, voc_pad: int, voc_seq_len: int,
+                 voc_mode: str, bits: int,
+                 rng: Optional[np.random.RandomState] = None) -> None:
+        self.hop_length = hop_length
+        self.voc_pad = voc_pad
+        self.voc_seq_len = voc_seq_len
+        self.voc_mode = voc_mode
+        self.bits = bits
+        self.rng = rng or np.random.RandomState()
+
+    def __call__(self, batch: List[Dict]) -> Dict[str, np.ndarray]:
+        from forwardtacotron_tpu.dsp.audio import DSP
+        mel_win = self.voc_seq_len // self.hop_length + 2 * self.voc_pad
+        max_offsets = [b['mel'].shape[-1] - 2 - (mel_win + 2 * self.voc_pad)
+                       for b in batch]
+        mel_offsets = [self.rng.randint(0, o) for o in max_offsets]
+        sig_offsets = [(o + self.voc_pad) * self.hop_length
+                       for o in mel_offsets]
+
+        mels = np.stack([b['mel'][:, mel_offsets[i]:mel_offsets[i] + mel_win]
+                         for i, b in enumerate(batch)]).astype(np.float32)
+        labels = np.stack(
+            [b['x'][sig_offsets[i]:sig_offsets[i] + self.voc_seq_len + 1]
+             for i, b in enumerate(batch)]).astype(np.int64)
+
+        x = labels[:, :self.voc_seq_len]
+        y = labels[:, 1:]
+        bits = 16 if self.voc_mode == 'MOL' else self.bits
+        x = DSP.label_2_float(x.astype(np.float32), bits)
+        if self.voc_mode == 'MOL':
+            y = DSP.label_2_float(y.astype(np.float32), bits)
+        # mel time-major for the model
+        return {'mel': mels.transpose(0, 2, 1), 'x': x, 'y': y}
+
+
+class VocBatcher:
+
+    def __init__(self, dataset: VocoderDataset, batch_size: int,
+                 collator: VocCollator, shuffle: bool = True,
+                 seed: int = 42) -> None:
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.collator = collator
+        self.shuffle = shuffle
+        self.rng = random.Random(seed)
+
+    def __len__(self) -> int:
+        return len(self.dataset) // self.batch_size
+
+    def __iter__(self):
+        idxs = list(range(len(self.dataset)))
+        if self.shuffle:
+            self.rng.shuffle(idxs)
+        for i in range(0, len(idxs) - self.batch_size + 1, self.batch_size):
+            items = [self.dataset[j] for j in idxs[i:i + self.batch_size]]
+            yield self.collator(items)
+
+
+def get_vocoder_datasets(path: Path, batch_size: int, train_gta: bool,
+                         max_mel_len: int, hop_length: int, voc_pad: int,
+                         voc_seq_len: int, voc_mode: str, bits: int,
+                         num_gen_samples: int):
+    """Reference get_vocoder_datasets (dataset.py:35-83)."""
+    path = Path(path)
+    train_data = unpickle_binary(path / 'train_dataset.pkl')
+    val_data = unpickle_binary(path / 'val_dataset.pkl')
+    train_ids = [i for i, l in filter_max_len(train_data, max_mel_len)]
+    val_ids = [i for i, l in filter_max_len(val_data, max_mel_len)]
+    train_dataset = VocoderDataset(path, train_ids, train_gta)
+    val_dataset = VocoderDataset(path, val_ids, train_gta)
+
+    train_collator = VocCollator(hop_length, voc_pad, voc_seq_len,
+                                 voc_mode, bits)
+    train_set = VocBatcher(train_dataset, batch_size, train_collator,
+                           shuffle=True)
+
+    # fixed-seed val batches (reference seeds numpy at dataset.py:70-72)
+    val_collator = VocCollator(hop_length, voc_pad, voc_seq_len, voc_mode,
+                               bits, rng=np.random.RandomState(42))
+    val_set = list(VocBatcher(val_dataset, batch_size, val_collator,
+                              shuffle=False))
+
+    val_set_samples = [val_dataset[i]
+                       for i in range(min(num_gen_samples, len(val_dataset)))]
+    return train_set, val_set, val_set_samples

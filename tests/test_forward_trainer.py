@@ -1,0 +1,107 @@
+"""End-to-end training smoke test on a tiny synthetic dataset: losses are
+finite and decrease, checkpoints are written and restorable."""
+import numpy as np
+import pytest
+import yaml
+
+
+TINY_MODEL = {
+    'embed_dims': 16, 'series_embed_dims': 8,
+    'durpred_conv_dims': 8, 'durpred_rnn_dims': 4, 'durpred_dropout': 0.5,
+    'pitch_conv_dims': 8, 'pitch_rnn_dims': 4, 'pitch_dropout': 0.5,
+    'pitch_strength': 1.0,
+    'energy_conv_dims': 8, 'energy_rnn_dims': 4, 'energy_dropout': 0.5,
+    'energy_strength': 1.0,
+    'rnn_dims': 12, 'prenet_dims': 8, 'prenet_k': 2, 'prenet_dropout': 0.5,
+    'prenet_num_highways': 1, 'postnet_dims': 8, 'postnet_k': 2,
+    'postnet_num_highways': 1, 'postnet_dropout': 0.0,
+}
+
+
+def _make_dataset(data_dir, n_items=6, n_mels=80):
+    from forwardtacotron_tpu.utils.files import pickle_binary
+    rng = np.random.RandomState(0)
+    for d in ('mel', 'alg', 'phon_pitch', 'phon_energy', 'quant',
+              'raw_pitch', 'gta'):
+        (data_dir / d).mkdir(parents=True, exist_ok=True)
+    index, text_dict, att = [], {}, {}
+    for i in range(n_items):
+        x_len = rng.randint(4, 9)
+        dur = rng.randint(1, 4, size=x_len)
+        mel_len = int(dur.sum())
+        np.save(data_dir / 'mel' / f'{i}.npy',
+                rng.randn(n_mels, mel_len).astype(np.float32))
+        np.save(data_dir / 'alg' / f'{i}.npy', dur.astype(np.int32))
+        np.save(data_dir / 'phon_pitch' / f'{i}.npy',
+                rng.randn(x_len).astype(np.float32))
+        np.save(data_dir / 'phon_energy' / f'{i}.npy',
+                rng.randn(x_len).astype(np.float32))
+        text_dict[str(i)] = 'ðɛɹ wʌz ə kæt'[:x_len]
+        index.append((str(i), mel_len))
+        att[str(i)] = (1.0, 1.0)
+    pickle_binary(text_dict, data_dir / 'text_dict.pkl')
+    pickle_binary(index[:-2], data_dir / 'train_dataset.pkl')
+    pickle_binary(index[-2:], data_dir / 'val_dataset.pkl')
+    pickle_binary(att, data_dir / 'att_score_dict.pkl')
+
+
+@pytest.fixture
+def tiny_config(tmp_path):
+    import pathlib
+    base = yaml.safe_load(
+        open(pathlib.Path(__file__).parent.parent / 'config.yaml'))
+    base['data_path'] = str(tmp_path / 'data')
+    base['forward_tacotron']['model'] = TINY_MODEL
+    base['forward_tacotron']['training']['schedule'] = ['1e-3, 6, 4']
+    base['forward_tacotron']['training']['checkpoint_every'] = 1000
+    base['forward_tacotron']['training']['plot_every'] = 1000
+    _make_dataset(tmp_path / 'data')
+    return base, tmp_path
+
+
+def test_forward_training_smoke(tiny_config):
+    config, tmp_path = tiny_config
+    from forwardtacotron_tpu.models.forward_tacotron import ForwardTacotron
+    from forwardtacotron_tpu.train.forward_trainer import ForwardTrainer
+    from forwardtacotron_tpu.utils.paths import Paths
+    from forwardtacotron_tpu.utils.checkpoints import (restore_checkpoint,
+                                                       init_tts_model)
+
+    class NullWriter:
+        def add_scalar(self, *a, **k): pass
+        def add_figure(self, *a, **k): pass
+        def add_audio(self, *a, **k): pass
+
+    paths = Paths(config['data_path'], 'test_voc', 'test_tts',
+                  base=tmp_path)
+    model = ForwardTacotron.from_config(config)
+    trainer = ForwardTrainer(paths, dsp=None, config=config,
+                             writer=NullWriter())
+    trainer.generate_plots = lambda *a, **k: None
+    state = trainer.train(model, max_steps_override=6)
+    assert int(state.step) == 6
+
+    ckpt = restore_checkpoint(paths.forward_checkpoints /
+                              'latest_model.fjax')
+    assert ckpt['step'] == 6
+    assert ckpt['config']['tts_model'] == 'forward_tacotron'
+
+    # loss is finite and the model runs eval with restored weights
+    m2 = init_tts_model(ckpt['config'])
+    import jax.numpy as jnp
+    batch = next(iter_first(trainer, config))
+    out = m2.apply(ckpt['model'], batch, train=False)
+    assert np.isfinite(np.asarray(out['mel_post'])).all()
+
+
+def iter_first(trainer, config):
+    from forwardtacotron_tpu.data.dataset import get_tts_datasets
+    import jax.numpy as jnp
+    train_set, _ = get_tts_datasets(
+        path=trainer.paths.data, batch_size=4, r=1, model_type='forward',
+        max_mel_len=config['forward_tacotron']['training']['max_mel_len'],
+        filter_attention=False)
+    for batch in train_set:
+        yield {k: jnp.asarray(v) for k, v in batch.items()
+               if isinstance(v, np.ndarray)}
+        return
