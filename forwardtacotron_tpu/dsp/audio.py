@@ -74,6 +74,8 @@ class DSP:
             self.mel_basis, n_fft, hop_length, win_length)
         self._wav_to_mel_raw = _stft.wav_to_mel_fn(
             self.mel_basis, n_fft, hop_length, win_length, normalize=False)
+        self._wav_to_mel_nocenter = _stft.wav_to_mel_fn(
+            self.mel_basis, n_fft, hop_length, win_length, center=False)
         self._mel_to_wav = _gl.mel_to_wav_fn(
             self.mel_basis, n_fft, hop_length, win_length)
 
@@ -115,6 +117,23 @@ class DSP:
         fn = self._wav_to_mel if normalize else self._wav_to_mel_raw
         mel = fn(jnp.asarray(y, dtype=jnp.float32))
         return np.asarray(mel).T if mel.ndim == 2 else np.asarray(mel)
+
+    def wav_to_mel_bucketed(self, y: np.ndarray,
+                            bucket_multiple: int = 16384) -> np.ndarray:
+        """Log-mel of one utterance with jit-stable shapes: the exact
+        librosa-style centered reflect padding happens host-side around
+        the true signal, then the signal is zero-padded to a length
+        ladder so the on-device STFT compiles once per bucket instead of
+        once per wav length. Returns (n_mels, T) with the exact frame
+        count and values of `wav_to_mel`."""
+        y = np.asarray(y, dtype=np.float32)
+        true_frames = 1 + len(y) // self.hop_length
+        pad = self.n_fft // 2
+        y_p = np.pad(y, (pad, pad), mode='reflect')
+        bucket = int(np.ceil(len(y_p) / bucket_multiple)) * bucket_multiple
+        y_p = np.pad(y_p, (0, bucket - len(y_p)))
+        mel = self._wav_to_mel_nocenter(jnp.asarray(y_p))
+        return np.asarray(mel[:true_frames]).T
 
     def wav_to_mel_batch(self, y: jnp.ndarray) -> jnp.ndarray:
         """Batched on-device variant, time-major (B, T, n_mels)."""

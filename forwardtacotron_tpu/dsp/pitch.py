@@ -28,20 +28,27 @@ import numpy as np
 
 
 @partial(jax.jit, static_argnames=('sample_rate', 'hop_length', 'win_length',
-                                   'f0_floor', 'f0_ceil'))
+                                   'f0_floor', 'f0_ceil', 'center'))
 def estimate_f0(y: jnp.ndarray, sample_rate: int, hop_length: int,
                 win_length: int = 1024, f0_floor: float = 71.0,
                 f0_ceil: float = 800.0, nac_threshold: float = 0.35,
-                energy_threshold: float = 1e-4) -> jnp.ndarray:
-    """F0 per frame; 0.0 for unvoiced frames. Supports leading batch dims."""
+                energy_threshold: float = 1e-4,
+                center: bool = True) -> jnp.ndarray:
+    """F0 per frame; 0.0 for unvoiced frames. Supports leading batch dims.
+
+    center=False expects pre-padded input (win_length//2 both sides) and
+    emits 1 + (len - win_length) // hop frames."""
     min_lag = max(int(sample_rate / f0_ceil), 2)
     max_lag = min(int(np.ceil(sample_rate / f0_floor)), win_length - 2)
 
-    pad = win_length // 2
-    pad_width = [(0, 0)] * (y.ndim - 1) + [(pad, pad)]
-    y_p = jnp.pad(y, pad_width, mode='reflect')
-
-    n_frames = 1 + y.shape[-1] // hop_length
+    if center:
+        pad = win_length // 2
+        pad_width = [(0, 0)] * (y.ndim - 1) + [(pad, pad)]
+        y_p = jnp.pad(y, pad_width, mode='reflect')
+        n_frames = 1 + y.shape[-1] // hop_length
+    else:
+        y_p = y
+        n_frames = 1 + (y.shape[-1] - win_length) // hop_length
     idx = (np.arange(n_frames)[:, None] * hop_length
            + np.arange(win_length)[None, :])
     frames = jnp.take(y_p, jnp.asarray(idx), axis=-1)
@@ -90,3 +97,20 @@ def extract_pitch(y: np.ndarray, sample_rate: int, hop_length: int
     """Host convenience wrapper returning numpy float32 (dio layout)."""
     return np.asarray(estimate_f0(jnp.asarray(y, dtype=jnp.float32),
                                   sample_rate, hop_length))
+
+
+def extract_pitch_bucketed(y: np.ndarray, sample_rate: int,
+                           hop_length: int, win_length: int = 1024,
+                           bucket_multiple: int = 16384) -> np.ndarray:
+    """Jit-stable variant: reflect-pads host-side, zero-pads to a length
+    ladder, slices to the exact frame count (1 + len // hop, matching
+    WORLD dio's output count). Same values as `extract_pitch`."""
+    y = np.asarray(y, dtype=np.float32)
+    true_frames = 1 + len(y) // hop_length
+    pad = win_length // 2
+    y_p = np.pad(y, (pad, pad), mode='reflect')
+    bucket = int(np.ceil(len(y_p) / bucket_multiple)) * bucket_multiple
+    y_p = np.pad(y_p, (0, bucket - len(y_p)))
+    f0 = estimate_f0(jnp.asarray(y_p), sample_rate, hop_length,
+                     win_length=win_length, center=False)
+    return np.asarray(f0[:true_frames])

@@ -149,16 +149,19 @@ def magnitude_stft(y: jnp.ndarray, n_fft: int, hop_length: int,
 
 
 def wav_to_mel_fn(mel_basis: jnp.ndarray, n_fft: int, hop_length: int,
-                  win_length: int, normalize: bool = True):
+                  win_length: int, normalize: bool = True,
+                  center: bool = True):
     """Build a jitted wav -> log-mel function (time-major (..., T, n_mels)).
 
     Parity: utils/dsp.py:71-87 (|stft| -> mel_basis @ S -> clip(1e-5) -> log).
+    center=False expects the caller to have applied the reflect padding
+    (used by the bucketed preprocessing path for jit-stable shapes).
     """
     mel_basis = jnp.asarray(mel_basis)
 
     @jax.jit
     def wav_to_mel(y: jnp.ndarray) -> jnp.ndarray:
-        spec = magnitude_stft(y, n_fft, hop_length, win_length)
+        spec = jnp.abs(stft(y, n_fft, hop_length, win_length, center=center))
         mel = spec @ mel_basis.T
         if normalize:
             mel = jnp.log(jnp.clip(mel, min=1e-5))

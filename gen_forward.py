@@ -1,0 +1,151 @@
+"""TTS generation CLI.
+
+Contract matches the reference gen_forward.py: `--input_text/-i`,
+`--checkpoint`, `--config`, `--alpha` (speed), `--amp` (pitch), and a
+vocoder subcommand in {wavernn, griffinlim, melgan, hifigan}. Accepts
+both `.fjax` checkpoints and reference torch `.pt` checkpoints (converted
+on load). Synthesis runs fully jitted on padded static buckets; bucket
+sizes are chosen per input so recompiles stay rare.
+"""
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import numpy as np
+
+
+def _bucket(n: int, multiple: int, minimum: int) -> int:
+    return max(((n + multiple - 1) // multiple) * multiple, minimum)
+
+
+def synthesize(model, variables, text_ids, alpha: float, amp: float,
+               mel_multiple: int = 256):
+    """Two-stage jitted generation: predict series, apply user scaling,
+    expand+decode. Returns (mel_post (n_mels, T_true), dur)."""
+    import jax
+    import jax.numpy as jnp
+
+    x_len = len(text_ids)
+    tx = _bucket(x_len, 16, 16)
+    x = np.zeros((1, tx), dtype=np.int32)
+    x[0, :x_len] = text_ids
+    x = jnp.asarray(x)
+    xl = jnp.asarray([x_len])
+
+    series = jax.jit(
+        lambda v, x, xl, a: model.apply(v, x, alpha=a,
+                                        method='predict_series', x_len=xl),
+        static_argnums=())(variables, x, xl, alpha)
+    dur = np.asarray(series['dur'])[0, :x_len]
+    total = int(np.sum(np.maximum(dur, 0) + 0.5))
+    max_t = _bucket(total + 1, mel_multiple, mel_multiple)
+
+    pitch = series['pitch'] * amp
+    gen = jax.jit(
+        lambda v, x, d, p, e, xl: model.apply(
+            v, x, d, p, e, max_t, method='generate_from_series', x_len=xl),
+    )(variables, x, series['dur'], pitch, series['energy'], xl)
+    mel_len = int(gen['mel_len'][0])
+    mel_post = np.asarray(gen['mel_post'])[0, :mel_len].T  # (n_mels, T)
+    return mel_post, dur
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description='TTS Generator')
+    parser.add_argument('--input_text', '-i', default=None, type=str,
+                        help='[string] Text for TTS generation')
+    parser.add_argument('--checkpoint', type=str, default=None,
+                        help='[string/path] path to .fjax or .pt model file')
+    parser.add_argument('--config', metavar='FILE', default='config.yaml',
+                        help='Config file (used if no checkpoint is set).')
+    parser.add_argument('--alpha', type=float, default=1.,
+                        help='Length regulator speed control')
+    parser.add_argument('--amp', type=float, default=1.,
+                        help='Pitch amplification')
+    subparsers = parser.add_subparsers(dest='vocoder')
+    wr_parser = subparsers.add_parser('wavernn')
+    wr_parser.add_argument('--overlap', '-o', default=550, type=int)
+    wr_parser.add_argument('--target', '-t', default=11_000, type=int)
+    wr_parser.add_argument('--voc_checkpoint', type=str)
+    subparsers.add_parser('griffinlim')
+    subparsers.add_parser('melgan')
+    subparsers.add_parser('hifigan')
+    args = parser.parse_args()
+
+    assert args.vocoder in {'griffinlim', 'wavernn', 'melgan', 'hifigan'}, \
+        ("Please provide a valid vocoder! Choices: ['griffinlim', "
+         "'wavernn', 'melgan', 'hifigan']")
+
+    from forwardtacotron_tpu.dsp.audio import DSP
+    from forwardtacotron_tpu.text.cleaners import Cleaner
+    from forwardtacotron_tpu.text.tokenizer import Tokenizer
+    from forwardtacotron_tpu.utils.checkpoints import load_tts_checkpoint
+    from forwardtacotron_tpu.utils.display import simple_table
+    from forwardtacotron_tpu.utils.files import read_config
+    from forwardtacotron_tpu.utils.paths import Paths
+
+    checkpoint_path = args.checkpoint
+    if checkpoint_path is None:
+        config = read_config(args.config)
+        paths = Paths(config['data_path'], config['voc_model_id'],
+                      config['tts_model_id'])
+        checkpoint_path = paths.forward_checkpoints / 'latest_model.fjax'
+
+    print(f'Loading tts checkpoint {checkpoint_path}')
+    model, variables, config, step = load_tts_checkpoint(checkpoint_path)
+    dsp = DSP.from_config(config)
+
+    voc_model = voc_variables = voc_dsp = None
+    if args.vocoder == 'wavernn':
+        from forwardtacotron_tpu.utils.voc_checkpoints import (
+            load_voc_checkpoint)
+        voc_model, voc_variables, voc_config, _ = load_voc_checkpoint(
+            args.voc_checkpoint)
+        voc_dsp = DSP.from_config(voc_config)
+
+    out_path = Path('model_outputs')
+    out_path.mkdir(parents=True, exist_ok=True)
+    cleaner = Cleaner.from_config(config)
+    tokenizer = Tokenizer()
+
+    if args.input_text:
+        texts = [args.input_text]
+    else:
+        with open('sentences.txt', 'r', encoding='utf-8') as f:
+            texts = f.readlines()
+
+    tts_k = step // 1000
+    simple_table([('Forward Tacotron', str(tts_k) + 'k'),
+                  ('Vocoder Type', args.vocoder)])
+
+    for i, x in enumerate(texts, 1):
+        print(f'\n| Generating {i}/{len(texts)}')
+        ids = tokenizer(cleaner(x))
+        wav_name = (f'{i}_forward_{tts_k}k_alpha{args.alpha}_'
+                    f'amp{args.amp}_{args.vocoder}')
+        mel_post, _ = synthesize(model, variables, ids, args.alpha, args.amp)
+
+        if args.vocoder == 'melgan':
+            import torch
+            torch.save(torch.tensor(mel_post[None]),
+                       out_path / f'{wav_name}.mel')
+        elif args.vocoder == 'hifigan':
+            np.save(out_path / f'{wav_name}.npy', mel_post[None],
+                    allow_pickle=False)
+        elif args.vocoder == 'wavernn':
+            from forwardtacotron_tpu.models.wavernn import generate_wav
+            wav = generate_wav(voc_model, voc_variables, mel_post,
+                               batched=True, target=args.target,
+                               overlap=args.overlap,
+                               mu_law=voc_dsp.mu_law)
+            dsp.save_wav(wav, out_path / f'{wav_name}.wav')
+        elif args.vocoder == 'griffinlim':
+            wav = dsp.griffinlim(mel_post)
+            dsp.save_wav(wav, out_path / f'{wav_name}.wav')
+
+    print('\n\nDone.\n')
+
+
+if __name__ == '__main__':
+    main()
