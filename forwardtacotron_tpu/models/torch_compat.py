@@ -150,6 +150,58 @@ def convert_forward_tacotron(state_dict: Dict[str, Any],
     return {'params': params, 'batch_stats': stats}, step
 
 
+def _cell(sd: _SD, name: str, prefix: str) -> Dict[str, np.ndarray]:
+    """torch GRUCell/LSTMCell -> flat cell params with a name prefix."""
+    return {f'{prefix}_w_ih': sd[f'{name}.weight_ih'],
+            f'{prefix}_w_hh': sd[f'{name}.weight_hh'],
+            f'{prefix}_b_ih': sd[f'{name}.bias_ih'],
+            f'{prefix}_b_hh': sd[f'{name}.bias_hh']}
+
+
+def _prenet(sd: _SD, name: str) -> Dict[str, Any]:
+    return {'fc1': dense(sd.sub(name), 'fc1'),
+            'fc2': dense(sd.sub(name), 'fc2')}
+
+
+def convert_tacotron(state_dict: Dict[str, Any],
+                     model_cfg: Dict[str, Any]) -> Tuple[Dict, int]:
+    """Reference models/tacotron.py state_dict -> flax variables."""
+    sd = _SD(state_dict)
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    enc_params: Dict[str, Any] = {
+        'embedding': embed(sd.sub('encoder'), 'embedding'),
+        'pre_net': _prenet(sd, 'encoder.pre_net'),
+    }
+    p, s = cbhg(sd, 'encoder.cbhg', K=model_cfg['encoder_k'],
+                num_highways=model_cfg['num_highways'])
+    enc_params['cbhg'] = p
+    params['encoder'] = enc_params
+    stats['encoder'] = {'cbhg': s}
+
+    params['encoder_proj'] = dense(sd, 'encoder_proj', bias=False)
+    params['dec_prenet'] = _prenet(sd, 'decoder.prenet')
+    params['lsa_conv'] = conv1d(sd, 'decoder.attn_net.conv', bias=False)
+    params['lsa_L'] = dense(sd, 'decoder.attn_net.L')
+    params['lsa_W'] = dense(sd, 'decoder.attn_net.W')
+    params['lsa_v'] = dense(sd, 'decoder.attn_net.v', bias=False)
+    params.update(_cell(sd, 'decoder.attn_rnn', 'attn_rnn'))
+    params['rnn_input'] = dense(sd, 'decoder.rnn_input')
+    params.update(_cell(sd, 'decoder.res_rnn1', 'res_rnn1'))
+    params.update(_cell(sd, 'decoder.res_rnn2', 'res_rnn2'))
+    params['mel_proj'] = dense(sd, 'decoder.mel_proj', bias=False)
+
+    p, s = cbhg(sd, 'postnet', K=model_cfg['postnet_k'],
+                num_highways=model_cfg['num_highways'])
+    params['postnet'], stats['postnet'] = p, s
+    params['post_proj'] = dense(sd, 'post_proj', bias=False)
+
+    step = int(_np(state_dict['step']).reshape(-1)[0]) \
+        if 'step' in state_dict else 0
+    return {'params': params, 'batch_stats': stats}, step
+
+
 def load_torch_forward_checkpoint(path) -> Tuple[Dict, Dict, int]:
     """Load a reference forward-tacotron `.pt` -> (variables, config, step)."""
     import torch
