@@ -188,7 +188,9 @@ class BucketBatcher:
                 n += (len(idxs) + self.batch_size - 1) // self.batch_size
         return n
 
-    def first_batch(self) -> Dict:
+    def first_batch(self) -> Optional[Dict]:
+        if not self.buckets:
+            return None
         b = min(self.buckets)
         idxs = self.buckets[b][:self.batch_size]
         return self._make_batch(b, idxs)

@@ -236,6 +236,10 @@ class Tacotron(nn.Module):
             return carry, (mels, scores)
 
         carry0 = self._init_carry(B, Tx, m.dtype)
+        # materialize decoder params outside lax.scan (dead code after
+        # init; avoids creating flax variables inside the scan trace)
+        _ = self._decoder_step(cells, encoder_seq, encoder_seq_proj,
+                               go[:, 0], carry0, False, None)
         _, (mels, scores) = jax.lax.scan(
             step, carry0, (jnp.swapaxes(prenet_seq, 0, 1), step_keys))
 
@@ -266,6 +270,10 @@ class Tacotron(nn.Module):
 
         mel_buf = jnp.zeros((B, n_steps, self.n_mels * MAX_R))
         attn_buf = jnp.zeros((B, n_steps, Tx))
+
+        _ = self._decoder_step(cells, encoder_seq, encoder_seq_proj,
+                               jnp.zeros((B, self.n_mels)),
+                               self._init_carry(B, Tx), False, None)
 
         def cond(state):
             t, done, *_ = state

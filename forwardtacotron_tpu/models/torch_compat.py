@@ -202,6 +202,70 @@ def convert_tacotron(state_dict: Dict[str, Any],
     return {'params': params, 'batch_stats': stats}, step
 
 
+def layernorm(sd: _SD, name: str) -> Dict[str, np.ndarray]:
+    return {'scale': sd[f'{name}.weight'], 'bias': sd[f'{name}.bias']}
+
+
+def fft_block(sd: _SD, name: str) -> Dict[str, Any]:
+    c = sd.sub(name)
+    return {
+        'self_attn': {
+            'in_proj_weight': c['self_attn.in_proj_weight'],
+            'in_proj_bias': c['self_attn.in_proj_bias'],
+            'out_proj': dense(c, 'self_attn.out_proj'),
+        },
+        'conv1': conv1d(c, 'conv1'),
+        'conv2': conv1d(c, 'conv2'),
+        'norm1': layernorm(c, 'norm1'),
+        'norm2': layernorm(c, 'norm2'),
+    }
+
+
+def forward_transformer(sd: _SD, name: str, n_layers: int) -> Dict[str, Any]:
+    c = sd.sub(name)
+    out: Dict[str, Any] = {
+        'pos_scale': c['pos_encoder.scale'],
+        'norm': layernorm(c, 'norm'),
+    }
+    for i in range(n_layers):
+        out[f'layer_{i}'] = fft_block(c, f'layers.{i}')
+    return out
+
+
+def fp_series_predictor(sd: _SD, name: str, n_layers: int) -> Dict[str, Any]:
+    c = sd.sub(name)
+    return {
+        'embedding': embed(c, 'embedding'),
+        'transformer': forward_transformer(c, 'transformer', n_layers),
+        'lin': dense(c, 'lin'),
+    }
+
+
+def convert_fast_pitch(state_dict: Dict[str, Any],
+                       model_cfg: Dict[str, Any]) -> Tuple[Dict, int]:
+    """Reference models/fast_pitch.py state_dict -> flax variables."""
+    sd = _SD(state_dict)
+    params: Dict[str, Any] = {
+        'embedding': embed(sd, 'embedding'),
+        'dur_pred': fp_series_predictor(sd, 'dur_pred',
+                                        model_cfg['durpred_layers']),
+        'pitch_pred': fp_series_predictor(sd, 'pitch_pred',
+                                          model_cfg['pitch_layers']),
+        'energy_pred': fp_series_predictor(sd, 'energy_pred',
+                                           model_cfg['energy_layers']),
+        'prenet': forward_transformer(sd, 'prenet',
+                                      model_cfg['prenet_layers']),
+        'postnet': forward_transformer(sd, 'postnet',
+                                       model_cfg['postnet_layers']),
+        'pitch_proj': conv1d(sd, 'pitch_proj'),
+        'energy_proj': conv1d(sd, 'energy_proj'),
+        'lin': dense(sd, 'lin'),
+    }
+    step = int(_np(state_dict['step']).reshape(-1)[0]) \
+        if 'step' in state_dict else 0
+    return {'params': params}, step
+
+
 def load_torch_forward_checkpoint(path) -> Tuple[Dict, Dict, int]:
     """Load a reference forward-tacotron `.pt` -> (variables, config, step)."""
     import torch

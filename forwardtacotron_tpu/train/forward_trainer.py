@@ -81,6 +81,10 @@ class ForwardTrainer:
                     'min_attention_alignment'],
                 filter_min_sharpness=self.train_cfg[
                     'min_attention_sharpness'])
+            if len(train_set) == 0:
+                raise RuntimeError(
+                    'No training items left after filtering — check '
+                    'attention scores (filter_attention) and max_mel_len.')
             session = tc.TTSSession(index=i, r=1, lr=lr, max_step=max_step,
                                     bs=bs, train_set=train_set,
                                     val_set=val_set)

@@ -1,0 +1,239 @@
+"""Tacotron teacher trainer.
+
+Parity surface: trainer/taco_trainer.py — (r, lr, max_step, bs) schedule
+with per-session reduction factor, plain (unmasked) L1 on mel + postnet
+outputs, attention score logging, checkpoint + plot cadence. Each r value
+compiles its own XLA train step (4 values for the default schedule).
+"""
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from forwardtacotron_tpu.align.metrics import attention_score
+from forwardtacotron_tpu.data.dataset import get_tts_datasets
+from forwardtacotron_tpu.train import common as tc
+from forwardtacotron_tpu.utils.checkpoints import save_checkpoint
+from forwardtacotron_tpu.utils.decorators import ignore_exception
+from forwardtacotron_tpu.utils.display import (plot_attention, plot_mel,
+                                               simple_table, stream)
+from forwardtacotron_tpu.utils.files import parse_schedule
+from forwardtacotron_tpu.utils.paths import Paths
+
+
+def build_taco_train_step(model, optimizer, r: int) -> Callable:
+    def train_step(state: tc.TrainState, batch: Dict[str, jnp.ndarray],
+                   rng: jax.Array) -> Tuple[tc.TrainState, Dict]:
+        dec_rng, dropout_rng = jax.random.split(rng)
+
+        def loss_fn(params):
+            (m1, m2, att), mutated = model.apply(
+                {'params': params, 'batch_stats': state.batch_stats},
+                batch['x'], batch['mel'], r, train=True, rng=dec_rng,
+                mutable=['batch_stats'], rngs={'dropout': dropout_rng})
+            m1_loss = jnp.mean(jnp.abs(m1 - batch['mel']))
+            m2_loss = jnp.mean(jnp.abs(m2 - batch['mel']))
+            loss = m1_loss + m2_loss
+            return loss, (att, mutated['batch_stats'],
+                          {'loss': loss, 'm1_loss': m1_loss,
+                           'm2_loss': m2_loss})
+
+        grads, (att, new_stats, metrics) = jax.grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt_state = optimizer.update(grads, state.opt_state,
+                                                  state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = tc.TrainState(params=new_params, batch_stats=new_stats,
+                                  opt_state=new_opt_state,
+                                  step=state.step + 1)
+        return new_state, (metrics, att)
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def build_taco_eval_step(model, r: int) -> Callable:
+    @jax.jit
+    def eval_step(variables, batch):
+        m1, m2, att = model.apply(variables, batch['x'], batch['mel'], r,
+                                  train=False)
+        m1_loss = jnp.mean(jnp.abs(m1 - batch['mel']))
+        m2_loss = jnp.mean(jnp.abs(m2 - batch['mel']))
+        return m1_loss + m2_loss, att
+    return eval_step
+
+
+def _to_jnp(batch: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
+    return {k: jnp.asarray(v) for k, v in batch.items()
+            if isinstance(v, np.ndarray)}
+
+
+class TacoTrainer:
+
+    def __init__(self, paths: Paths, dsp, config: Dict[str, Any],
+                 writer=None) -> None:
+        self.paths = paths
+        self.dsp = dsp
+        self.config = config
+        self.train_cfg = config['tacotron']['training']
+        self._writer = writer
+
+    @property
+    def writer(self):
+        if self._writer is None:
+            from tensorboardX import SummaryWriter
+            self._writer = SummaryWriter(log_dir=str(self.paths.taco_log))
+        return self._writer
+
+    def train(self, model, state=None, seed: int = 42,
+              max_steps_override=None) -> tc.TrainState:
+        optimizer = tc.make_optimizer(self.train_cfg.get('clip_grad_norm'))
+        schedule = parse_schedule(self.train_cfg['schedule'])
+        rng = jax.random.PRNGKey(seed)
+
+        for i, (r, lr, max_step, bs) in enumerate(schedule, 1):
+            if max_steps_override is not None:
+                max_step = min(max_step, max_steps_override)
+            current = 0 if state is None else int(state.step)
+            if current >= max_step:
+                continue
+            train_set, val_set = get_tts_datasets(
+                path=self.paths.data, batch_size=bs, r=r,
+                model_type='tacotron',
+                max_mel_len=self.train_cfg['max_mel_len'],
+                filter_attention=False)
+            session = tc.TTSSession(index=i, r=r, lr=lr, max_step=max_step,
+                                    bs=bs, train_set=train_set,
+                                    val_set=val_set)
+            if state is None:
+                example = _to_jnp(session.val_sample or
+                                  next(iter(train_set)))
+                variables = model.init(
+                    {'params': rng, 'dropout': rng}, example['x'],
+                    example['mel'], r, train=True, rng=rng)
+                opt_state = optimizer.init(variables['params'])
+                state = tc.TrainState(
+                    params=variables['params'],
+                    batch_stats=variables.get('batch_stats', {}),
+                    opt_state=opt_state, step=jnp.asarray(0, jnp.int32))
+            state = self.train_session(model, optimizer, state, session,
+                                       rng)
+        return state
+
+    def train_session(self, model, optimizer, state, session, rng
+                      ) -> tc.TrainState:
+        current_step = int(state.step)
+        training_steps = session.max_step - current_step
+        total_iters = len(session.train_set)
+        epochs = max(training_steps // max(total_iters, 1) + 1, 1)
+        simple_table([
+            (f'Steps with r={session.r}',
+             str(training_steps // 1000) + 'k Steps'),
+            ('Batch Size', session.bs),
+            ('Learning Rate', session.lr),
+            ('Outputs/Step (r)', session.r)])
+
+        state = state.replace(
+            opt_state=tc.set_learning_rate(state.opt_state, session.lr))
+        train_step = build_taco_train_step(model, optimizer, session.r)
+        eval_step = build_taco_eval_step(model, session.r)
+
+        loss_avg, duration_avg = tc.Averager(), tc.Averager()
+
+        for e in range(1, epochs + 1):
+            for i, batch in enumerate(session.train_set, 1):
+                start = time.time()
+                step_rng = jax.random.fold_in(rng, int(state.step))
+                jbatch = _to_jnp(batch)
+                state, (metrics, att) = train_step(state, jbatch, step_rng)
+                step = int(state.step)
+                loss = float(metrics['loss'])
+                loss_avg.add(loss)
+                duration_avg.add(time.time() - start)
+                k = step // 1000
+                speed = 1.0 / max(duration_avg.get(), 1e-9)
+                msg = (f'| Epoch: {e}/{epochs} ({i}/{total_iters}) '
+                       f'| Loss: {loss_avg.get():#.4} '
+                       f'| {speed:#.2} steps/s | Step: {k}k | ')
+
+                if step % self.train_cfg['checkpoint_every'] == 0:
+                    save_checkpoint(state.variables, self.config,
+                                    self.paths.taco_checkpoints /
+                                    f'taco_step{k}k.fjax',
+                                    opt_state=state.opt_state, step=step)
+                if step % self.train_cfg['plot_every'] == 0:
+                    self.generate_plots(model, state, session)
+
+                _, att_score = attention_score(att,
+                                               jbatch['mel_len'],
+                                               r=session.r)
+                self.writer.add_scalar('Attention_Score/train',
+                                       float(jnp.mean(att_score)), step)
+                self.writer.add_scalar('Loss/train', loss, step)
+                self.writer.add_scalar('Params/reduction_factor',
+                                       session.r, step)
+                self.writer.add_scalar('Params/batch_size', session.bs,
+                                       step)
+                self.writer.add_scalar('Params/learning_rate', session.lr,
+                                       step)
+                stream(msg)
+                if step >= session.max_step:
+                    break
+            else:
+                val_loss, val_att = self.evaluate(eval_step, state,
+                                                  session.val_set)
+                step = int(state.step)
+                self.writer.add_scalar('Loss/val', val_loss, step)
+                self.writer.add_scalar('Attention_Score/val', val_att, step)
+                save_checkpoint(state.variables, self.config,
+                                self.paths.taco_checkpoints /
+                                'latest_model.fjax',
+                                opt_state=state.opt_state, step=step)
+                loss_avg.reset()
+                duration_avg.reset()
+                print(' ')
+                continue
+            break
+
+        save_checkpoint(state.variables, self.config,
+                        self.paths.taco_checkpoints / 'latest_model.fjax',
+                        opt_state=state.opt_state, step=int(state.step))
+        return state
+
+    def evaluate(self, eval_step, state, val_set) -> Tuple[float, float]:
+        val_loss, val_att, n = 0.0, 0.0, 0
+        for batch in val_set:
+            jbatch = _to_jnp(batch)
+            loss, att = eval_step(state.variables, jbatch)
+            _, att_score = attention_score(att, jbatch['mel_len'], r=1)
+            val_loss += float(loss)
+            val_att += float(jnp.mean(att_score))
+            n += 1
+        return val_loss / max(n, 1), val_att / max(n, 1)
+
+    @ignore_exception
+    def generate_plots(self, model, state, session) -> None:
+        batch = _to_jnp(session.val_sample)
+        step = int(state.step)
+        m1, m2, att = model.apply(state.variables, batch['x'],
+                                  batch['mel'], session.r, train=False)
+        att0 = np.asarray(att)[0]
+        m1_hat = np.asarray(m1)[0, :600]
+        m2_hat = np.asarray(m2)[0, :600]
+        m_target = np.asarray(batch['mel'])[0, :600]
+        w = self.writer
+        w.add_figure('Ground_Truth_Aligned/attention',
+                     plot_attention(att0), step)
+        w.add_figure('Ground_Truth_Aligned/target', plot_mel(m_target), step)
+        w.add_figure('Ground_Truth_Aligned/linear', plot_mel(m1_hat), step)
+        w.add_figure('Ground_Truth_Aligned/postnet', plot_mel(m2_hat), step)
+        if self.dsp is not None:
+            sr = self.dsp.sample_rate
+            w.add_audio('Ground_Truth_Aligned/target_wav',
+                        self.dsp.griffinlim(m_target.T), step, sr)
+            w.add_audio('Ground_Truth_Aligned/postnet_wav',
+                        self.dsp.griffinlim(m2_hat.T), step, sr)
