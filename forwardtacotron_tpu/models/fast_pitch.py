@@ -105,13 +105,13 @@ class FFTBlock(nn.Module):
         if masked and key_padding_mask is not None:
             conv_in = jnp.where(key_padding_mask[..., None], 0.0, x)
         h = nn.Conv(self.d_fft, (self.conv1_kernel,),
-                    padding=((self.conv1_kernel // 2,) * 2),
+                    padding=(((self.conv1_kernel // 2,) * 2,)),
                     name='conv1')(conv_in)[:, :seq_len]
         h = nn.relu(h)
         if masked and key_padding_mask is not None:
             h = jnp.where(key_padding_mask[..., None], 0.0, h)
         h = nn.Conv(self.d_model, (self.conv2_kernel,),
-                    padding=((self.conv2_kernel // 2,) * 2),
+                    padding=(((self.conv2_kernel // 2,) * 2,)),
                     name='conv2')(h)[:, :seq_len]
         x = x + nn.Dropout(self.dropout, deterministic=not train)(h)
         return nn.LayerNorm(epsilon=1e-5, name='norm2')(x)
@@ -252,9 +252,12 @@ class FastPitch(nn.Module):
         h = self.postnet(h, mel_pad_mask, train=train)
         mel = self.lin(h)
 
-        # reference pads both outputs to the mel length and returns the
-        # SAME tensor for mel/mel_post (fast_pitch.py:280-284)
-        mask = jnp.arange(max_t)[None, :, None] < mel_len[:, None, None]
+        # reference pads frames beyond the batch-max LR length with the
+        # padding value and returns the SAME tensor for mel/mel_post
+        # (fast_pitch.py:280-284, 305-308); per-item frames between
+        # mel_len and the batch max keep their postnet values.
+        max_total = jnp.max(mel_len)
+        mask = jnp.arange(max_t)[None, :, None] < max_total
         mel = jnp.where(mask, mel, PADDING_VALUE)
         return {'mel': mel, 'mel_post': mel, 'dur': dur_hat,
                 'pitch': pitch_hat, 'energy': energy_hat}
