@@ -266,6 +266,61 @@ def convert_fast_pitch(state_dict: Dict[str, Any],
     return {'params': params}, step
 
 
+def _bn(sd: _SD, name: str) -> Tuple[Dict, Dict]:
+    params = {'scale': sd[f'{name}.weight'], 'bias': sd[f'{name}.bias']}
+    stats = {'mean': sd[f'{name}.running_mean'],
+             'var': sd[f'{name}.running_var']}
+    return params, stats
+
+
+def convert_wavernn(state_dict: Dict[str, Any],
+                    model_cfg: Dict[str, Any]) -> Tuple[Dict, int]:
+    """Reference models/fatchord_version.py state_dict -> flax variables."""
+    sd = _SD(state_dict)
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    res = sd.sub('upsample.resnet')
+    rn_params: Dict[str, Any] = {'conv_in': conv1d(res, 'conv_in',
+                                                   bias=False),
+                                 'conv_out': conv1d(res, 'conv_out')}
+    rn_stats: Dict[str, Any] = {}
+    p, s = _bn(res, 'batch_norm')
+    rn_params['batch_norm'], rn_stats['batch_norm'] = p, s
+    n_blocks = model_cfg['res_blocks']
+    for i in range(n_blocks):
+        blk = res.sub(f'layers.{i}')
+        bp: Dict[str, Any] = {'conv1': conv1d(blk, 'conv1', bias=False),
+                              'conv2': conv1d(blk, 'conv2', bias=False)}
+        bs: Dict[str, Any] = {}
+        for bn_name in ('batch_norm1', 'batch_norm2'):
+            p, s = _bn(blk, bn_name)
+            bp[bn_name], bs[bn_name] = p, s
+        rn_params[f'res_{i}'], rn_stats[f'res_{i}'] = bp, bs
+
+    up_params: Dict[str, Any] = {'resnet': rn_params}
+    up_stats = {'resnet': rn_stats}
+    n_scales = len(model_cfg['upsample_factors'])
+    for i in range(n_scales):
+        w = sd[f'upsample.up_layers.{2 * i + 1}.weight']  # (1,1,1,k)
+        up_params[f'up_conv_{i}'] = w.reshape(-1)
+    params['upsample'], stats['upsample'] = up_params, up_stats
+
+    params['I_kernel'] = sd['I.weight'].T
+    params['I_bias'] = sd['I.bias']
+    for rnn_name in ('rnn1', 'rnn2'):
+        d = rnn_dir(sd, rnn_name)
+        for k, v in d.items():
+            params[f'{rnn_name}_{k}'] = v
+    for fc in ('fc1', 'fc2', 'fc3'):
+        params[f'{fc}_kernel'] = sd[f'{fc}.weight'].T
+        params[f'{fc}_bias'] = sd[f'{fc}.bias']
+
+    step = int(_np(state_dict['step']).reshape(-1)[0]) \
+        if 'step' in state_dict else 0
+    return {'params': params, 'batch_stats': stats}, step
+
+
 def load_torch_forward_checkpoint(path) -> Tuple[Dict, Dict, int]:
     """Load a reference forward-tacotron `.pt` -> (variables, config, step)."""
     import torch

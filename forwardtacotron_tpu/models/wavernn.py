@@ -1,0 +1,406 @@
+"""WaveRNN vocoder (fatchord version), TPU-native.
+
+Re-design of models/fatchord_version.py. Training is the teacher-forced
+sequence model (GRUs over the whole window as lax.scan with MXU-batched
+input projections). Generation — the reference's #1 perf sink, a python
+loop running 2 GRUCells + 3 FCs + a categorical sample per audio sample
+(fatchord_version.py:203-244) — becomes ONE `lax.scan` over upsampled
+frames with:
+
+- all conditioning projections hoisted out of the loop: the I-layer,
+  rnn2 input, fc1/fc2 aux contributions are precomputed for the whole
+  utterance as big matmuls, so the scan body touches only the
+  recurrent/hot path;
+- on-device categorical sampling (Gumbel / logistic inverse-CDF) with
+  per-step PRNG keys threaded as scan inputs;
+- the reference's batched fold/xfade-unfold trick (intra-utterance
+  parallelism, fatchord_version.py:294-406) kept as the batching
+  strategy, with the folds running as scan batch lanes.
+
+Weight layouts are torch-compatible for checkpoint conversion.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from forwardtacotron_tpu.models.layers import torch_uniform_init
+from forwardtacotron_tpu.ops import rnn as rnn_ops
+from forwardtacotron_tpu.ops.mol import sample_from_discretized_mix_logistic
+
+
+class ResBlock(nn.Module):
+    dims: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        residual = x
+        h = nn.Conv(self.dims, (1,), use_bias=False, name='conv1')(x)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, name='batch_norm1')(h)
+        h = nn.relu(h)
+        h = nn.Conv(self.dims, (1,), use_bias=False, name='conv2')(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, name='batch_norm2')(h)
+        return h + residual
+
+
+class MelResNet(nn.Module):
+    res_blocks: int
+    compute_dims: int
+    res_out_dims: int
+    pad: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        k_size = self.pad * 2 + 1
+        h = nn.Conv(self.compute_dims, (k_size,), padding='VALID',
+                    use_bias=False, name='conv_in')(x)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, name='batch_norm')(h)
+        h = nn.relu(h)
+        for i in range(self.res_blocks):
+            h = ResBlock(self.compute_dims, name=f'res_{i}')(h, train)
+        return nn.Conv(self.res_out_dims, (1,), name='conv_out')(h)
+
+
+def _shared_time_conv(x: jnp.ndarray, kernel: jnp.ndarray, pad: int
+                      ) -> jnp.ndarray:
+    """Apply one shared 1-D kernel along time to every channel.
+
+    Equivalent to the reference's Conv2d(1, 1, (1, k)) over the (freq,
+    time) image (fatchord_version.py:78). x (B, T, C), kernel (k,)."""
+    B, T, C = x.shape
+    lhs = x.transpose(0, 2, 1).reshape(B * C, 1, T)
+    rhs = kernel.reshape(1, 1, -1)
+    out = jax.lax.conv_general_dilated(
+        lhs, rhs, window_strides=(1,), padding=[(pad, pad)],
+        dimension_numbers=('NCH', 'OIH', 'NCH'))
+    T2 = out.shape[-1]
+    return out.reshape(B, C, T2).transpose(0, 2, 1)
+
+
+class UpsampleNetwork(nn.Module):
+    feat_dims: int
+    upsample_scales: Tuple[int, ...]
+    compute_dims: int
+    res_blocks: int
+    res_out_dims: int
+    pad: int
+
+    @nn.compact
+    def __call__(self, m: jnp.ndarray, train: bool = False
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """m (B, T, n_mels) time-major -> (mels_up, aux), both
+        (B, (T - 2*pad) * prod(scales), C)."""
+        total_scale = int(np.prod(self.upsample_scales))
+        indent = self.pad * total_scale
+
+        aux = MelResNet(self.res_blocks, self.compute_dims,
+                        self.res_out_dims, self.pad, name='resnet')(m, train)
+        aux = jnp.repeat(aux, total_scale, axis=1)
+
+        x = m
+        for i, scale in enumerate(self.upsample_scales):
+            x = jnp.repeat(x, scale, axis=1)
+            k_size = scale * 2 + 1
+            kernel = self.param(f'up_conv_{i}',
+                                lambda key, shape: jnp.full(
+                                    shape, 1.0 / k_size),
+                                (k_size,))
+            x = _shared_time_conv(x, kernel, pad=scale)
+        x = x[:, indent:-indent]
+        return x, aux
+
+
+class WaveRNN(nn.Module):
+    rnn_dims: int = 512
+    fc_dims: int = 512
+    bits: int = 9
+    pad: int = 2
+    upsample_factors: Tuple[int, ...] = (4, 8, 8)
+    feat_dims: int = 80
+    compute_dims: int = 128
+    res_out_dims: int = 128
+    res_blocks: int = 10
+    hop_length: int = 256
+    sample_rate: int = 22050
+    mode: str = 'RAW'
+
+    @property
+    def n_classes(self) -> int:
+        if self.mode == 'RAW':
+            return 2 ** self.bits
+        if self.mode == 'MOL':
+            return 30
+        raise ValueError(f'Unknown model mode: {self.mode}')
+
+    @property
+    def aux_dims(self) -> int:
+        return self.res_out_dims // 4
+
+    def setup(self) -> None:
+        self.upsample = UpsampleNetwork(
+            self.feat_dims, tuple(self.upsample_factors),
+            self.compute_dims, self.res_blocks, self.res_out_dims,
+            self.pad)
+        # dense layers as explicit params (torch Linear layout transposed)
+        # so the sampling scan can slice them for loop hoisting
+        in_I = self.feat_dims + self.aux_dims + 1
+
+        def linear(name, fan_in, fan_out):
+            init_l = torch_uniform_init(1.0 / (fan_in ** 0.5))
+            return (self.param(f'{name}_kernel', init_l, (fan_in, fan_out)),
+                    self.param(f'{name}_bias', init_l, (fan_out,)))
+
+        self.I_kernel, self.I_bias = linear('I', in_I, self.rnn_dims)
+        self.fc1_kernel, self.fc1_bias = linear(
+            'fc1', self.rnn_dims + self.aux_dims, self.fc_dims)
+        self.fc2_kernel, self.fc2_bias = linear(
+            'fc2', self.fc_dims + self.aux_dims, self.fc_dims)
+        self.fc3_kernel, self.fc3_bias = linear(
+            'fc3', self.fc_dims, self.n_classes)
+
+        bound1 = 1.0 / (self.rnn_dims ** 0.5)
+        init = torch_uniform_init(bound1)
+        d = self.rnn_dims
+        self._rnn1 = {
+            'w_ih': self.param('rnn1_w_ih', init, (3 * d, d)),
+            'w_hh': self.param('rnn1_w_hh', init, (3 * d, d)),
+            'b_ih': self.param('rnn1_b_ih', init, (3 * d,)),
+            'b_hh': self.param('rnn1_b_hh', init, (3 * d,)),
+        }
+        self._rnn2 = {
+            'w_ih': self.param('rnn2_w_ih', init, (3 * d, d + self.aux_dims)),
+            'w_hh': self.param('rnn2_w_hh', init, (3 * d, d)),
+            'b_ih': self.param('rnn2_b_ih', init, (3 * d,)),
+            'b_hh': self.param('rnn2_b_hh', init, (3 * d,)),
+        }
+
+    def __call__(self, x: jnp.ndarray, mels: jnp.ndarray,
+                 train: bool = False) -> jnp.ndarray:
+        """Teacher-forced training forward (fatchord_version.py:132-169).
+
+        x (B, T_seq) float wave input; mels (B, T_win, n_mels)
+        time-major. Returns logits (B, T_seq, n_classes)."""
+        mels_up, aux = self.upsample(mels, train)
+        d = self.aux_dims
+        a1 = aux[..., 0 * d:1 * d]
+        a2 = aux[..., 1 * d:2 * d]
+        a3 = aux[..., 2 * d:3 * d]
+        a4 = aux[..., 3 * d:4 * d]
+
+        h = jnp.concatenate([x[..., None], mels_up, a1], axis=-1)
+        h = h @ self.I_kernel + self.I_bias
+        res = h
+        h = rnn_ops.gru(self._rnn1, h)
+        h = h + res
+        res = h
+        h = rnn_ops.gru(self._rnn2, jnp.concatenate([h, a2], axis=-1))
+        h = h + res
+        h = nn.relu(jnp.concatenate([h, a3], axis=-1)
+                    @ self.fc1_kernel + self.fc1_bias)
+        h = nn.relu(jnp.concatenate([h, a4], axis=-1)
+                    @ self.fc2_kernel + self.fc2_bias)
+        return h @ self.fc3_kernel + self.fc3_bias
+
+    def upsample_cond(self, mels: jnp.ndarray
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Conditioning for generation (eval-mode upsampling)."""
+        return self.upsample(mels, train=False)
+
+    def sample_scan(self, mels_up: jnp.ndarray, aux: jnp.ndarray,
+                    key: jax.Array) -> jnp.ndarray:
+        """The AR sampling loop as one lax.scan
+        (replaces fatchord_version.py:203-244).
+
+        mels_up/aux (B, T, C); returns float samples (B, T) in [-1, 1].
+        """
+        B, T, _ = mels_up.shape
+        d = self.aux_dims
+        a1 = aux[..., 0 * d:1 * d]
+        a2 = aux[..., 1 * d:2 * d]
+        a3 = aux[..., 2 * d:3 * d]
+        a4 = aux[..., 3 * d:4 * d]
+
+        # hoist every conditioning projection out of the loop (one big
+        # MXU matmul each instead of T tiny ones)
+        w_x = self.I_kernel[0]             # (rnn_dims,) for the sample
+        I_pre = (jnp.concatenate([mels_up, a1], axis=-1)
+                 @ self.I_kernel[1:] + self.I_bias)   # (B, T, rnn)
+
+        r2 = self._rnn2
+        w_ih2_x = r2['w_ih'][:, :self.rnn_dims]
+        w_ih2_a = r2['w_ih'][:, self.rnn_dims:]
+        gi2_pre = a2 @ w_ih2_a.T + r2['b_ih']  # (B, T, 3H)
+
+        fc1_k, fc1_b = self.fc1_kernel, self.fc1_bias
+        fc1_pre = a3 @ fc1_k[self.rnn_dims:] + fc1_b
+        fc2_k, fc2_b = self.fc2_kernel, self.fc2_bias
+        fc2_pre = a4 @ fc2_k[self.fc_dims:] + fc2_b
+        fc3_k, fc3_b = self.fc3_kernel, self.fc3_bias
+
+        r1 = self._rnn1
+        keys = jax.random.split(key, T)
+
+        def step(carry, inp):
+            x_prev, h1, h2 = carry
+            I_pre_t, gi2_pre_t, fc1_pre_t, fc2_pre_t, k = inp
+
+            xt = x_prev[:, None] * w_x[None, :] + I_pre_t
+            gi1 = xt @ r1['w_ih'].T + r1['b_ih']
+            h1 = rnn_ops.gru_cell_from_gi(r1, gi1, h1)
+
+            x1 = xt + h1
+            gi2 = x1 @ w_ih2_x.T + gi2_pre_t
+            h2 = rnn_ops.gru_cell_from_gi(r2, gi2, h2)
+
+            x2 = x1 + h2
+            f1 = jax.nn.relu(x2 @ fc1_k[:self.rnn_dims] + fc1_pre_t)
+            f2 = jax.nn.relu(f1 @ fc2_k[:self.fc_dims] + fc2_pre_t)
+            logits = f2 @ fc3_k + fc3_b
+
+            if self.mode == 'MOL':
+                sample = sample_from_discretized_mix_logistic(logits, k)
+                x_new = sample
+            else:
+                cls = jax.random.categorical(k, logits, axis=-1)
+                sample = 2.0 * cls.astype(jnp.float32) \
+                    / (self.n_classes - 1.0) - 1.0
+                x_new = sample
+            return (x_new, h1, h2), sample
+
+        carry0 = (jnp.zeros((B,)), jnp.zeros((B, self.rnn_dims)),
+                  jnp.zeros((B, self.rnn_dims)))
+        xs = (jnp.swapaxes(I_pre, 0, 1), jnp.swapaxes(gi2_pre, 0, 1),
+              jnp.swapaxes(fc1_pre, 0, 1), jnp.swapaxes(fc2_pre, 0, 1),
+              keys)
+        _, samples = jax.lax.scan(step, carry0, xs)
+        return jnp.swapaxes(samples, 0, 1)  # (B, T)
+
+    @classmethod
+    def from_config(cls, config: Dict[str, Any]) -> 'WaveRNN':
+        model_config = dict(config['vocoder']['model'])
+        mode = model_config.pop('mode')
+        return cls(bits=config['dsp']['bits'],
+                   feat_dims=config['dsp']['num_mels'],
+                   hop_length=config['dsp']['hop_length'],
+                   sample_rate=config['dsp']['sample_rate'],
+                   upsample_factors=tuple(
+                       model_config.pop('upsample_factors')),
+                   mode=mode, **model_config)
+
+
+# ------------------------------------------------------- fold / unfold
+
+def pad_tensor(x: np.ndarray, pad: int, side: str = 'both') -> np.ndarray:
+    """(B, T, C) zero pad in time (fatchord_version.py:282-292)."""
+    b, t, c = x.shape
+    total = t + 2 * pad if side == 'both' else t + pad
+    padded = np.zeros((b, total, c), dtype=x.dtype)
+    if side in ('before', 'both'):
+        padded[:, pad:pad + t] = x
+    else:
+        padded[:, :t] = x
+    return padded
+
+
+def fold_with_overlap(x: np.ndarray, target: int, overlap: int
+                      ) -> np.ndarray:
+    """(1, T, C) -> (num_folds, target + 2*overlap, C)
+    (fatchord_version.py:294-341)."""
+    _, total_len, features = x.shape
+    num_folds = (total_len - overlap) // (target + overlap)
+    extended_len = num_folds * (overlap + target) + overlap
+    remaining = total_len - extended_len
+    if remaining != 0:
+        num_folds += 1
+        padding = target + 2 * overlap - remaining
+        x = pad_tensor(x, padding, side='after')
+    folded = np.zeros((num_folds, target + 2 * overlap, features),
+                      dtype=x.dtype)
+    for i in range(num_folds):
+        start = i * (target + overlap)
+        folded[i] = x[0, start:start + target + 2 * overlap]
+    return folded
+
+
+def xfade_and_unfold(y: np.ndarray, target: int, overlap: int
+                     ) -> np.ndarray:
+    """(num_folds, target + 2*overlap) -> (total,) with equal-power
+    crossfade (fatchord_version.py:343-406)."""
+    num_folds, length = y.shape
+    target = length - 2 * overlap
+    total_len = num_folds * (target + overlap) + overlap
+
+    silence_len = overlap // 2
+    fade_len = overlap - silence_len
+    silence = np.zeros(silence_len, dtype=np.float64)
+    linear = np.ones(silence_len, dtype=np.float64)
+
+    t = np.linspace(-1, 1, fade_len, dtype=np.float64)
+    fade_in = np.sqrt(0.5 * (1 + t))
+    fade_out = np.sqrt(0.5 * (1 - t))
+    fade_in = np.concatenate([silence, fade_in])
+    fade_out = np.concatenate([linear, fade_out])
+
+    y = y.astype(np.float64).copy()
+    y[:, :overlap] *= fade_in
+    y[:, -overlap:] *= fade_out
+
+    unfolded = np.zeros(total_len, dtype=np.float64)
+    for i in range(num_folds):
+        start = i * (target + overlap)
+        unfolded[start:start + target + 2 * overlap] += y[i]
+    return unfolded
+
+
+def generate_wav(model: WaveRNN, variables: Dict, mel: np.ndarray,
+                 batched: bool = True, target: int = 11_000,
+                 overlap: int = 550, mu_law: bool = True,
+                 seed: int = 0) -> np.ndarray:
+    """Full generation pipeline (fatchord_version.py:171-265): pad,
+    upsample, fold, scan-sample, mu-law decode, crossfade-unfold,
+    fade-out. `mel` is (n_mels, T) or (T, n_mels)."""
+    from forwardtacotron_tpu.dsp.audio import DSP
+
+    mel = np.asarray(mel, dtype=np.float32)
+    if mel.shape[0] == model.feat_dims and mel.shape[-1] != model.feat_dims:
+        mel = mel.T  # -> (T, n_mels)
+    mel = mel[None]  # (1, T, M)
+
+    mu_law = mu_law if model.mode == 'RAW' else False
+    wave_len = (mel.shape[1] - 1) * model.hop_length
+
+    mel = pad_tensor(mel, pad=model.pad, side='both')
+    mels_up, aux = jax.jit(
+        lambda v, m: model.apply(v, m, method='upsample_cond'))(
+            variables, jnp.asarray(mel))
+    mels_up, aux = np.asarray(mels_up), np.asarray(aux)
+
+    if batched:
+        mels_up = fold_with_overlap(mels_up, target, overlap)
+        aux = fold_with_overlap(aux, target, overlap)
+
+    key = jax.random.PRNGKey(seed)
+    samples = jax.jit(
+        lambda v, m, a, k: model.apply(v, m, a, k, method='sample_scan'))(
+            variables, jnp.asarray(mels_up), jnp.asarray(aux), key)
+    output = np.asarray(samples).astype(np.float64)
+
+    if mu_law:
+        output = DSP.decode_mu_law(output, model.n_classes, False)
+
+    if batched:
+        output = xfade_and_unfold(output, target, overlap)
+    else:
+        output = output[0]
+
+    fade_out = np.linspace(1, 0, 20 * model.hop_length)
+    output = output[:wave_len]
+    output[-20 * model.hop_length:] *= fade_out
+    return output

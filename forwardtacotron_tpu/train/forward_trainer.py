@@ -21,8 +21,9 @@ from forwardtacotron_tpu.data.dataset import get_tts_datasets
 from forwardtacotron_tpu.train import common as tc
 from forwardtacotron_tpu.utils.checkpoints import save_checkpoint
 from forwardtacotron_tpu.utils.decorators import ignore_exception
-from forwardtacotron_tpu.utils.display import (plot_mel, plot_pitch,
-                                               simple_table, stream)
+from forwardtacotron_tpu.utils.display import (log_audio, plot_mel,
+                                               plot_pitch, simple_table,
+                                               stream)
 from forwardtacotron_tpu.utils.files import parse_schedule
 from forwardtacotron_tpu.utils.paths import Paths
 
@@ -234,8 +235,11 @@ class ForwardTrainer:
         m2_wav = self.dsp.griffinlim(m2_hat.T)
         target_wav = self.dsp.griffinlim(m_target.T)
         sr = self.dsp.sample_rate
-        w.add_audio('Ground_Truth_Aligned/target_wav', target_wav, step, sr)
-        w.add_audio('Ground_Truth_Aligned/postnet_wav', m2_wav, step, sr)
+        audio_dir = self.paths.forward_log / 'audio'
+        log_audio(w, 'Ground_Truth_Aligned/target_wav', target_wav, step,
+                  sr, fallback_dir=audio_dir)
+        log_audio(w, 'Ground_Truth_Aligned/postnet_wav', m2_wav, step, sr,
+                  fallback_dir=audio_dir)
 
         # free-running generation on the first val item
         x_len = int(batch['x_len'][0])
@@ -250,5 +254,6 @@ class ForwardTrainer:
                      plot_pitch(np.asarray(gen['pitch'][0][:x_len])), step)
         w.add_figure('Energy/generated',
                      plot_pitch(np.asarray(gen['energy'][0][:x_len])), step)
-        w.add_audio('Generated/postnet_wav',
-                    self.dsp.griffinlim(m2_gen.T), step, sr)
+        log_audio(w, 'Generated/postnet_wav',
+                  self.dsp.griffinlim(m2_gen.T), step, sr,
+                  fallback_dir=audio_dir)

@@ -20,8 +20,9 @@ from forwardtacotron_tpu.data.dataset import get_tts_datasets
 from forwardtacotron_tpu.train import common as tc
 from forwardtacotron_tpu.utils.checkpoints import save_checkpoint
 from forwardtacotron_tpu.utils.decorators import ignore_exception
-from forwardtacotron_tpu.utils.display import (plot_attention, plot_mel,
-                                               simple_table, stream)
+from forwardtacotron_tpu.utils.display import (log_audio, plot_attention,
+                                               plot_mel, simple_table,
+                                               stream)
 from forwardtacotron_tpu.utils.files import parse_schedule
 from forwardtacotron_tpu.utils.paths import Paths
 
@@ -233,7 +234,10 @@ class TacoTrainer:
         w.add_figure('Ground_Truth_Aligned/postnet', plot_mel(m2_hat), step)
         if self.dsp is not None:
             sr = self.dsp.sample_rate
-            w.add_audio('Ground_Truth_Aligned/target_wav',
-                        self.dsp.griffinlim(m_target.T), step, sr)
-            w.add_audio('Ground_Truth_Aligned/postnet_wav',
-                        self.dsp.griffinlim(m2_hat.T), step, sr)
+            audio_dir = self.paths.taco_log / 'audio'
+            log_audio(w, 'Ground_Truth_Aligned/target_wav',
+                      self.dsp.griffinlim(m_target.T), step, sr,
+                      fallback_dir=audio_dir)
+            log_audio(w, 'Ground_Truth_Aligned/postnet_wav',
+                      self.dsp.griffinlim(m2_hat.T), step, sr,
+                      fallback_dir=audio_dir)

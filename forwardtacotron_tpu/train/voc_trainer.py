@@ -1,0 +1,257 @@
+"""WaveRNN vocoder trainer.
+
+Parity surface: trainer/voc_trainer.py — (lr, step, bs) schedule,
+cross-entropy (RAW) or discretized-MOL loss, periodic sample generation
+scored by mel-L1 of the regenerated audio, top-k model retention with
+on-disk pruning. The training step is one jitted XLA program; sample
+generation uses the scan sampler (models/wavernn.py).
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Callable, Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from forwardtacotron_tpu.data.dataset import get_vocoder_datasets
+from forwardtacotron_tpu.models.wavernn import WaveRNN, generate_wav
+from forwardtacotron_tpu.ops.mol import discretized_mix_logistic_loss
+from forwardtacotron_tpu.train import common as tc
+from forwardtacotron_tpu.utils.checkpoints import save_checkpoint
+from forwardtacotron_tpu.utils.decorators import ignore_exception
+from forwardtacotron_tpu.utils.display import (log_audio, simple_table,
+                                               stream)
+from forwardtacotron_tpu.utils.files import (parse_schedule, pickle_binary,
+                                             unpickle_binary)
+from forwardtacotron_tpu.utils.paths import Paths
+
+
+def build_voc_train_step(model: WaveRNN, optimizer, mode: str) -> Callable:
+    def train_step(state: tc.TrainState, batch: Dict[str, jnp.ndarray]
+                   ) -> Tuple[tc.TrainState, Dict]:
+        def loss_fn(params):
+            logits, mutated = model.apply(
+                {'params': params, 'batch_stats': state.batch_stats},
+                batch['x'], batch['mel'], train=True,
+                mutable=['batch_stats'])
+            if mode == 'RAW':
+                loss = jnp.mean(
+                    optax.softmax_cross_entropy_with_integer_labels(
+                        logits, batch['y'].astype(jnp.int32)))
+            else:
+                loss = discretized_mix_logistic_loss(logits, batch['y'])
+            return loss, mutated['batch_stats']
+
+        (loss_val, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt_state = optimizer.update(grads, state.opt_state,
+                                                  state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = tc.TrainState(params=new_params, batch_stats=new_stats,
+                                  opt_state=new_opt_state,
+                                  step=state.step + 1)
+        return new_state, {'loss': loss_val}
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def build_voc_eval_step(model: WaveRNN, mode: str) -> Callable:
+    @jax.jit
+    def eval_step(variables, batch):
+        logits = model.apply(variables, batch['x'], batch['mel'],
+                             train=False)
+        if mode == 'RAW':
+            return jnp.mean(
+                optax.softmax_cross_entropy_with_integer_labels(
+                    logits, batch['y'].astype(jnp.int32)))
+        return discretized_mix_logistic_loss(logits, batch['y'])
+    return eval_step
+
+
+def _to_jnp(batch: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
+    return {k: jnp.asarray(v) for k, v in batch.items()
+            if isinstance(v, np.ndarray)}
+
+
+class VocTrainer:
+
+    def __init__(self, paths: Paths, dsp, config: Dict[str, Any],
+                 writer=None) -> None:
+        self.paths = paths
+        self.dsp = dsp
+        self.config = config
+        self.train_cfg = config['vocoder']['training']
+        self._writer = writer
+        self.top_k_models: List[Tuple] = []
+        path_top_k = paths.voc_top_k / 'top_k.pkl'
+        if os.path.exists(path_top_k):
+            self.top_k_models = unpickle_binary(path_top_k)
+
+    @property
+    def writer(self):
+        if self._writer is None:
+            from tensorboardX import SummaryWriter
+            self._writer = SummaryWriter(log_dir=str(self.paths.voc_log))
+        return self._writer
+
+    def train(self, model: WaveRNN, state=None, train_gta: bool = False,
+              seed: int = 42, max_steps_override=None) -> tc.TrainState:
+        optimizer = tc.make_optimizer(self.train_cfg.get('clip_grad_norm'))
+        schedule = parse_schedule(self.train_cfg['schedule'])
+        rng = jax.random.PRNGKey(seed)
+
+        for i, (lr, max_step, bs) in enumerate(schedule, 1):
+            if max_steps_override is not None:
+                max_step = min(max_step, max_steps_override)
+            current = 0 if state is None else int(state.step)
+            if current >= max_step:
+                continue
+            train_set, val_set, val_set_samples = get_vocoder_datasets(
+                path=self.paths.data, batch_size=bs, train_gta=train_gta,
+                max_mel_len=self.train_cfg['max_mel_len'],
+                hop_length=self.dsp.hop_length, voc_pad=model.pad,
+                voc_seq_len=self.train_cfg['seq_len'],
+                voc_mode=self.dsp.voc_mode, bits=self.dsp.bits,
+                num_gen_samples=self.train_cfg['num_gen_samples'])
+            session = tc.VocSession(index=i, lr=lr, max_step=max_step,
+                                    bs=bs, train_set=train_set,
+                                    val_set=val_set,
+                                    val_set_samples=val_set_samples)
+            if state is None:
+                example = _to_jnp(next(iter(train_set)))
+                variables = model.init(rng, example['x'], example['mel'],
+                                       train=True)
+                state = tc.TrainState(
+                    params=variables['params'],
+                    batch_stats=variables.get('batch_stats', {}),
+                    opt_state=optimizer.init(variables['params']),
+                    step=jnp.asarray(0, jnp.int32))
+            state = self.train_session(model, optimizer, state, session,
+                                       train_gta)
+        return state
+
+    def train_session(self, model, optimizer, state, session,
+                      train_gta: bool) -> tc.TrainState:
+        current_step = int(state.step)
+        training_steps = session.max_step - current_step
+        total_iters = len(session.train_set)
+        epochs = max(training_steps // max(total_iters, 1) + 1, 1)
+        simple_table([('Remaining', str(training_steps // 1000) + 'k Steps'),
+                      ('Batch Size', session.bs),
+                      ('LR', session.lr),
+                      ('Sequence Len', self.train_cfg['seq_len']),
+                      ('GTA Train', train_gta)])
+
+        state = state.replace(
+            opt_state=tc.set_learning_rate(state.opt_state, session.lr))
+        train_step = build_voc_train_step(model, optimizer,
+                                          self.dsp.voc_mode)
+        eval_step = build_voc_eval_step(model, self.dsp.voc_mode)
+
+        loss_avg, duration_avg = tc.Averager(), tc.Averager()
+        for e in range(1, epochs + 1):
+            for i, batch in enumerate(session.train_set, 1):
+                start = time.time()
+                state, metrics = train_step(state, _to_jnp(batch))
+                step = int(state.step)
+                loss = float(metrics['loss'])
+                loss_avg.add(loss)
+                duration_avg.add(time.time() - start)
+                speed = 1.0 / max(duration_avg.get(), 1e-9)
+                k = step // 1000
+                msg = (f'| Epoch: {e}/{epochs} ({i}/{total_iters}) '
+                       f'| Loss: {loss_avg.get():.4} '
+                       f'| {speed:.1f} steps/s | Step: {k}k | ')
+
+                if step % self.train_cfg['gen_samples_every'] == 0:
+                    mel_loss = self.generate_samples(model, state, session)
+                    if mel_loss is not None:
+                        self.track_top_models(mel_loss, state, step)
+                if step % self.train_cfg['checkpoint_every'] == 0:
+                    save_checkpoint(state.variables, self.config,
+                                    self.paths.voc_checkpoints /
+                                    f'wave_step{k}k.fjax',
+                                    opt_state=state.opt_state, step=step)
+                self.writer.add_scalar('Loss/train', loss, step)
+                self.writer.add_scalar('Params/batch_size', session.bs,
+                                       step)
+                self.writer.add_scalar('Params/learning_rate', session.lr,
+                                       step)
+                stream(msg)
+                if step >= session.max_step:
+                    break
+            else:
+                val_loss = self.evaluate(eval_step, state, session.val_set)
+                step = int(state.step)
+                self.writer.add_scalar('Loss/val', val_loss, step)
+                save_checkpoint(state.variables, self.config,
+                                self.paths.voc_checkpoints /
+                                'latest_model.fjax',
+                                opt_state=state.opt_state, step=step)
+                loss_avg.reset()
+                duration_avg.reset()
+                print(' ')
+                continue
+            break
+
+        save_checkpoint(state.variables, self.config,
+                        self.paths.voc_checkpoints / 'latest_model.fjax',
+                        opt_state=state.opt_state, step=int(state.step))
+        return state
+
+    def evaluate(self, eval_step, state, val_set) -> float:
+        val_loss, n = 0.0, 0
+        for batch in val_set:
+            val_loss += float(eval_step(state.variables, _to_jnp(batch)))
+            n += 1
+        return val_loss / max(n, 1)
+
+    @ignore_exception
+    def generate_samples(self, model, state, session):
+        """Regenerate validation samples; score mel-L1 of the resynthesis
+        (voc_trainer.py:160-202)."""
+        step = int(state.step)
+        mel_losses = []
+        for idx, sample in enumerate(session.val_set_samples, 1):
+            mel = sample['mel']  # (n_mels, T) on disk layout
+            wav = generate_wav(
+                model, state.variables, mel,
+                batched=self.train_cfg['gen_batched'],
+                target=self.train_cfg['target'],
+                overlap=self.train_cfg['overlap'],
+                mu_law=self.dsp.mu_law)
+            gen_mel = self.dsp.wav_to_mel_bucketed(
+                np.asarray(wav, dtype=np.float32))
+            T = min(gen_mel.shape[-1], mel.shape[-1])
+            mel_losses.append(float(np.mean(
+                np.abs(gen_mel[:, :T] - mel[:, :T]))))
+            log_audio(self.writer, f'Samples/generated_{idx}',
+                      np.asarray(wav, dtype=np.float32), step,
+                      self.dsp.sample_rate,
+                      fallback_dir=self.paths.voc_log / 'audio')
+        mel_loss = float(np.mean(mel_losses)) if mel_losses else None
+        if mel_loss is not None:
+            self.writer.add_scalar('Loss/generated_mel_l1', mel_loss, step)
+        return mel_loss
+
+    def track_top_models(self, mel_loss: float, state, step: int) -> None:
+        """Keep the top-k checkpoints by generated mel-L1, pruning files
+        (voc_trainer.py:204-226)."""
+        keep_top_k = self.train_cfg['keep_top_k']
+        m_name = f'model_loss{mel_loss:#0.5}_step{step}_weights.fjax'
+        self.top_k_models.append((mel_loss, step, m_name))
+        self.top_k_models.sort(key=lambda t: t[0])
+        save_checkpoint(state.variables, self.config,
+                        self.paths.voc_top_k / m_name,
+                        opt_state=None, step=step)
+        if len(self.top_k_models) > keep_top_k:
+            for (_, _, name) in self.top_k_models[keep_top_k:]:
+                stale = self.paths.voc_top_k / name
+                if stale.exists():
+                    os.remove(stale)
+            self.top_k_models = self.top_k_models[:keep_top_k]
+        pickle_binary(self.top_k_models, self.paths.voc_top_k / 'top_k.pkl')

@@ -109,3 +109,26 @@ def load_tts_checkpoint(path: Union[str, Path]
         step = payload.get('step', 0)
     model = init_tts_model(config)
     return model, variables, config, step
+
+
+def load_voc_checkpoint(path: Union[str, Path]
+                        ) -> Tuple[Any, Dict[str, Any], Dict[str, Any], int]:
+    """WaveRNN checkpoint loader -> (model, variables, config, step);
+    accepts `.fjax` and reference torch `.pt`."""
+    from forwardtacotron_tpu.models.wavernn import WaveRNN
+    path = Path(path)
+    if path.suffix == '.pt':
+        import torch
+        from forwardtacotron_tpu.models.torch_compat import convert_wavernn
+        checkpoint = torch.load(str(path), map_location='cpu',
+                                weights_only=False)
+        config = checkpoint['config']
+        variables, step = convert_wavernn(checkpoint['model'],
+                                          config['vocoder']['model'])
+    else:
+        payload = restore_checkpoint(path)
+        config = payload['config']
+        variables = payload['model']
+        step = payload.get('step', 0)
+    model = WaveRNN.from_config(config)
+    return model, variables, config, step

@@ -111,6 +111,25 @@ def save_attention(attn: np.ndarray, path) -> None:
     plt.close(fig)
 
 
+def log_audio(writer, tag: str, wav: np.ndarray, step: int,
+              sample_rate: int, fallback_dir=None) -> None:
+    """TensorBoard add_audio with a wav-file fallback (tensorboardX's
+    audio encoder needs soundfile, absent in the TPU image)."""
+    wav = np.asarray(wav, dtype=np.float32)
+    try:
+        writer.add_audio(tag, wav, step, sample_rate)
+    except Exception:
+        if fallback_dir is not None:
+            from pathlib import Path
+            from scipy.io import wavfile
+            out = Path(fallback_dir)
+            out.mkdir(parents=True, exist_ok=True)
+            safe_tag = tag.replace('/', '_')
+            wavfile.write(str(out / f'{safe_tag}_step{step}.wav'),
+                          sample_rate,
+                          (np.clip(wav, -1, 1) * 32767).astype(np.int16))
+
+
 def save_spectrogram(M: np.ndarray, path, length: int | None = None) -> None:
     plt = _plt()
     M = np.asarray(M)

@@ -98,8 +98,7 @@ def main() -> None:
 
     voc_model = voc_variables = voc_dsp = None
     if args.vocoder == 'wavernn':
-        from forwardtacotron_tpu.utils.voc_checkpoints import (
-            load_voc_checkpoint)
+        from forwardtacotron_tpu.utils.checkpoints import load_voc_checkpoint
         voc_model, voc_variables, voc_config, _ = load_voc_checkpoint(
             args.voc_checkpoint)
         voc_dsp = DSP.from_config(voc_config)

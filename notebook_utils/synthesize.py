@@ -1,0 +1,47 @@
+"""One-class inference API (parity: notebook_utils/synthesize.py in the
+reference). Combines a TTS checkpoint with WaveRNN / Griffin-Lim
+vocoders; the torch.hub MelGAN path is replaced by mel export (no
+network access in the TPU image) — pass voc_model='melgan' to get the
+mel array to feed an external MelGAN."""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from forwardtacotron_tpu.dsp.audio import DSP
+from forwardtacotron_tpu.text.cleaners import Cleaner
+from forwardtacotron_tpu.text.tokenizer import Tokenizer
+from forwardtacotron_tpu.utils.checkpoints import (load_tts_checkpoint,
+                                                   load_voc_checkpoint)
+
+
+class Synthesizer:
+
+    def __init__(self, tts_path: str, voc_path: Optional[str] = None):
+        self.tts_model, self.tts_variables, tts_config, _ = \
+            load_tts_checkpoint(tts_path)
+        self.voc_model = self.voc_variables = None
+        if voc_path is not None:
+            self.voc_model, self.voc_variables, _, _ = \
+                load_voc_checkpoint(voc_path)
+        self.cleaner = Cleaner.from_config(tts_config)
+        self.tokenizer = Tokenizer()
+        self.dsp = DSP.from_config(tts_config)
+
+    def __call__(self, text: str, voc_model: str = 'griffinlim',
+                 alpha: float = 1.0, pitch_scale: float = 1.0,
+                 energy_scale: float = 1.0) -> np.ndarray:
+        from gen_forward import synthesize
+        ids = self.tokenizer(self.cleaner(text))
+        mel_post, _ = synthesize(self.tts_model, self.tts_variables, ids,
+                                 alpha, pitch_scale)
+        if voc_model == 'griffinlim':
+            return self.dsp.griffinlim(mel_post, n_iter=32)
+        if voc_model == 'wavernn':
+            assert self.voc_model is not None, 'no WaveRNN loaded'
+            from forwardtacotron_tpu.models.wavernn import generate_wav
+            return generate_wav(self.voc_model, self.voc_variables,
+                                mel_post, batched=True, target=11_000,
+                                overlap=550, mu_law=self.dsp.mu_law)
+        return mel_post  # 'melgan'/'hifigan': export the mel
