@@ -1,0 +1,239 @@
+"""Fused Pallas kernel for WaveRNN autoregressive sampling.
+
+The lax.scan sampler (models/wavernn.py:sample_scan) re-reads the GRU/FC
+weights from HBM on every step through XLA's while-loop. This kernel is
+the speed-of-light version for the serving path:
+
+- ALL loop weights (both GRU gate matrices, fc1/fc2/fc3) are cast to
+  bfloat16 and pinned in VMEM for the kernel's whole lifetime (~8 MB);
+- the per-step conditioning rows (I/gi2/fc1/fc2 projections, precomputed
+  on the MXU outside the kernel) are streamed HBM->VMEM in chunked
+  blocks by the Pallas pipeline;
+- categorical sampling runs on-chip: per-step Gumbel noise from the TPU
+  PRNG + argmax, so no host or HBM round-trips inside the loop;
+- hidden state (h1, h2) and the previous sample live in VMEM scratch
+  persisting across grid steps (the grid walks time chunks
+  sequentially).
+
+RAW mode only (softmax classes aligned to the 128-lane VPU); MOL falls
+back to the scan sampler.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+B_PAD = 8          # sublane-aligned batch lanes
+CHUNK = 32         # time steps per grid block
+
+
+def _kernel(n_classes: int, rnn_dims: int, fc_dims: int,
+            # refs:
+            seed_ref,                      # SMEM (1,)
+            i_pre_ref, gi2_pre_ref, fc1_pre_ref, fc2_pre_ref,  # (CHUNK,B,D)
+            w_x_ref,                       # (1, rnn)
+            w1_ih_ref, w1_hh_ref, b1_ih_ref, b1_hh_ref,
+            w2_x_ref, w2_hh_ref, b2_hh_ref,
+            fc1_kx_ref, fc2_kx_ref, fc3_k_ref, fc3_b_ref,
+            out_ref,                       # (CHUNK, B)
+            h1_ref, h2_ref, x_ref):        # scratch (B, rnn)/(B, 128)
+    H = rnn_dims
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        h1_ref[:] = jnp.zeros_like(h1_ref)
+        h2_ref[:] = jnp.zeros_like(h2_ref)
+        x_ref[:] = jnp.zeros_like(x_ref)
+
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+
+    def gru(gi, gh, h):
+        r = jax.nn.sigmoid(gi[:, :H] + gh[:, :H])
+        z = jax.nn.sigmoid(gi[:, H:2 * H] + gh[:, H:2 * H])
+        n = jnp.tanh(gi[:, 2 * H:] + r * gh[:, 2 * H:])
+        return (1.0 - z) * n + z * h
+
+    def step(t, carry):
+        x, h1, h2 = carry  # (B,1) f32, (B,H) f32, (B,H) f32
+
+        xt = i_pre_ref[t].astype(jnp.float32) + x * w_x_ref[0][None, :]
+
+        xt_b = xt.astype(jnp.bfloat16)
+        gi1 = jnp.dot(xt_b, w1_ih_ref[:],
+                      preferred_element_type=jnp.float32) + b1_ih_ref[0]
+        gh1 = jnp.dot(h1.astype(jnp.bfloat16), w1_hh_ref[:],
+                      preferred_element_type=jnp.float32) + b1_hh_ref[0]
+        h1 = gru(gi1, gh1, h1)
+
+        x1 = xt + h1
+        gi2 = jnp.dot(x1.astype(jnp.bfloat16), w2_x_ref[:],
+                      preferred_element_type=jnp.float32) \
+            + gi2_pre_ref[t].astype(jnp.float32)
+        gh2 = jnp.dot(h2.astype(jnp.bfloat16), w2_hh_ref[:],
+                      preferred_element_type=jnp.float32) + b2_hh_ref[0]
+        h2 = gru(gi2, gh2, h2)
+
+        x2 = (x1 + h2).astype(jnp.bfloat16)
+        f1 = jax.nn.relu(
+            jnp.dot(x2, fc1_kx_ref[:], preferred_element_type=jnp.float32)
+            + fc1_pre_ref[t].astype(jnp.float32))
+        f2 = jax.nn.relu(
+            jnp.dot(f1.astype(jnp.bfloat16), fc2_kx_ref[:],
+                    preferred_element_type=jnp.float32)
+            + fc2_pre_ref[t].astype(jnp.float32))
+        logits = jnp.dot(f2.astype(jnp.bfloat16), fc3_k_ref[:],
+                         preferred_element_type=jnp.float32) + fc3_b_ref[0]
+
+        bits = pltpu.bitcast(
+            pltpu.prng_random_bits((B_PAD, n_classes)), jnp.uint32)
+        # uint32 -> f32 is unsupported in Mosaic: drop to 24 bits, go
+        # through int32 (positive range) instead
+        bits24 = pltpu.bitcast(bits >> 8, jnp.int32)
+        u = bits24.astype(jnp.float32) * (1.0 / 16777216.0)
+        gumbel = -jnp.log(-jnp.log(u + 1e-9) + 1e-9)
+        cls = jnp.argmax(logits + gumbel, axis=-1)
+        sample = 2.0 * cls.astype(jnp.float32) / (n_classes - 1.0) - 1.0
+
+        out_ref[t, :] = sample
+        return sample[:, None], h1, h2
+
+    x0 = x_ref[:, 0:1]
+    carry = jax.lax.fori_loop(0, CHUNK, step, (x0, h1_ref[:], h2_ref[:]))
+    x, h1, h2 = carry
+    h1_ref[:] = h1
+    h2_ref[:] = h2
+    x_ref[:, 0:1] = x
+
+
+@functools.partial(jax.jit, static_argnames=('n_classes', 'rnn_dims',
+                                             'fc_dims'))
+def pallas_sample(i_pre: jnp.ndarray, gi2_pre: jnp.ndarray,
+                  fc1_pre: jnp.ndarray, fc2_pre: jnp.ndarray,
+                  weights: Dict[str, jnp.ndarray], seed: jnp.ndarray,
+                  n_classes: int, rnn_dims: int, fc_dims: int
+                  ) -> jnp.ndarray:
+    """Inputs are time-major (T, B_PAD, D) with T % CHUNK == 0.
+    Returns samples (T, B_PAD) float32."""
+    T = i_pre.shape[0]
+    assert T % CHUNK == 0 and i_pre.shape[1] == B_PAD
+    grid = (T // CHUNK,)
+
+    def time_block(d):
+        return pl.BlockSpec((CHUNK, B_PAD, d), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def full(shape):
+        return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                            memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_kernel, n_classes, rnn_dims, fc_dims)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),            # seed
+            time_block(rnn_dims),                             # i_pre
+            time_block(3 * rnn_dims),                         # gi2_pre
+            time_block(fc_dims),                              # fc1_pre
+            time_block(fc_dims),                              # fc2_pre
+            full((1, rnn_dims)),                              # w_x
+            full((rnn_dims, 3 * rnn_dims)),                   # w1_ih
+            full((rnn_dims, 3 * rnn_dims)),                   # w1_hh
+            full((1, 3 * rnn_dims)),                          # b1_ih
+            full((1, 3 * rnn_dims)),                          # b1_hh
+            full((rnn_dims, 3 * rnn_dims)),                   # w2_x
+            full((rnn_dims, 3 * rnn_dims)),                   # w2_hh
+            full((1, 3 * rnn_dims)),                          # b2_hh
+            full((rnn_dims, fc_dims)),                        # fc1_kx
+            full((fc_dims, fc_dims)),                         # fc2_kx
+            full((fc_dims, n_classes)),                       # fc3_k
+            full((1, n_classes)),                             # fc3_b
+        ],
+        out_specs=pl.BlockSpec((CHUNK, B_PAD), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, B_PAD), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((B_PAD, rnn_dims), jnp.float32),  # h1
+            pltpu.VMEM((B_PAD, rnn_dims), jnp.float32),  # h2
+            pltpu.VMEM((B_PAD, 128), jnp.float32),       # x carry
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(seed, i_pre, gi2_pre, fc1_pre, fc2_pre,
+      weights['w_x'], weights['w1_ih'], weights['w1_hh'],
+      weights['b1_ih'], weights['b1_hh'], weights['w2_x'],
+      weights['w2_hh'], weights['b2_hh'], weights['fc1_kx'],
+      weights['fc2_kx'], weights['fc3_k'], weights['fc3_b'])
+
+
+def wavernn_sample_pallas(model, variables: Dict, mels_up: np.ndarray,
+                          aux: np.ndarray, seed: int = 0) -> np.ndarray:
+    """Drop-in replacement for model.sample_scan on RAW-mode models.
+
+    mels_up / aux: (B, T, C). Returns samples (B, T) float32.
+    """
+    params = variables['params']
+    rnn_dims, fc_dims = model.rnn_dims, model.fc_dims
+    n_classes = model.n_classes
+    d = model.aux_dims
+    B, T = mels_up.shape[0], mels_up.shape[1]
+
+    mels_up = jnp.asarray(mels_up)
+    aux = jnp.asarray(aux)
+    a1 = aux[..., 0 * d:1 * d]
+    a2 = aux[..., 1 * d:2 * d]
+    a3 = aux[..., 2 * d:3 * d]
+    a4 = aux[..., 3 * d:4 * d]
+
+    I_k = params['I_kernel']
+    i_pre = jnp.concatenate([mels_up, a1], axis=-1) @ I_k[1:] \
+        + params['I_bias']
+    gi2_pre = a2 @ params['rnn2_w_ih'][:, rnn_dims:].T + params['rnn2_b_ih']
+    fc1_pre = a3 @ params['fc1_kernel'][rnn_dims:] + params['fc1_bias']
+    fc2_pre = a4 @ params['fc2_kernel'][fc_dims:] + params['fc2_bias']
+
+    def prep(x, d_last):
+        # (B, T, D) -> (T_pad, B_PAD, D) bf16, T padded to CHUNK
+        T_pad = ((T + CHUNK - 1) // CHUNK) * CHUNK
+        out = jnp.zeros((T_pad, B_PAD, d_last), jnp.bfloat16)
+        return out.at[:T, :B].set(
+            jnp.swapaxes(x, 0, 1).astype(jnp.bfloat16))
+
+    bf = jnp.bfloat16
+    weights = {
+        'w_x': I_k[0][None, :].astype(jnp.float32),
+        'w1_ih': params['rnn1_w_ih'].T.astype(bf),
+        'w1_hh': params['rnn1_w_hh'].T.astype(bf),
+        'b1_ih': params['rnn1_b_ih'][None, :].astype(jnp.float32),
+        'b1_hh': params['rnn1_b_hh'][None, :].astype(jnp.float32),
+        'w2_x': params['rnn2_w_ih'][:, :rnn_dims].T.astype(bf),
+        'w2_hh': params['rnn2_w_hh'].T.astype(bf),
+        'b2_hh': params['rnn2_b_hh'][None, :].astype(jnp.float32),
+        'fc1_kx': params['fc1_kernel'][:rnn_dims].astype(bf),
+        'fc2_kx': params['fc2_kernel'][:fc_dims].astype(bf),
+        'fc3_k': params['fc3_kernel'].astype(bf),
+        'fc3_b': params['fc3_bias'][None, :].astype(jnp.float32),
+    }
+
+    samples = pallas_sample(
+        prep(i_pre, rnn_dims), prep(gi2_pre, 3 * rnn_dims),
+        prep(fc1_pre, fc_dims), prep(fc2_pre, fc_dims),
+        weights, jnp.asarray([seed], jnp.int32),
+        n_classes=n_classes, rnn_dims=rnn_dims, fc_dims=fc_dims)
+    return np.asarray(samples[:T, :B].T)
+
+
+def pallas_supported(model) -> bool:
+    import jax as _jax
+    if model.mode != 'RAW':
+        return False
+    if model.rnn_dims % 128 or model.fc_dims % 128 or \
+            model.n_classes % 128:
+        return False
+    platform = _jax.devices()[0].platform
+    return platform in ('tpu', 'axon')
