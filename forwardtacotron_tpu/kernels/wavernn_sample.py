@@ -34,6 +34,7 @@ CHUNK = 32         # time steps per grid block
 
 
 def _kernel(n_classes: int, rnn_dims: int, fc_dims: int,
+            greedy: bool, compute_dtype,
             # refs:
             seed_ref,                      # SMEM (1,)
             i_pre_ref, gi2_pre_ref, fc1_pre_ref, fc2_pre_ref,  # (CHUNK,B,D)
@@ -64,40 +65,43 @@ def _kernel(n_classes: int, rnn_dims: int, fc_dims: int,
 
         xt = i_pre_ref[t].astype(jnp.float32) + x * w_x_ref[0][None, :]
 
-        xt_b = xt.astype(jnp.bfloat16)
+        xt_b = xt.astype(compute_dtype)
         gi1 = jnp.dot(xt_b, w1_ih_ref[:],
                       preferred_element_type=jnp.float32) + b1_ih_ref[0]
-        gh1 = jnp.dot(h1.astype(jnp.bfloat16), w1_hh_ref[:],
+        gh1 = jnp.dot(h1.astype(compute_dtype), w1_hh_ref[:],
                       preferred_element_type=jnp.float32) + b1_hh_ref[0]
         h1 = gru(gi1, gh1, h1)
 
         x1 = xt + h1
-        gi2 = jnp.dot(x1.astype(jnp.bfloat16), w2_x_ref[:],
+        gi2 = jnp.dot(x1.astype(compute_dtype), w2_x_ref[:],
                       preferred_element_type=jnp.float32) \
             + gi2_pre_ref[t].astype(jnp.float32)
-        gh2 = jnp.dot(h2.astype(jnp.bfloat16), w2_hh_ref[:],
+        gh2 = jnp.dot(h2.astype(compute_dtype), w2_hh_ref[:],
                       preferred_element_type=jnp.float32) + b2_hh_ref[0]
         h2 = gru(gi2, gh2, h2)
 
-        x2 = (x1 + h2).astype(jnp.bfloat16)
+        x2 = (x1 + h2).astype(compute_dtype)
         f1 = jax.nn.relu(
             jnp.dot(x2, fc1_kx_ref[:], preferred_element_type=jnp.float32)
             + fc1_pre_ref[t].astype(jnp.float32))
         f2 = jax.nn.relu(
-            jnp.dot(f1.astype(jnp.bfloat16), fc2_kx_ref[:],
+            jnp.dot(f1.astype(compute_dtype), fc2_kx_ref[:],
                     preferred_element_type=jnp.float32)
             + fc2_pre_ref[t].astype(jnp.float32))
-        logits = jnp.dot(f2.astype(jnp.bfloat16), fc3_k_ref[:],
+        logits = jnp.dot(f2.astype(compute_dtype), fc3_k_ref[:],
                          preferred_element_type=jnp.float32) + fc3_b_ref[0]
 
-        bits = pltpu.bitcast(
-            pltpu.prng_random_bits((B_PAD, n_classes)), jnp.uint32)
-        # uint32 -> f32 is unsupported in Mosaic: drop to 24 bits, go
-        # through int32 (positive range) instead
-        bits24 = pltpu.bitcast(bits >> 8, jnp.int32)
-        u = bits24.astype(jnp.float32) * (1.0 / 16777216.0)
-        gumbel = -jnp.log(-jnp.log(u + 1e-9) + 1e-9)
-        cls = jnp.argmax(logits + gumbel, axis=-1)
+        if greedy:
+            cls = jnp.argmax(logits, axis=-1)
+        else:
+            bits = pltpu.bitcast(
+                pltpu.prng_random_bits((B_PAD, n_classes)), jnp.uint32)
+            # uint32 -> f32 is unsupported in Mosaic: drop to 24 bits,
+            # go through int32 (positive range) instead
+            bits24 = pltpu.bitcast(bits >> 8, jnp.int32)
+            u = bits24.astype(jnp.float32) * (1.0 / 16777216.0)
+            gumbel = -jnp.log(-jnp.log(u + 1e-9) + 1e-9)
+            cls = jnp.argmax(logits + gumbel, axis=-1)
         sample = 2.0 * cls.astype(jnp.float32) / (n_classes - 1.0) - 1.0
 
         out_ref[t, :] = sample
@@ -112,12 +116,14 @@ def _kernel(n_classes: int, rnn_dims: int, fc_dims: int,
 
 
 @functools.partial(jax.jit, static_argnames=('n_classes', 'rnn_dims',
-                                             'fc_dims'))
+                                             'fc_dims', 'greedy',
+                                             'compute_dtype'))
 def pallas_sample(i_pre: jnp.ndarray, gi2_pre: jnp.ndarray,
                   fc1_pre: jnp.ndarray, fc2_pre: jnp.ndarray,
                   weights: Dict[str, jnp.ndarray], seed: jnp.ndarray,
-                  n_classes: int, rnn_dims: int, fc_dims: int
-                  ) -> jnp.ndarray:
+                  n_classes: int, rnn_dims: int, fc_dims: int,
+                  greedy: bool = False,
+                  compute_dtype=jnp.bfloat16) -> jnp.ndarray:
     """Inputs are time-major (T, B_PAD, D) with T % CHUNK == 0.
     Returns samples (T, B_PAD) float32."""
     T = i_pre.shape[0]
@@ -132,7 +138,8 @@ def pallas_sample(i_pre: jnp.ndarray, gi2_pre: jnp.ndarray,
         return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                             memory_space=pltpu.VMEM)
 
-    kernel = functools.partial(_kernel, n_classes, rnn_dims, fc_dims)
+    kernel = functools.partial(_kernel, n_classes, rnn_dims, fc_dims,
+                               greedy, compute_dtype)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -172,7 +179,9 @@ def pallas_sample(i_pre: jnp.ndarray, gi2_pre: jnp.ndarray,
 
 
 def wavernn_sample_pallas(model, variables: Dict, mels_up: np.ndarray,
-                          aux: np.ndarray, seed: int = 0) -> np.ndarray:
+                          aux: np.ndarray, seed: int = 0,
+                          greedy: bool = False,
+                          compute_dtype=jnp.bfloat16) -> np.ndarray:
     """Drop-in replacement for model.sample_scan on RAW-mode models.
 
     mels_up / aux: (B, T, C). Returns samples (B, T) float32.
@@ -198,13 +207,13 @@ def wavernn_sample_pallas(model, variables: Dict, mels_up: np.ndarray,
     fc2_pre = a4 @ params['fc2_kernel'][fc_dims:] + params['fc2_bias']
 
     def prep(x, d_last):
-        # (B, T, D) -> (T_pad, B_PAD, D) bf16, T padded to CHUNK
+        # (B, T, D) -> (T_pad, B_PAD, D), T padded to CHUNK
         T_pad = ((T + CHUNK - 1) // CHUNK) * CHUNK
-        out = jnp.zeros((T_pad, B_PAD, d_last), jnp.bfloat16)
+        out = jnp.zeros((T_pad, B_PAD, d_last), compute_dtype)
         return out.at[:T, :B].set(
-            jnp.swapaxes(x, 0, 1).astype(jnp.bfloat16))
+            jnp.swapaxes(x, 0, 1).astype(compute_dtype))
 
-    bf = jnp.bfloat16
+    bf = compute_dtype
     weights = {
         'w_x': I_k[0][None, :].astype(jnp.float32),
         'w1_ih': params['rnn1_w_ih'].T.astype(bf),
@@ -224,7 +233,8 @@ def wavernn_sample_pallas(model, variables: Dict, mels_up: np.ndarray,
         prep(i_pre, rnn_dims), prep(gi2_pre, 3 * rnn_dims),
         prep(fc1_pre, fc_dims), prep(fc2_pre, fc_dims),
         weights, jnp.asarray([seed], jnp.int32),
-        n_classes=n_classes, rnn_dims=rnn_dims, fc_dims=fc_dims)
+        n_classes=n_classes, rnn_dims=rnn_dims, fc_dims=fc_dims,
+        greedy=greedy, compute_dtype=compute_dtype)
     return np.asarray(samples[:T, :B].T)
 
 

@@ -214,7 +214,7 @@ class WaveRNN(nn.Module):
         return self.upsample(mels, train=False)
 
     def sample_scan(self, mels_up: jnp.ndarray, aux: jnp.ndarray,
-                    key: jax.Array) -> jnp.ndarray:
+                    key: jax.Array, greedy: bool = False) -> jnp.ndarray:
         """The AR sampling loop as one lax.scan
         (replaces fatchord_version.py:203-244).
 
@@ -268,7 +268,10 @@ class WaveRNN(nn.Module):
                 sample = sample_from_discretized_mix_logistic(logits, k)
                 x_new = sample
             else:
-                cls = jax.random.categorical(k, logits, axis=-1)
+                if greedy:
+                    cls = jnp.argmax(logits, axis=-1)
+                else:
+                    cls = jax.random.categorical(k, logits, axis=-1)
                 sample = 2.0 * cls.astype(jnp.float32) \
                     / (self.n_classes - 1.0) - 1.0
                 x_new = sample
