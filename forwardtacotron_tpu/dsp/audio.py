@@ -85,6 +85,10 @@ class DSP:
 
     # ------------------------------------------------------------- host IO
     def load_wav(self, path: Union[str, Path]) -> np.ndarray:
+        from forwardtacotron_tpu.utils import native_audio
+        if native_audio.available():
+            wav, _ = native_audio.read_wav(path, target_sr=self.sample_rate)
+            return wav
         from scipy.io import wavfile
         sr, wav = wavfile.read(str(path))
         if wav.dtype == np.int16:
@@ -105,8 +109,12 @@ class DSP:
         return wav
 
     def save_wav(self, wav: np.ndarray, path: Union[str, Path]) -> None:
-        from scipy.io import wavfile
         wav = np.asarray(wav, dtype=np.float32)
+        from forwardtacotron_tpu.utils import native_audio
+        if native_audio.available():
+            native_audio.write_wav(path, wav, self.sample_rate)
+            return
+        from scipy.io import wavfile
         wav = np.clip(wav, -1.0, 1.0)
         wavfile.write(str(path), self.sample_rate,
                       (wav * 32767).astype(np.int16))
