@@ -77,21 +77,84 @@ def main() -> None:
     dtb = (time.perf_counter() - t0) / 10
     frames_per_sec = B * mel_len / dtb
 
+    extra = {
+        'batch1_latency_ms': round(dt * 1000, 3),
+        'mel_frames': mel_len,
+        'audio_seconds': round(audio_seconds, 2),
+        'batched32_mel_frames_per_sec': int(frames_per_sec),
+        'device': str(jax.devices()[0]),
+        'reference_note': 'reference ~0.04 s/utterance on RTX 2080 '
+                          '(README.md:15); target rtf < 0.005',
+    }
+    try:
+        extra.update(_bench_wavernn(config))
+    except Exception as e:  # never fail the headline metric
+        extra['wavernn_bench_error'] = f'{type(e).__name__}: {e}'
+
     print(json.dumps({
         'metric': 'batch1_mel_rtf',
         'value': round(rtf, 6),
         'unit': 'rtf',
         'vs_baseline': round(0.005 / rtf, 2),
-        'extra': {
-            'batch1_latency_ms': round(dt * 1000, 3),
-            'mel_frames': mel_len,
-            'audio_seconds': round(audio_seconds, 2),
-            'batched32_mel_frames_per_sec': int(frames_per_sec),
-            'device': str(jax.devices()[0]),
-            'reference_note': 'reference ~0.04 s/utterance on RTX 2080 '
-                              '(README.md:15); target rtf < 0.005',
-        },
+        'extra': extra,
     }))
+
+
+def _bench_wavernn(config) -> dict:
+    """WaveRNN generation rate (the reference prints this at runtime,
+    fatchord_version.py:268-272) — scan sampler and, when supported, the
+    fused Pallas kernel."""
+    import jax
+    import jax.numpy as jnp
+    from forwardtacotron_tpu.models.wavernn import (WaveRNN,
+                                                    fold_with_overlap,
+                                                    pad_tensor)
+
+    model = WaveRNN.from_config(config)
+    rng = np.random.RandomState(0)
+    T_win = 240  # ~2.8 s of audio -> 6 fold lanes
+    mel = rng.randn(1, T_win, model.feat_dims).astype(np.float32) * 2 - 8
+
+    cpu = jax.local_devices(backend='cpu')[0]
+    with jax.default_device(cpu):
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 64)),
+                               jnp.asarray(mel[:, :12]))
+    variables = jax.device_put(variables, jax.devices()[0])
+
+    m = pad_tensor(mel, pad=model.pad, side='both')
+    up = jax.jit(lambda v, x: model.apply(v, x, method='upsample_cond'))
+    mels_up, aux = up(variables, jnp.asarray(m))
+    mels_up, aux = np.asarray(mels_up), np.asarray(aux)
+    mels_f = fold_with_overlap(mels_up, 11000, 550)
+    aux_f = fold_with_overlap(aux, 11000, 550)
+    B, T = mels_f.shape[0], mels_f.shape[1]
+
+    out = {}
+    scan = jax.jit(lambda v, m, a, k: model.apply(v, m, a, k,
+                                                  method='sample_scan'))
+    key = jax.random.PRNGKey(0)
+    r = jax.block_until_ready(scan(variables, jnp.asarray(mels_f),
+                                   jnp.asarray(aux_f), key))
+    t0 = time.perf_counter()
+    for _ in range(3):
+        r = scan(variables, jnp.asarray(mels_f), jnp.asarray(aux_f), key)
+    jax.block_until_ready(r)
+    dt = (time.perf_counter() - t0) / 3
+    out['wavernn_scan_khz'] = round(B * T / dt / 1000, 1)
+    out['wavernn_fold_lanes'] = B
+
+    from forwardtacotron_tpu.kernels.wavernn_sample import (
+        pallas_supported, wavernn_sample_pallas)
+    if pallas_supported(model):
+        _ = wavernn_sample_pallas(model, variables, mels_f, aux_f)
+        t0 = time.perf_counter()
+        for i in range(3):
+            r = wavernn_sample_pallas(model, variables, mels_f, aux_f,
+                                      seed=i)
+        dt = (time.perf_counter() - t0) / 3
+        out['wavernn_pallas_khz'] = round(B * T / dt / 1000, 1)
+    return out
 
 
 if __name__ == '__main__':

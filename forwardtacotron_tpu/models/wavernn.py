@@ -365,10 +365,15 @@ def xfade_and_unfold(y: np.ndarray, target: int, overlap: int
 def generate_wav(model: WaveRNN, variables: Dict, mel: np.ndarray,
                  batched: bool = True, target: int = 11_000,
                  overlap: int = 550, mu_law: bool = True,
-                 seed: int = 0) -> np.ndarray:
+                 seed: int = 0, use_pallas: Optional[bool] = None
+                 ) -> np.ndarray:
     """Full generation pipeline (fatchord_version.py:171-265): pad,
     upsample, fold, scan-sample, mu-law decode, crossfade-unfold,
-    fade-out. `mel` is (n_mels, T) or (T, n_mels)."""
+    fade-out. `mel` is (n_mels, T) or (T, n_mels).
+
+    use_pallas: run the fused Pallas sampling kernel
+    (kernels/wavernn_sample.py) instead of the lax.scan sampler;
+    defaults to auto (kernel on TPU + RAW mode)."""
     from forwardtacotron_tpu.dsp.audio import DSP
 
     mel = np.asarray(mel, dtype=np.float32)
@@ -389,11 +394,22 @@ def generate_wav(model: WaveRNN, variables: Dict, mel: np.ndarray,
         mels_up = fold_with_overlap(mels_up, target, overlap)
         aux = fold_with_overlap(aux, target, overlap)
 
-    key = jax.random.PRNGKey(seed)
-    samples = jax.jit(
-        lambda v, m, a, k: model.apply(v, m, a, k, method='sample_scan'))(
-            variables, jnp.asarray(mels_up), jnp.asarray(aux), key)
-    output = np.asarray(samples).astype(np.float64)
+    if use_pallas is None:
+        from forwardtacotron_tpu.kernels.wavernn_sample import (
+            pallas_supported)
+        use_pallas = pallas_supported(model)
+    if use_pallas:
+        from forwardtacotron_tpu.kernels.wavernn_sample import (
+            wavernn_sample_pallas)
+        output = wavernn_sample_pallas(model, variables, mels_up, aux,
+                                       seed=seed).astype(np.float64)
+    else:
+        key = jax.random.PRNGKey(seed)
+        samples = jax.jit(
+            lambda v, m, a, k: model.apply(v, m, a, k,
+                                           method='sample_scan'))(
+                variables, jnp.asarray(mels_up), jnp.asarray(aux), key)
+        output = np.asarray(samples).astype(np.float64)
 
     if mu_law:
         output = DSP.decode_mu_law(output, model.n_classes, False)

@@ -19,10 +19,15 @@ def _bucket(n: int, multiple: int, minimum: int) -> int:
     return max(((n + multiple - 1) // multiple) * multiple, minimum)
 
 
+_JIT_CACHE: dict = {}
+
+
 def synthesize(model, variables, text_ids, alpha: float, amp: float,
                mel_multiple: int = 256):
     """Two-stage jitted generation: predict series, apply user scaling,
-    expand+decode. Returns (mel_post (n_mels, T_true), dur)."""
+    expand+decode. jits are cached per (model, bucket) so repeated
+    sentences reuse compilations. Returns (mel_post (n_mels, T_true),
+    dur)."""
     import jax
     import jax.numpy as jnp
 
@@ -33,19 +38,25 @@ def synthesize(model, variables, text_ids, alpha: float, amp: float,
     x = jnp.asarray(x)
     xl = jnp.asarray([x_len])
 
-    series = jax.jit(
-        lambda v, x, xl, a: model.apply(v, x, alpha=a,
-                                        method='predict_series', x_len=xl),
-        static_argnums=())(variables, x, xl, alpha)
+    key = (id(model), 'series')
+    if key not in _JIT_CACHE:
+        _JIT_CACHE[key] = jax.jit(
+            lambda v, x, xl, a: model.apply(
+                v, x, alpha=a, method='predict_series', x_len=xl))
+    series = _JIT_CACHE[key](variables, x, xl, alpha)
     dur = np.asarray(series['dur'])[0, :x_len]
     total = int(np.sum(np.maximum(dur, 0) + 0.5))
     max_t = _bucket(total + 1, mel_multiple, mel_multiple)
 
     pitch = series['pitch'] * amp
-    gen = jax.jit(
-        lambda v, x, d, p, e, xl: model.apply(
-            v, x, d, p, e, max_t, method='generate_from_series', x_len=xl),
-    )(variables, x, series['dur'], pitch, series['energy'], xl)
+    key = (id(model), 'gen', max_t)
+    if key not in _JIT_CACHE:
+        _JIT_CACHE[key] = jax.jit(
+            lambda v, x, d, p, e, xl, _mt=max_t: model.apply(
+                v, x, d, p, e, _mt, method='generate_from_series',
+                x_len=xl))
+    gen = _JIT_CACHE[key](variables, x, series['dur'], pitch,
+                          series['energy'], xl)
     mel_len = int(gen['mel_len'][0])
     mel_post = np.asarray(gen['mel_post'])[0, :mel_len].T  # (n_mels, T)
     return mel_post, dur
