@@ -45,7 +45,7 @@ def synthesize(model, variables, text_ids, alpha: float, amp: float,
                 v, x, alpha=a, method='predict_series', x_len=xl))
     series = _JIT_CACHE[key](variables, x, xl, alpha)
     dur = np.asarray(series['dur'])[0, :x_len]
-    total = int(np.sum(np.maximum(dur, 0) + 0.5))
+    total = int(np.sum(np.floor(np.maximum(dur, 0) + 0.5)))
     max_t = _bucket(total + 1, mel_multiple, mel_multiple)
 
     pitch = series['pitch'] * amp
