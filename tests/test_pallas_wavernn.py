@@ -51,7 +51,8 @@ def test_greedy_trajectory_matches_scan():
 
     ref = np.asarray(model.apply(variables, jnp.asarray(mels_up),
                                  jnp.asarray(aux), jax.random.PRNGKey(0),
-                                 method='sample_scan', greedy=True))
+                                 method='sample_scan', greedy=True,
+                                 weights_dtype=jnp.float32))
     out = wavernn_sample_pallas(model, variables, mels_up, aux,
                                 greedy=True, compute_dtype=jnp.float32)
     agreement = float(np.mean(out == ref))
@@ -78,7 +79,8 @@ def test_chunk_boundary_state_carries():
     assert T > CHUNK, 'test needs at least 2 chunks'
     ref = np.asarray(model.apply(variables, jnp.asarray(mels_up),
                                  jnp.asarray(aux), jax.random.PRNGKey(0),
-                                 method='sample_scan', greedy=True))
+                                 method='sample_scan', greedy=True,
+                                 weights_dtype=jnp.float32))
     out = wavernn_sample_pallas(model, variables, mels_up, aux,
                                 greedy=True, compute_dtype=jnp.float32)
     # specifically check steps around the chunk boundary
