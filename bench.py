@@ -115,10 +115,11 @@ def _bench_wavernn(config) -> dict:
     T_win = 240  # ~2.8 s of audio -> 6 fold lanes
     mel = rng.randn(1, T_win, model.feat_dims).astype(np.float32) * 2 - 8
 
+    hop = model.hop_length
     cpu = jax.local_devices(backend='cpu')[0]
     with jax.default_device(cpu):
         variables = model.init(jax.random.PRNGKey(0),
-                               jnp.zeros((1, 64)),
+                               jnp.zeros((1, (12 - 2 * model.pad) * hop)),
                                jnp.asarray(mel[:, :12]))
     variables = jax.device_put(variables, jax.devices()[0])
 
