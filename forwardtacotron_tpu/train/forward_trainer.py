@@ -43,7 +43,7 @@ def _batch_to_device(batch: Dict[str, Any], sharding=None) -> Dict[str, Any]:
 class ForwardTrainer:
 
     def __init__(self, paths: Paths, dsp, config: Dict[str, Any],
-                 writer=None) -> None:
+                 writer=None, mesh=None) -> None:
         self.paths = paths
         self.dsp = dsp
         self.config = config
@@ -52,6 +52,14 @@ class ForwardTrainer:
         self._writer = writer
         self._train_step = None
         self._eval_step = None
+        # multi-device: shard batches over 'data', wide weights over
+        # 'model' (GSPMD; parallel/mesh.py). None = single device.
+        self.mesh = mesh
+        if self.mesh is None and len(jax.devices()) > 1:
+            from forwardtacotron_tpu.parallel.mesh import mesh_from_config
+            self.mesh = mesh_from_config(config)
+        self._batch_sharding = None
+        self._state_sharding = None
 
     @property
     def writer(self):
@@ -95,8 +103,22 @@ class ForwardTrainer:
                     _batch_to_device(session.val_sample) or
                     _batch_to_device(next(iter(train_set))),
                     rng, init_kwargs={'train': True})
+            if self.mesh is not None:
+                state = self._shard_state(state)
             state = self.train_session(model, optimizer, state, session, rng)
         return state
+
+    def _shard_state(self, state: tc.TrainState) -> tc.TrainState:
+        from forwardtacotron_tpu.parallel import mesh as pmesh
+        self._state_sharding = pmesh.state_shardings(self.mesh, state)
+        return jax.device_put(state, self._state_sharding)
+
+    def _shard_batch(self, batch: Dict[str, Any]) -> Dict[str, Any]:
+        if self.mesh is None:
+            return batch
+        from forwardtacotron_tpu.parallel import mesh as pmesh
+        return jax.device_put(batch, pmesh.batch_shardings(self.mesh,
+                                                           batch))
 
     def train_session(self, model, optimizer, state: tc.TrainState,
                       session: tc.TTSSession, rng) -> tc.TrainState:
@@ -127,7 +149,7 @@ class ForwardTrainer:
             for i, batch in enumerate(session.train_set, 1):
                 start = time.time()
                 step_rng = jax.random.fold_in(rng, int(state.step))
-                jbatch = _batch_to_device(batch)
+                jbatch = self._shard_batch(_batch_to_device(batch))
                 state, metrics = train_step(state, jbatch, step_rng)
                 step = int(state.step)
 
