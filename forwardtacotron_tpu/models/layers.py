@@ -32,6 +32,26 @@ def torch_uniform_init(bound: float):
     return init
 
 
+class _DirParams(nn.Module):
+    """Parameter container for one RNN direction (torch layout). Kept as
+    a submodule so the param tree keeps fwd/bwd scopes for checkpoint
+    conversion while the computation runs fused in the parent."""
+    hidden: int
+    n_gates: int
+
+    @nn.compact
+    def __call__(self, in_dim: int):
+        bound = 1.0 / (self.hidden ** 0.5)
+        init = torch_uniform_init(bound)
+        g = self.n_gates
+        return {
+            'w_ih': self.param('w_ih', init, (g * self.hidden, in_dim)),
+            'w_hh': self.param('w_hh', init, (g * self.hidden, self.hidden)),
+            'b_ih': self.param('b_ih', init, (g * self.hidden,)),
+            'b_hh': self.param('b_hh', init, (g * self.hidden,)),
+        }
+
+
 class TorchGRU(nn.Module):
     """Single-direction GRU with torch parameter layout (r|z|n gates)."""
     hidden: int
@@ -53,39 +73,19 @@ class TorchGRU(nn.Module):
 
 
 class TorchBiGRU(nn.Module):
+    """Bidirectional GRU: both directions advance in ONE fused scan
+    (ops/rnn.py:_bidir_fused) — half the sequential steps, identical
+    math to two separate direction passes."""
     hidden: int
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
                  lengths: Optional[jnp.ndarray] = None,
                  pad_value: float = 0.0) -> jnp.ndarray:
-        y_f = TorchGRU(self.hidden, reverse=False, name='fwd')(x, lengths)
-        y_b = TorchGRU(self.hidden, reverse=True, name='bwd')(x, lengths)
-        y = jnp.concatenate([y_f, y_b], axis=-1)
-        if lengths is not None:
-            mask = (jnp.arange(y.shape[1])[None, :, None]
-                    < lengths[:, None, None])
-            y = jnp.where(mask, y, pad_value)
-        return y
-
-
-class TorchLSTM(nn.Module):
-    hidden: int
-    reverse: bool = False
-
-    @nn.compact
-    def __call__(self, x: jnp.ndarray,
-                 lengths: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-        d = x.shape[-1]
-        bound = 1.0 / (self.hidden ** 0.5)
-        init = torch_uniform_init(bound)
-        params = {
-            'w_ih': self.param('w_ih', init, (4 * self.hidden, d)),
-            'w_hh': self.param('w_hh', init, (4 * self.hidden, self.hidden)),
-            'b_ih': self.param('b_ih', init, (4 * self.hidden,)),
-            'b_hh': self.param('b_hh', init, (4 * self.hidden,)),
-        }
-        return rnn_ops.lstm(params, x, reverse=self.reverse, lengths=lengths)
+        fwd = _DirParams(self.hidden, 3, name='fwd')(x.shape[-1])
+        bwd = _DirParams(self.hidden, 3, name='bwd')(x.shape[-1])
+        return rnn_ops.bigru(fwd, bwd, x, lengths=lengths,
+                             pad_value=pad_value)
 
 
 class TorchBiLSTM(nn.Module):
@@ -95,14 +95,10 @@ class TorchBiLSTM(nn.Module):
     def __call__(self, x: jnp.ndarray,
                  lengths: Optional[jnp.ndarray] = None,
                  pad_value: float = 0.0) -> jnp.ndarray:
-        y_f = TorchLSTM(self.hidden, reverse=False, name='fwd')(x, lengths)
-        y_b = TorchLSTM(self.hidden, reverse=True, name='bwd')(x, lengths)
-        y = jnp.concatenate([y_f, y_b], axis=-1)
-        if lengths is not None:
-            mask = (jnp.arange(y.shape[1])[None, :, None]
-                    < lengths[:, None, None])
-            y = jnp.where(mask, y, pad_value)
-        return y
+        fwd = _DirParams(self.hidden, 4, name='fwd')(x.shape[-1])
+        bwd = _DirParams(self.hidden, 4, name='bwd')(x.shape[-1])
+        return rnn_ops.bilstm(fwd, bwd, x, lengths=lengths,
+                              pad_value=pad_value)
 
 
 class BatchNormConv(nn.Module):

@@ -129,27 +129,93 @@ def _mask_outputs(y: jnp.ndarray, lengths: Optional[jnp.ndarray],
     return jnp.where(mask, y, pad_value)
 
 
+def _bidir_fused(cell_kind: str, params_fwd: Params, params_bwd: Params,
+                 x: jnp.ndarray, lengths: Optional[jnp.ndarray]
+                 ) -> jnp.ndarray:
+    """Run BOTH directions in ONE lax.scan of T steps.
+
+    Sequential latency dominates small-batch RNN inference on TPU
+    (per-step dispatch, not FLOPs), so instead of two serialized scans
+    of T steps each, the forward and backward recurrences advance
+    together in one step: the per-step hidden matmul becomes a 2-group
+    batched matmul (einsum over a direction axis), identical math,
+    half the sequential steps."""
+    B, T = x.shape[0], x.shape[1]
+    H = params_fwd['w_hh'].shape[1]
+    lstm_mode = cell_kind == 'lstm'
+
+    # (2, G*H, D) stacked weights; inputs projected per direction
+    gi_f = x @ params_fwd['w_ih'].T + params_fwd['b_ih']
+    gi_b = x @ params_bwd['w_ih'].T + params_bwd['b_ih']
+    gi = jnp.stack([jnp.swapaxes(gi_f, 0, 1),
+                    jnp.swapaxes(gi_b, 0, 1)[::-1]], axis=1)  # (T,2,B,GH)
+
+    w_hh_t = jnp.stack([params_fwd['w_hh'].T, params_bwd['w_hh'].T])
+    b_hh = jnp.stack([params_fwd['b_hh'], params_bwd['b_hh']])  # (2, GH)
+
+    ts_f = jnp.arange(T)
+    ts = jnp.stack([ts_f, ts_f[::-1]], axis=1)  # (T, 2)
+
+    def gru_step(state, inp):
+        h = state  # (2, B, H)
+        gi_t, t = inp  # (2, B, GH), (2,)
+        gh = jnp.einsum('gbh,ghk->gbk', h, w_hh_t) + b_hh[:, None, :]
+        r = jax.nn.sigmoid(gi_t[..., :H] + gh[..., :H])
+        z = jax.nn.sigmoid(gi_t[..., H:2 * H] + gh[..., H:2 * H])
+        n = jnp.tanh(gi_t[..., 2 * H:] + r * gh[..., 2 * H:])
+        h_new = (1.0 - z) * n + z * h
+        if lengths is not None:
+            mask = (t[:, None] < lengths[None, :])[..., None]
+            h_new = jnp.where(mask, h_new, h)
+        return h_new, h_new
+
+    def lstm_step(state, inp):
+        h, c = state
+        gi_t, t = inp
+        gates = gi_t + jnp.einsum('gbh,ghk->gbk', h, w_hh_t) \
+            + b_hh[:, None, :]
+        i = jax.nn.sigmoid(gates[..., :H])
+        f = jax.nn.sigmoid(gates[..., H:2 * H])
+        g = jnp.tanh(gates[..., 2 * H:3 * H])
+        o = jax.nn.sigmoid(gates[..., 3 * H:])
+        c_new = f * c + i * g
+        h_new = o * jnp.tanh(c_new)
+        if lengths is not None:
+            mask = (t[:, None] < lengths[None, :])[..., None]
+            h_new = jnp.where(mask, h_new, h)
+            c_new = jnp.where(mask, c_new, c)
+        return (h_new, c_new), h_new
+
+    if lstm_mode:
+        init = (jnp.zeros((2, B, H), x.dtype), jnp.zeros((2, B, H), x.dtype))
+        _, ys = jax.lax.scan(lstm_step, init, (gi, ts))
+    else:
+        init = jnp.zeros((2, B, H), x.dtype)
+        _, ys = jax.lax.scan(gru_step, init, (gi, ts))
+
+    y_f = jnp.swapaxes(ys[:, 0], 0, 1)          # (B, T, H)
+    y_b = jnp.swapaxes(ys[::-1, 1], 0, 1)       # un-reverse
+    return jnp.concatenate([y_f, y_b], axis=-1)
+
+
 def bigru(params_fwd: Params, params_bwd: Params, x: jnp.ndarray,
           lengths: Optional[jnp.ndarray] = None, pad_value: float = 0.0
           ) -> jnp.ndarray:
-    """Bidirectional GRU, output (B, T, 2H) = concat(fwd, bwd).
+    """Bidirectional GRU, output (B, T, 2H) = concat(fwd, bwd), both
+    directions fused into one scan (see _bidir_fused).
 
     With `lengths`, replicates torch pack_padded semantics (reverse pass
     starts at the true end; padded outputs filled with pad_value).
     """
-    y_f = gru(params_fwd, x, reverse=False, lengths=lengths)
-    y_b = gru(params_bwd, x, reverse=True, lengths=lengths)
-    return _mask_outputs(jnp.concatenate([y_f, y_b], axis=-1),
-                         lengths, pad_value)
+    y = _bidir_fused('gru', params_fwd, params_bwd, x, lengths)
+    return _mask_outputs(y, lengths, pad_value)
 
 
 def bilstm(params_fwd: Params, params_bwd: Params, x: jnp.ndarray,
            lengths: Optional[jnp.ndarray] = None, pad_value: float = 0.0
            ) -> jnp.ndarray:
-    y_f = lstm(params_fwd, x, reverse=False, lengths=lengths)
-    y_b = lstm(params_bwd, x, reverse=True, lengths=lengths)
-    return _mask_outputs(jnp.concatenate([y_f, y_b], axis=-1),
-                         lengths, pad_value)
+    y = _bidir_fused('lstm', params_fwd, params_bwd, x, lengths)
+    return _mask_outputs(y, lengths, pad_value)
 
 
 def init_rnn_params(key: jax.Array, input_dim: int, hidden_dim: int,
