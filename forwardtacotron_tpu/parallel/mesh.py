@@ -78,9 +78,13 @@ def replicated_shardings(mesh: Mesh, tree) -> Any:
 
 
 def batch_shardings(mesh: Mesh, batch) -> Any:
-    """Shard every batch array's leading (batch) axis over 'data'."""
+    """Shard every batch array's leading (batch) axis over 'data'.
+    Arrays whose batch dim doesn't divide the data axis are replicated
+    (e.g. tiny smoke-test batches on a large mesh)."""
+    n_data = mesh.shape.get('data', 1)
+
     def spec(leaf):
-        if np.ndim(leaf) == 0:
+        if np.ndim(leaf) == 0 or np.shape(leaf)[0] % n_data != 0:
             return NamedSharding(mesh, P())
         return NamedSharding(mesh, P(*(['data'] + [None] * (np.ndim(leaf) - 1))))
     return jax.tree.map(spec, batch)
