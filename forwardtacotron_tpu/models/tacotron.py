@@ -140,18 +140,21 @@ class Tacotron(nn.Module):
         return jax.nn.softmax(u, axis=1)
 
     def _decoder_step(self, cells, encoder_seq, encoder_seq_proj,
-                      prenet_in, carry, train: bool,
+                      prenet_out, carry, train: bool,
                       rng: Optional[jax.Array]):
+        """One decoder step. `prenet_out` is the already-computed PreNet
+        output for this step — with teacher forcing the PreNet has no
+        recurrence, so it runs over the whole sequence as one batched
+        matmul before the scan instead of per step."""
         attn_cell, rnn1_cell, rnn2_cell = cells
         (attn_h, r1_h, r1_c, r2_h, r2_c, context, cumulative,
          prev_attn) = carry
 
         if rng is not None:
-            k_pre, k_z1, k_z2 = jax.random.split(rng, 3)
+            k_z1, k_z2 = jax.random.split(rng, 2)
         else:
-            k_pre = k_z1 = k_z2 = None
+            k_z1 = k_z2 = None
 
-        prenet_out = self.dec_prenet(prenet_in, train=train, rng=k_pre)
         attn_rnn_in = jnp.concatenate([context, prenet_out], axis=-1)
         attn_h = rnn_ops.gru_cell(attn_cell, attn_rnn_in, attn_h)
 
@@ -218,10 +221,17 @@ class Tacotron(nn.Module):
         cells = self.decoder_cells()
 
         # teacher-forced prenet inputs: go frame, then m[:, t-1] for
-        # t = r, 2r, ... (tacotron.py:251)
+        # t = r, 2r, ... (tacotron.py:251); the PreNet itself runs over
+        # the whole sequence in one pass (no recurrence)
         go = jnp.zeros((B, 1, self.n_mels), m.dtype)
         prev_idx = jnp.arange(1, steps) * r - 1
         prenet_seq = jnp.concatenate([go, m[:, prev_idx]], axis=1)
+        if dec_rng is not None:
+            pre_rng, dec_rng = jax.random.split(dec_rng)
+        else:
+            pre_rng = None
+        prenet_out_seq = self.dec_prenet(prenet_seq, train=train,
+                                         rng=pre_rng)
 
         if dec_rng is not None:
             step_keys = jax.random.split(dec_rng, steps)
@@ -229,9 +239,9 @@ class Tacotron(nn.Module):
             step_keys = jnp.zeros((steps, 2), jnp.uint32)
 
         def step(carry, inp):
-            prenet_in, key = inp
+            prenet_out, key = inp
             mels, scores, carry = self._decoder_step(
-                cells, encoder_seq, encoder_seq_proj, prenet_in, carry,
+                cells, encoder_seq, encoder_seq_proj, prenet_out, carry,
                 train, key if train else None)
             return carry, (mels, scores)
 
@@ -239,9 +249,9 @@ class Tacotron(nn.Module):
         # materialize decoder params outside lax.scan (dead code after
         # init; avoids creating flax variables inside the scan trace)
         _ = self._decoder_step(cells, encoder_seq, encoder_seq_proj,
-                               go[:, 0], carry0, False, None)
+                               prenet_out_seq[:, 0], carry0, False, None)
         _, (mels, scores) = jax.lax.scan(
-            step, carry0, (jnp.swapaxes(prenet_seq, 0, 1), step_keys))
+            step, carry0, (jnp.swapaxes(prenet_out_seq, 0, 1), step_keys))
 
         # (steps, B, n_mels*MAX_R) -> (B, steps*r, n_mels)
         mels = jnp.swapaxes(mels, 0, 1)
@@ -271,9 +281,10 @@ class Tacotron(nn.Module):
         mel_buf = jnp.zeros((B, n_steps, self.n_mels * MAX_R))
         attn_buf = jnp.zeros((B, n_steps, Tx))
 
-        _ = self._decoder_step(cells, encoder_seq, encoder_seq_proj,
-                               jnp.zeros((B, self.n_mels)),
-                               self._init_carry(B, Tx), False, None)
+        _ = self._decoder_step(
+            cells, encoder_seq, encoder_seq_proj,
+            self.dec_prenet(jnp.zeros((B, self.n_mels)), train=False),
+            self._init_carry(B, Tx), False, None)
 
         def cond(state):
             t, done, *_ = state
@@ -281,8 +292,9 @@ class Tacotron(nn.Module):
 
         def body(state):
             t, done, prenet_in, carry, mel_buf, attn_buf = state
+            prenet_out = self.dec_prenet(prenet_in, train=False)
             mels, scores, carry = self._decoder_step(
-                cells, encoder_seq, encoder_seq_proj, prenet_in, carry,
+                cells, encoder_seq, encoder_seq_proj, prenet_out, carry,
                 train=False, rng=None)
             mel_buf = jax.lax.dynamic_update_slice_in_dim(
                 mel_buf, mels[:, None, :], t, axis=1)
