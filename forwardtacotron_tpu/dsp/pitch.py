@@ -67,7 +67,24 @@ def estimate_f0(y: jnp.ndarray, sample_rate: int, hop_length: int,
     valid = (lags >= min_lag) & (lags <= max_lag)
     nac_masked = jnp.where(valid, nac, -1.0)
 
-    best_lag = jnp.argmax(nac_masked, axis=-1)
+    peak_val = jnp.max(nac_masked, axis=-1)
+
+    # octave-error suppression (in the spirit of dio's best-path
+    # candidate selection): among local maxima within 13% of the global
+    # peak, prefer the SMALLEST lag — a sine's autocorrelation peaks
+    # equally at p, 2p, 3p and naive argmax can land an octave low.
+    is_local_max = jnp.concatenate(
+        [jnp.zeros_like(nac_masked[..., :1], dtype=bool),
+         (nac_masked[..., 1:-1] >= nac_masked[..., :-2])
+         & (nac_masked[..., 1:-1] >= nac_masked[..., 2:]),
+         jnp.zeros_like(nac_masked[..., :1], dtype=bool)], axis=-1)
+    candidate = valid & is_local_max & \
+        (nac_masked >= 0.87 * peak_val[..., None])
+    # smallest candidate lag; fall back to global argmax if none
+    first_candidate = jnp.argmax(candidate, axis=-1)
+    has_candidate = jnp.any(candidate, axis=-1)
+    best_lag = jnp.where(has_candidate, first_candidate,
+                         jnp.argmax(nac_masked, axis=-1))
     best_val = jnp.take_along_axis(nac_masked, best_lag[..., None],
                                    axis=-1)[..., 0]
 
@@ -89,7 +106,18 @@ def estimate_f0(y: jnp.ndarray, sample_rate: int, hop_length: int,
     rms = jnp.sqrt(energy[..., 0] / win_length)
     voiced = (best_val > nac_threshold) & (rms > energy_threshold) & \
              (f0 >= f0_floor) & (f0 <= f0_ceil)
-    return jnp.where(voiced, f0, 0.0).astype(jnp.float32)
+    f0 = jnp.where(voiced, f0, 0.0).astype(jnp.float32)
+
+    # median-of-3 smoothing across frames kills single-frame outliers
+    # (dio applies temporal best-path smoothing for the same reason)
+    left = jnp.concatenate([f0[..., :1], f0[..., :-1]], axis=-1)
+    right = jnp.concatenate([f0[..., 1:], f0[..., -1:]], axis=-1)
+    stacked = jnp.stack([left, f0, right], axis=-1)
+    f0_med = jnp.median(stacked, axis=-1)
+    # keep hard unvoiced decisions (median would bridge 1-frame gaps of
+    # voicing, which is fine, but must not invent pitch where the frame
+    # and both neighbors are unvoiced — median already handles that)
+    return f0_med.astype(jnp.float32)
 
 
 def extract_pitch(y: np.ndarray, sample_rate: int, hop_length: int
