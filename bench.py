@@ -123,25 +123,24 @@ def _bench_wavernn(config) -> dict:
                                jnp.asarray(mel[:, :12]))
     variables = jax.device_put(variables, jax.devices()[0])
 
+    from forwardtacotron_tpu.models.wavernn import fold_device
     m = pad_tensor(mel, pad=model.pad, side='both')
     up = jax.jit(lambda v, x: model.apply(v, x, method='upsample_cond'))
     mels_up, aux = up(variables, jnp.asarray(m))
-    mels_up, aux = np.asarray(mels_up), np.asarray(aux)
-    mels_f = fold_with_overlap(mels_up, 11000, 550)
-    aux_f = fold_with_overlap(aux, 11000, 550)
+    mels_f = fold_device(mels_up, 11000, 550)   # stays on device
+    aux_f = fold_device(aux, 11000, 550)
     B, T = mels_f.shape[0], mels_f.shape[1]
 
     out = {}
     scan = jax.jit(lambda v, m, a, k: model.apply(v, m, a, k,
                                                   method='sample_scan'))
     key = jax.random.PRNGKey(0)
-    r = jax.block_until_ready(scan(variables, jnp.asarray(mels_f),
-                                   jnp.asarray(aux_f), key))
+    r = jax.block_until_ready(scan(variables, mels_f, aux_f, key))
     t0 = time.perf_counter()
-    for _ in range(3):
-        r = scan(variables, jnp.asarray(mels_f), jnp.asarray(aux_f), key)
+    for _ in range(5):
+        r = scan(variables, mels_f, aux_f, key)
     jax.block_until_ready(r)
-    dt = (time.perf_counter() - t0) / 3
+    dt = (time.perf_counter() - t0) / 5
     out['wavernn_scan_khz'] = round(B * T / dt / 1000, 1)
     out['wavernn_fold_lanes'] = B
 
@@ -150,10 +149,10 @@ def _bench_wavernn(config) -> dict:
     if pallas_supported(model):
         _ = wavernn_sample_pallas(model, variables, mels_f, aux_f)
         t0 = time.perf_counter()
-        for i in range(3):
+        for i in range(5):
             r = wavernn_sample_pallas(model, variables, mels_f, aux_f,
                                       seed=i)
-        dt = (time.perf_counter() - t0) / 3
+        dt = (time.perf_counter() - t0) / 5
         out['wavernn_pallas_khz'] = round(B * T / dt / 1000, 1)
     return out
 

@@ -321,6 +321,33 @@ def pad_tensor(x: np.ndarray, pad: int, side: str = 'both') -> np.ndarray:
     return padded
 
 
+def fold_indices(total_len: int, target: int, overlap: int
+                 ) -> Tuple[np.ndarray, int]:
+    """Static gather indices implementing fold_with_overlap: returns
+    (idx (num_folds, target + 2*overlap), padded_len). Indices beyond
+    total_len map to padded zeros."""
+    num_folds = (total_len - overlap) // (target + overlap)
+    extended_len = num_folds * (overlap + target) + overlap
+    remaining = total_len - extended_len
+    padded_len = total_len
+    if remaining != 0:
+        num_folds += 1
+        padded_len = total_len + (target + 2 * overlap - remaining)
+    starts = np.arange(num_folds) * (target + overlap)
+    idx = starts[:, None] + np.arange(target + 2 * overlap)[None, :]
+    return idx.astype(np.int32), padded_len
+
+
+def fold_device(x, target: int, overlap: int):
+    """Device-side fold: (1, T, C) jnp array -> (num_folds, L, C) via one
+    gather; no host round-trip (the numpy fold_with_overlap stays for
+    tests/parity)."""
+    idx, padded_len = fold_indices(x.shape[1], target, overlap)
+    if padded_len > x.shape[1]:
+        x = jnp.pad(x, ((0, 0), (0, padded_len - x.shape[1]), (0, 0)))
+    return jnp.take(x[0], jnp.asarray(idx), axis=0)
+
+
 def fold_with_overlap(x: np.ndarray, target: int, overlap: int
                       ) -> np.ndarray:
     """(1, T, C) -> (num_folds, target + 2*overlap, C)
@@ -382,9 +409,9 @@ def generate_wav(model: WaveRNN, variables: Dict, mel: np.ndarray,
 
     use_pallas: run the fused Pallas sampling kernel
     (kernels/wavernn_sample.py) instead of the lax.scan sampler.
-    Default False: on TPU v5e the bf16-weight scan currently measures
-    faster (45 us/step vs 113 us/step for kernel v1); the kernel is
-    kept as the optimization vehicle and is fully tested."""
+    Default auto: the kernel when supported (TPU + RAW + 128-aligned
+    dims; measured 5.1 us/step vs 7.7 us/step for the bf16 scan on
+    v5e), scan otherwise."""
     from forwardtacotron_tpu.dsp.audio import DSP
 
     mel = np.asarray(mel, dtype=np.float32)
@@ -399,14 +426,17 @@ def generate_wav(model: WaveRNN, variables: Dict, mel: np.ndarray,
     mels_up, aux = jax.jit(
         lambda v, m: model.apply(v, m, method='upsample_cond'))(
             variables, jnp.asarray(mel))
-    mels_up, aux = np.asarray(mels_up), np.asarray(aux)
-
+    # stay device-resident: fold is a gather, sampling reads straight
+    # from HBM — the only host transfers are the input mel and the
+    # final audio
     if batched:
-        mels_up = fold_with_overlap(mels_up, target, overlap)
-        aux = fold_with_overlap(aux, target, overlap)
+        mels_up = fold_device(mels_up, target, overlap)
+        aux = fold_device(aux, target, overlap)
 
     if use_pallas is None:
-        use_pallas = False
+        from forwardtacotron_tpu.kernels.wavernn_sample import (
+            pallas_supported)
+        use_pallas = pallas_supported(model)
     if use_pallas:
         from forwardtacotron_tpu.kernels.wavernn_sample import (
             wavernn_sample_pallas)
@@ -417,7 +447,7 @@ def generate_wav(model: WaveRNN, variables: Dict, mel: np.ndarray,
         samples = jax.jit(
             lambda v, m, a, k: model.apply(v, m, a, k,
                                            method='sample_scan'))(
-                variables, jnp.asarray(mels_up), jnp.asarray(aux), key)
+                variables, mels_up, aux, key)
         output = np.asarray(samples).astype(np.float64)
 
     if mu_law:
