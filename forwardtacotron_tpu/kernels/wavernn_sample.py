@@ -29,12 +29,16 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-B_PAD = 8          # sublane-aligned batch lanes
 CHUNK = 32         # time steps per grid block
 
 
+def _b_pad(b: int) -> int:
+    """Sublane-aligned batch lanes (multiple of 8)."""
+    return max(8, ((b + 7) // 8) * 8)
+
+
 def _kernel(n_classes: int, rnn_dims: int, fc_dims: int,
-            greedy: bool, compute_dtype,
+            greedy: bool, compute_dtype, b_pad: int,
             # refs:
             seed_ref,                      # SMEM (1,)
             i_pre_ref, gi2_pre_ref, fc1_pre_ref, fc2_pre_ref,  # (CHUNK*B,D)
@@ -63,8 +67,8 @@ def _kernel(n_classes: int, rnn_dims: int, fc_dims: int,
     def step(t, carry):
         x, h1, h2 = carry  # (B,1) f32, (B,H) f32, (B,H) f32
 
-        row = t * B_PAD
-        xt = i_pre_ref[pl.ds(row, B_PAD), :].astype(jnp.float32) \
+        row = t * b_pad
+        xt = i_pre_ref[pl.ds(row, b_pad), :].astype(jnp.float32) \
             + x * w_x_ref[0][None, :]
 
         xt_b = xt.astype(compute_dtype)
@@ -77,7 +81,7 @@ def _kernel(n_classes: int, rnn_dims: int, fc_dims: int,
         x1 = xt + h1
         gi2 = jnp.dot(x1.astype(compute_dtype), w2_x_ref[:],
                       preferred_element_type=jnp.float32) \
-            + gi2_pre_ref[pl.ds(row, B_PAD), :].astype(jnp.float32)
+            + gi2_pre_ref[pl.ds(row, b_pad), :].astype(jnp.float32)
         gh2 = jnp.dot(h2.astype(compute_dtype), w2_hh_ref[:],
                       preferred_element_type=jnp.float32) + b2_hh_ref[0]
         h2 = gru(gi2, gh2, h2)
@@ -85,11 +89,11 @@ def _kernel(n_classes: int, rnn_dims: int, fc_dims: int,
         x2 = (x1 + h2).astype(compute_dtype)
         f1 = jax.nn.relu(
             jnp.dot(x2, fc1_kx_ref[:], preferred_element_type=jnp.float32)
-            + fc1_pre_ref[pl.ds(row, B_PAD), :].astype(jnp.float32))
+            + fc1_pre_ref[pl.ds(row, b_pad), :].astype(jnp.float32))
         f2 = jax.nn.relu(
             jnp.dot(f1.astype(compute_dtype), fc2_kx_ref[:],
                     preferred_element_type=jnp.float32)
-            + fc2_pre_ref[pl.ds(row, B_PAD), :].astype(jnp.float32))
+            + fc2_pre_ref[pl.ds(row, b_pad), :].astype(jnp.float32))
         logits = jnp.dot(f2.astype(compute_dtype), fc3_k_ref[:],
                          preferred_element_type=jnp.float32) + fc3_b_ref[0]
 
@@ -97,7 +101,7 @@ def _kernel(n_classes: int, rnn_dims: int, fc_dims: int,
             cls = jnp.argmax(logits, axis=-1)
         else:
             bits = pltpu.bitcast(
-                pltpu.prng_random_bits((B_PAD, n_classes)), jnp.uint32)
+                pltpu.prng_random_bits((b_pad, n_classes)), jnp.uint32)
             # uint32 -> f32 is unsupported in Mosaic: drop to 24 bits,
             # go through int32 (positive range) instead
             bits24 = pltpu.bitcast(bits >> 8, jnp.int32)
@@ -119,22 +123,23 @@ def _kernel(n_classes: int, rnn_dims: int, fc_dims: int,
 
 @functools.partial(jax.jit, static_argnames=('n_classes', 'rnn_dims',
                                              'fc_dims', 'greedy',
-                                             'compute_dtype'))
+                                             'compute_dtype', 'b_pad'))
 def pallas_sample(i_pre: jnp.ndarray, gi2_pre: jnp.ndarray,
                   fc1_pre: jnp.ndarray, fc2_pre: jnp.ndarray,
                   weights: Dict[str, jnp.ndarray], seed: jnp.ndarray,
                   n_classes: int, rnn_dims: int, fc_dims: int,
                   greedy: bool = False,
-                  compute_dtype=jnp.bfloat16) -> jnp.ndarray:
-    """Inputs are flattened time-major (T * B_PAD, D) with
-    T % CHUNK == 0 (row t*B_PAD+b = step t, lane b). Returns samples
-    (T, B_PAD) float32."""
-    T = i_pre.shape[0] // B_PAD
+                  compute_dtype=jnp.bfloat16,
+                  b_pad: int = 8) -> jnp.ndarray:
+    """Inputs are flattened time-major (T * b_pad, D) with
+    T % CHUNK == 0 (row t*b_pad+b = step t, lane b). Returns samples
+    (T, b_pad) float32."""
+    T = i_pre.shape[0] // b_pad
     assert T % CHUNK == 0
     grid = (T // CHUNK,)
 
     def time_block(d):
-        return pl.BlockSpec((CHUNK * B_PAD, d), lambda i: (i, 0),
+        return pl.BlockSpec((CHUNK * b_pad, d), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
 
     def full(shape):
@@ -142,7 +147,7 @@ def pallas_sample(i_pre: jnp.ndarray, gi2_pre: jnp.ndarray,
                             memory_space=pltpu.VMEM)
 
     kernel = functools.partial(_kernel, n_classes, rnn_dims, fc_dims,
-                               greedy, compute_dtype)
+                               greedy, compute_dtype, b_pad)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -165,13 +170,13 @@ def pallas_sample(i_pre: jnp.ndarray, gi2_pre: jnp.ndarray,
             full((fc_dims, n_classes)),                       # fc3_k
             full((1, n_classes)),                             # fc3_b
         ],
-        out_specs=pl.BlockSpec((CHUNK, B_PAD), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((CHUNK, b_pad), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((T, B_PAD), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((T, b_pad), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((B_PAD, rnn_dims), jnp.float32),  # h1
-            pltpu.VMEM((B_PAD, rnn_dims), jnp.float32),  # h2
-            pltpu.VMEM((B_PAD, 128), jnp.float32),       # x carry
+            pltpu.VMEM((b_pad, rnn_dims), jnp.float32),  # h1
+            pltpu.VMEM((b_pad, rnn_dims), jnp.float32),  # h2
+            pltpu.VMEM((b_pad, 128), jnp.float32),       # x carry
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(seed, i_pre, gi2_pre, fc1_pre, fc2_pre,
@@ -194,6 +199,7 @@ def wavernn_sample_pallas(model, variables: Dict, mels_up: np.ndarray,
     d = model.aux_dims
     B, T = mels_up.shape[0], mels_up.shape[1]
 
+    b_pad = _b_pad(B)
     cache_key = (rnn_dims, fc_dims, n_classes, d, B, T, greedy,
                  jnp.dtype(compute_dtype).name)
     if cache_key in _RUN_CACHE:
@@ -222,12 +228,12 @@ def wavernn_sample_pallas(model, variables: Dict, mels_up: np.ndarray,
         fc2_pre = a4 @ params['fc2_kernel'][fc_dims:] + params['fc2_bias']
 
         def prep(x, d_last):
-            # (B, T, D) -> (T_pad * B_PAD, D), T padded to CHUNK
+            # (B, T, D) -> (T_pad * b_pad, D), T padded to CHUNK
             T_pad = ((T + CHUNK - 1) // CHUNK) * CHUNK
-            out = jnp.zeros((T_pad, B_PAD, d_last), compute_dtype)
+            out = jnp.zeros((T_pad, b_pad, d_last), compute_dtype)
             out = out.at[:T, :B].set(
                 jnp.swapaxes(x, 0, 1).astype(compute_dtype))
-            return out.reshape(T_pad * B_PAD, d_last)
+            return out.reshape(T_pad * b_pad, d_last)
 
         bf = compute_dtype
         weights = {
@@ -248,7 +254,8 @@ def wavernn_sample_pallas(model, variables: Dict, mels_up: np.ndarray,
             prep(i_pre, rnn_dims), prep(gi2_pre, 3 * rnn_dims),
             prep(fc1_pre, fc_dims), prep(fc2_pre, fc_dims),
             weights, seed, n_classes=n_classes, rnn_dims=rnn_dims,
-            fc_dims=fc_dims, greedy=greedy, compute_dtype=compute_dtype)
+            fc_dims=fc_dims, greedy=greedy, compute_dtype=compute_dtype,
+            b_pad=b_pad)
         return samples[:T, :B].T
 
     _RUN_CACHE[cache_key] = run

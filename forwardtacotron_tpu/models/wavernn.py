@@ -307,6 +307,9 @@ class WaveRNN(nn.Module):
                    mode=mode, **model_config)
 
 
+_GEN_JIT_CACHE: Dict = {}
+
+
 # ------------------------------------------------------- fold / unfold
 
 def pad_tensor(x: np.ndarray, pad: int, side: str = 'both') -> np.ndarray:
@@ -423,9 +426,11 @@ def generate_wav(model: WaveRNN, variables: Dict, mel: np.ndarray,
     wave_len = (mel.shape[1] - 1) * model.hop_length
 
     mel = pad_tensor(mel, pad=model.pad, side='both')
-    mels_up, aux = jax.jit(
-        lambda v, m: model.apply(v, m, method='upsample_cond'))(
-            variables, jnp.asarray(mel))
+    up_key = (id(model), 'upsample')
+    if up_key not in _GEN_JIT_CACHE:
+        _GEN_JIT_CACHE[up_key] = jax.jit(
+            lambda v, m: model.apply(v, m, method='upsample_cond'))
+    mels_up, aux = _GEN_JIT_CACHE[up_key](variables, jnp.asarray(mel))
     # stay device-resident: fold is a gather, sampling reads straight
     # from HBM — the only host transfers are the input mel and the
     # final audio
@@ -444,10 +449,12 @@ def generate_wav(model: WaveRNN, variables: Dict, mel: np.ndarray,
                                        seed=seed).astype(np.float64)
     else:
         key = jax.random.PRNGKey(seed)
-        samples = jax.jit(
-            lambda v, m, a, k: model.apply(v, m, a, k,
-                                           method='sample_scan'))(
-                variables, mels_up, aux, key)
+        scan_key = (id(model), 'scan')
+        if scan_key not in _GEN_JIT_CACHE:
+            _GEN_JIT_CACHE[scan_key] = jax.jit(
+                lambda v, m, a, k: model.apply(v, m, a, k,
+                                               method='sample_scan'))
+        samples = _GEN_JIT_CACHE[scan_key](variables, mels_up, aux, key)
         output = np.asarray(samples).astype(np.float64)
 
     if mu_law:
