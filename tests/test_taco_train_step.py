@@ -1,0 +1,51 @@
+"""Tacotron teacher train step smoke test (CPU, small shapes): one
+optimization step with dropout/zoneout rngs, finite loss, BN stats
+update, r-dependent output shapes."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+CFG = dict(embed_dims=16, encoder_dims=128, decoder_dims=256,
+           postnet_dims=8, encoder_k=2, lstm_dims=32, postnet_k=2,
+           num_highways=1, dropout=0.5, stop_threshold=-11.0)
+
+
+def test_taco_train_step_runs_and_improves():
+    from forwardtacotron_tpu.models.tacotron import Tacotron
+    from forwardtacotron_tpu.train import common as tc
+    from forwardtacotron_tpu.train.taco_trainer import build_taco_train_step
+
+    model = Tacotron(num_chars=30, n_mels=80, **CFG)
+    optimizer = tc.make_optimizer(1.0, lr=1e-3)
+    rng = jax.random.PRNGKey(0)
+    r = 2
+    rngs = np.random.RandomState(0)
+    B, Tx, Tm = 2, 5, 8
+    batch = {
+        'x': jnp.asarray(rngs.randint(1, 29, (B, Tx)), jnp.int32),
+        'mel': jnp.asarray(rngs.randn(B, Tm, 80).astype(np.float32)),
+        'mel_len': jnp.asarray([Tm, Tm - 2]),
+    }
+    variables = model.init({'params': rng, 'dropout': rng},
+                           batch['x'], batch['mel'], r, train=True,
+                           rng=rng)
+    state = tc.TrainState(params=variables['params'],
+                          batch_stats=variables.get('batch_stats', {}),
+                          opt_state=optimizer.init(variables['params']),
+                          step=jnp.asarray(0, jnp.int32))
+    step_fn = build_taco_train_step(model, optimizer, r)
+
+    losses = []
+    for i in range(3):
+        state, (metrics, att) = step_fn(state, batch,
+                                        jax.random.fold_in(rng, i))
+        losses.append(float(metrics['loss']))
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0]  # overfits 1 batch immediately
+    assert att.shape == (B, Tm // r, Tx)
+    assert int(state.step) == 3
+    # attention rows are distributions
+    np.testing.assert_allclose(np.asarray(att).sum(-1), 1.0, rtol=1e-4)
