@@ -241,3 +241,21 @@ class TacoTrainer:
             log_audio(w, 'Ground_Truth_Aligned/postnet_wav',
                       self.dsp.griffinlim(m2_hat.T), step, sr,
                       fallback_dir=audio_dir)
+
+        # free-running generation (reference taco_trainer.py:173-186)
+        gen_steps = int(batch['mel_len'][0]) + 20
+        gen_steps += (-gen_steps) % session.r
+        m1g, m2g, attg, n_valid = model.apply(
+            state.variables, batch['x'][0:1], gen_steps, session.r,
+            method='generate')
+        n_valid = max(int(n_valid), 1)
+        w.add_figure('Generated/attention',
+                     plot_attention(np.asarray(attg)[0]), step)
+        w.add_figure('Generated/linear',
+                     plot_mel(np.asarray(m1g)[0, :n_valid]), step)
+        w.add_figure('Generated/postnet',
+                     plot_mel(np.asarray(m2g)[0, :n_valid]), step)
+        if self.dsp is not None:
+            log_audio(w, 'Generated/postnet_wav',
+                      self.dsp.griffinlim(np.asarray(m2g)[0, :n_valid].T),
+                      step, sr, fallback_dir=audio_dir)
