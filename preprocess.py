@@ -37,19 +37,11 @@ def valid_n_workers(num: str) -> int:
     return n
 
 
-def convert_file(dsp: DSP, path: Path) -> Tuple[np.ndarray, np.ndarray,
+def featurize(dsp: DSP, y: np.ndarray) -> Tuple[np.ndarray, np.ndarray,
                                                 np.ndarray]:
-    """wav -> (log-mel (n_mels, T), quantized wave, frame pitch).
-    Mirrors Preprocessor._convert_file (reference preprocess.py:51-91)."""
-    y = dsp.load_wav(path)
-    if dsp.should_trim_long_silences:
-        y = dsp.trim_long_silences(y)
-    if dsp.should_trim_start_end_silence:
-        y = dsp.trim_silence(y)
-    peak = np.abs(y).max() if len(y) else 1.0
-    if dsp.should_peak_norm or peak > 1.0:
-        y = y / peak
-
+    """trimmed wav -> (log-mel (n_mels, T), quantized wave, frame pitch).
+    Mirrors Preprocessor._convert_file (reference preprocess.py:51-91);
+    mel/F0 run on the accelerator."""
     mel = dsp.wav_to_mel_bucketed(y)
 
     from forwardtacotron_tpu.dsp.pitch import extract_pitch_bucketed
@@ -67,14 +59,62 @@ def convert_file(dsp: DSP, path: Path) -> Tuple[np.ndarray, np.ndarray,
             pitch.astype(np.float32))
 
 
+def convert_file(dsp: DSP, path: Path) -> Tuple[np.ndarray, np.ndarray,
+                                                np.ndarray]:
+    """Single-file convenience path (load + trim + featurize)."""
+    y = dsp.load_wav(path)
+    if dsp.should_trim_long_silences:
+        y = dsp.trim_long_silences(y)
+    if dsp.should_trim_start_end_silence:
+        y = dsp.trim_silence(y)
+    peak = np.abs(y).max() if len(y) else 1.0
+    if dsp.should_peak_norm or peak > 1.0:
+        y = y / peak
+    return featurize(dsp, y)
+
+
 def process_all(paths: Paths, dsp: DSP, cleaner: Cleaner,
-                text_dict: Dict[str, str],
-                wav_files: List[Path]) -> Tuple[list, list]:
+                text_dict: Dict[str, str], wav_files: List[Path],
+                n_workers: int = 1) -> Tuple[list, list]:
+    """Pipelined preprocessing: host worker threads decode/trim wavs and
+    write npys while the TPU computes mel/F0 for the previous files —
+    the reference's multiprocessing fan-out (preprocess.py:129-139)
+    reshaped around a single accelerator."""
+    import concurrent.futures as cf
+
+    def load(path: Path):
+        y = dsp.load_wav(path)
+        if dsp.should_trim_long_silences:
+            y = dsp.trim_long_silences(y)
+        if dsp.should_trim_start_end_silence:
+            y = dsp.trim_silence(y)
+        peak = np.abs(y).max() if len(y) else 1.0
+        if dsp.should_peak_norm or peak > 1.0:
+            y = y / peak
+        return y
+
+    def bounded_loaded():
+        """Sliding-window prefetch (Executor.map would eagerly submit —
+        and decode — every file at once)."""
+        from collections import deque
+        window = max(2 * n_workers, 2)
+        pending = deque()
+        it = iter(wav_files)
+        with cf.ThreadPoolExecutor(max_workers=max(n_workers, 1)) as pool:
+            for path in it:
+                pending.append((path, pool.submit(load, path)))
+                if len(pending) >= window:
+                    p, fut = pending.popleft()
+                    yield p, fut.result()
+            while pending:
+                p, fut = pending.popleft()
+                yield p, fut.result()
+
     dataset, cleaned_texts = [], []
-    for i, path in enumerate(wav_files, 1):
+    for i, (path, y) in enumerate(bounded_loaded(), 1):
         wav_id = path.stem
         try:
-            mel, quant, pitch = convert_file(dsp, path)
+            mel, quant, pitch = featurize(dsp, y)
         except Exception as e:  # corrupt file: skip, keep going
             print(f'\nFailed to process {path}: {e}')
             continue
@@ -131,7 +171,8 @@ def main() -> None:
     ])
 
     dataset, cleaned_texts = process_all(paths, dsp, cleaner, text_dict,
-                                         wav_files)
+                                         wav_files,
+                                         n_workers=args.num_workers)
 
     dataset.sort()
     random = Random(config['preprocessing'].get('seed', 42))
