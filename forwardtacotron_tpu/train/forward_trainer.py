@@ -98,11 +98,11 @@ class ForwardTrainer:
                                     bs=bs, train_set=train_set,
                                     val_set=val_set)
             if state is None:
+                example = session.val_sample if session.val_sample \
+                    is not None else next(iter(train_set))
                 state = tc.init_train_state(
-                    model, optimizer, session.val_sample and
-                    _batch_to_device(session.val_sample) or
-                    _batch_to_device(next(iter(train_set))),
-                    rng, init_kwargs={'train': True})
+                    model, optimizer, _batch_to_device(example), rng,
+                    init_kwargs={'train': True})
             if self.mesh is not None:
                 state = self._shard_state(state)
             state = self.train_session(model, optimizer, state, session, rng)
