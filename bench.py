@@ -90,6 +90,10 @@ def main() -> None:
         extra.update(_bench_wavernn(config))
     except Exception as e:  # never fail the headline metric
         extra['wavernn_bench_error'] = f'{type(e).__name__}: {e}'
+    try:
+        extra.update(_bench_training(config, model, variables))
+    except Exception as e:
+        extra['train_bench_error'] = f'{type(e).__name__}: {e}'
 
     print(json.dumps({
         'metric': 'batch1_mel_rtf',
@@ -98,6 +102,52 @@ def main() -> None:
         'vs_baseline': round(0.005 / rtf, 2),
         'extra': extra,
     }))
+
+
+def _bench_training(config, model, variables) -> dict:
+    """ForwardTacotron training throughput (steps/s and mel frames/s
+    through the optimizer) on a production-sized batch."""
+    import jax
+    import jax.numpy as jnp
+    from forwardtacotron_tpu.train import common as tc
+
+    train_cfg = config['forward_tacotron']['training']
+    optimizer = tc.make_optimizer(train_cfg.get('clip_grad_norm'), lr=5e-5)
+    rng = np.random.RandomState(0)
+    B, Tx, Tm = 32, 128, 768
+    dur = np.zeros((B, Tx), np.float32)
+    dur[:] = Tm // Tx
+    batch = {
+        'x': jnp.asarray(rng.randint(1, 60, (B, Tx)), jnp.int32),
+        'x_len': jnp.asarray([Tx] * B, jnp.int32),
+        'mel': jnp.asarray(rng.randn(B, Tm, 80).astype(np.float32)),
+        'mel_len': jnp.asarray([Tm] * B, jnp.int32),
+        'dur': jnp.asarray(dur),
+        'pitch': jnp.asarray(rng.randn(B, Tx).astype(np.float32)),
+        'energy': jnp.asarray(rng.randn(B, Tx).astype(np.float32)),
+    }
+    key = jax.random.PRNGKey(0)
+    state = tc.TrainState(
+        params=variables['params'],
+        batch_stats=variables.get('batch_stats', {}),
+        opt_state=optimizer.init(variables['params']),
+        step=jnp.asarray(0, jnp.int32))
+    step_fn = jax.jit(tc.build_forward_train_step(model, optimizer,
+                                                  train_cfg))
+    # two warmup calls: the first output state's dtypes differ from
+    # optimizer.init's (weak types), causing exactly one retrace
+    state, m = step_fn(state, batch, key)
+    state, m = step_fn(state, batch, key)
+    jax.block_until_ready(m['loss'])
+    t0 = time.perf_counter()
+    n = 10
+    for _ in range(n):
+        state, m = step_fn(state, batch, key)
+    jax.block_until_ready(m['loss'])
+    dt = (time.perf_counter() - t0) / n
+    return {'train_steps_per_sec': round(1.0 / dt, 2),
+            'train_mel_frames_per_sec': int(B * Tm / dt),
+            'train_batch': [B, Tx, Tm]}
 
 
 def _bench_wavernn(config) -> dict:
