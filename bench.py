@@ -94,6 +94,12 @@ def main() -> None:
         extra.update(_bench_training(config, model, variables))
     except Exception as e:
         extra['train_bench_error'] = f'{type(e).__name__}: {e}'
+    import os
+    if os.environ.get('BENCH_FULL'):  # FastPitch adds minutes of compile
+        try:
+            extra.update(_bench_fastpitch(config))
+        except Exception as e:
+            extra['fastpitch_bench_error'] = f'{type(e).__name__}: {e}'
 
     print(json.dumps({
         'metric': 'batch1_mel_rtf',
@@ -148,6 +154,44 @@ def _bench_training(config, model, variables) -> dict:
     return {'train_steps_per_sec': round(1.0 / dt, 2),
             'train_mel_frames_per_sec': int(B * Tm / dt),
             'train_batch': [B, Tx, Tm]}
+
+
+def _bench_fastpitch(config) -> dict:
+    """Batch-1 RTF for the FastPitch variant (tts_model: fast_pitch)."""
+    import jax
+    import jax.numpy as jnp
+    from forwardtacotron_tpu.models.fast_pitch import FastPitch
+
+    hop = config['dsp']['hop_length']
+    sr = config['dsp']['sample_rate']
+    model = FastPitch.from_config(config)
+    Tx, mel_bucket = 128, 768
+    x = jnp.asarray(
+        np.random.RandomState(0).randint(1, 60, size=(1, Tx)), jnp.int32)
+    x_len = jnp.asarray([120])
+    cpu = jax.local_devices(backend='cpu')[0]
+    with jax.default_device(cpu):
+        variables = model.init({'params': jax.random.PRNGKey(0)}, x,
+                               mel_bucket, method='generate', x_len=x_len)
+    variables = jax.device_put(variables, jax.devices()[0])
+
+    def gen(v, x, xl):
+        series = model.apply(v, x, method='predict_series', x_len=xl)
+        dur = jnp.where(jnp.arange(Tx)[None] < xl[:, None], 6.0, 0.0)
+        return model.apply(v, x, dur, series['pitch'], series['energy'],
+                           mel_bucket, method='generate_from_series',
+                           x_len=xl)
+
+    gen = jax.jit(gen)
+    out = jax.block_until_ready(gen(variables, x, x_len))
+    mel_len = int(out['mel_len'][0])
+    t0 = time.perf_counter()
+    for _ in range(50):
+        out = gen(variables, x, x_len)
+    jax.block_until_ready(out['mel_post'])
+    dt = (time.perf_counter() - t0) / 50
+    return {'fastpitch_batch1_latency_ms': round(dt * 1000, 3),
+            'fastpitch_batch1_rtf': round(dt / (mel_len * hop / sr), 6)}
 
 
 def _bench_wavernn(config) -> dict:
