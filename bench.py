@@ -200,9 +200,7 @@ def _bench_wavernn(config) -> dict:
     fused Pallas kernel."""
     import jax
     import jax.numpy as jnp
-    from forwardtacotron_tpu.models.wavernn import (WaveRNN,
-                                                    fold_with_overlap,
-                                                    pad_tensor)
+    from forwardtacotron_tpu.models.wavernn import WaveRNN, pad_tensor
 
     model = WaveRNN.from_config(config)
     rng = np.random.RandomState(0)

@@ -23,7 +23,6 @@ the reference's own duration-sum sanity check tolerates
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
 import jax

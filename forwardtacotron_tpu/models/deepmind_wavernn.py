@@ -16,7 +16,6 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from forwardtacotron_tpu.models.layers import torch_uniform_init
 
 
 def combine_signal(coarse: np.ndarray, fine: np.ndarray) -> np.ndarray:

@@ -25,7 +25,6 @@ from __future__ import annotations
 
 from typing import Any, Dict, Optional
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 

@@ -16,7 +16,7 @@ GSPMD propagation handles every activation in between.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import numpy as np

@@ -8,7 +8,6 @@ the schedule sessions (lr, max_step, bs) reuse one compiled step.
 """
 from __future__ import annotations
 
-import time
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax

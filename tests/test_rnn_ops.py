@@ -28,10 +28,11 @@ def test_gru_matches_torch():
                                atol=1e-5)
 
 
-def test_bigru_matches_torch():
+@pytest.mark.parametrize('B', [2, 12])  # fused (<=8) and separate paths
+def test_bigru_matches_torch(B):
     from forwardtacotron_tpu.ops.rnn import bigru
     torch.manual_seed(1)
-    B, T, D, H = 2, 9, 6, 12
+    T, D, H = 9, 6, 12
     tg = torch.nn.GRU(D, H, batch_first=True, bidirectional=True)
     x = torch.randn(B, T, D)
     ref, _ = tg(x)
@@ -41,15 +42,17 @@ def test_bigru_matches_torch():
                                atol=1e-5)
 
 
-def test_bilstm_packed_matches_torch():
+@pytest.mark.parametrize('B', [3, 12])
+def test_bilstm_packed_matches_torch(B):
     """Masked bidirectional LSTM == torch pack_padded/pad_packed path
-    (the ForwardTacotron decoder main net, forward_tacotron.py:224-230)."""
+    (the ForwardTacotron decoder main net, forward_tacotron.py:224-230),
+    on both the fused (B<=8) and separate-scan (B>8) paths."""
     from forwardtacotron_tpu.ops.rnn import bilstm
     torch.manual_seed(2)
-    B, T, D, H = 3, 10, 5, 7
+    T, D, H = 10, 5, 7
     tl = torch.nn.LSTM(D, H, batch_first=True, bidirectional=True)
     x = torch.randn(B, T, D)
-    lengths = torch.tensor([10, 7, 4])
+    lengths = torch.tensor(([10, 7, 4] * 4)[:B])
     packed = torch.nn.utils.rnn.pack_padded_sequence(
         x, lengths, batch_first=True, enforce_sorted=False)
     out, _ = tl(packed)

@@ -11,7 +11,7 @@ import argparse
 import os
 import subprocess
 from pathlib import Path
-from typing import Optional, Union
+from typing import Optional
 
 import numpy as np
 
