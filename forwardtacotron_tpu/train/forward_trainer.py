@@ -179,6 +179,10 @@ class ForwardTrainer:
                     self.generate_plots(model, state, session)
 
                 w = self.writer
+                w.add_scalar('Perf/steps_per_sec', speed, step)
+                w.add_scalar('Perf/mel_frames_per_sec',
+                             speed * batch['mel'].shape[0]
+                             * batch['mel'].shape[1], step)
                 w.add_scalar('Mel_Loss/train', m_loss, step)
                 w.add_scalar('Pitch_Loss/train', pitch_loss, step)
                 w.add_scalar('Energy_Loss/train',
