@@ -46,6 +46,79 @@ _LEXICON = {
     'great': 'ɡɹeɪt', 'own': 'oʊn', 'thought': 'θɔːt',
     'laugh': 'læf', 'enough': 'ɪnʌf', 'though': 'ðoʊ',
     'speech': 'spiːtʃ', 'mister': 'mɪstɚ', 'doctor': 'dɑːktɚ',
+    'was': 'wʌz', 'what': 'wʌt', 'who': 'huː', 'why': 'waɪ',
+    'woman': 'wʊmən', 'women': 'wɪmɪn', 'man': 'mæn', 'men': 'mɛn',
+    'one': 'wʌn', 'two': 'tuː', 'three': 'θɹiː', 'four': 'fɔːɹ',
+    'five': 'faɪv', 'six': 'sɪks', 'seven': 'sɛvən', 'eight': 'eɪt',
+    'nine': 'naɪn', 'ten': 'tɛn', 'hundred': 'hʌndɹəd',
+    'thousand': 'θaʊzənd', 'million': 'mɪljən',
+    'first': 'fɜːst', 'second': 'sɛkənd', 'third': 'θɜːd',
+    'new': 'nuː', 'old': 'oʊld', 'right': 'ɹaɪt', 'left': 'lɛft',
+    'long': 'lɔːŋ', 'little': 'lɪɾəl', 'big': 'bɪɡ', 'high': 'haɪ',
+    'small': 'smɔːl', 'large': 'lɑːɹdʒ', 'next': 'nɛkst',
+    'early': 'ɜːli', 'young': 'jʌŋ', 'important': 'ɪmpɔːɹtənt',
+    'few': 'fjuː', 'public': 'pʌblɪk', 'bad': 'bæd', 'same': 'seɪm',
+    'able': 'eɪbəl', 'night': 'naɪt', 'day': 'deɪ', 'year': 'jɪɹ',
+    'years': 'jɪɹz', 'week': 'wiːk', 'month': 'mʌnθ', 'hour': 'aʊɚ',
+    'house': 'haʊs', 'world': 'wɜːld', 'school': 'skuːl',
+    'state': 'steɪt', 'family': 'fæmɪli', 'student': 'stuːdənt',
+    'group': 'ɡɹuːp', 'country': 'kʌntɹi', 'problem': 'pɹɑːbləm',
+    'hand': 'hænd', 'part': 'pɑːɹt', 'place': 'pleɪs', 'case': 'keɪs',
+    'system': 'sɪstəm', 'program': 'pɹoʊɡɹæm', 'question': 'kwɛstʃən',
+    'government': 'ɡʌvɚnmənt', 'number': 'nʌmbɚ', 'point': 'pɔɪnt',
+    'home': 'hoʊm', 'water': 'wɔːɾɚ', 'room': 'ɹuːm',
+    'mother': 'mʌðɚ', 'father': 'fɑːðɚ', 'money': 'mʌni',
+    'story': 'stɔːɹi', 'fact': 'fækt', 'month': 'mʌnθ', 'lot': 'lɑːt',
+    'study': 'stʌdi', 'book': 'bʊk', 'word': 'wɜːd', 'words': 'wɜːdz',
+    'business': 'bɪznəs', 'issue': 'ɪʃuː', 'side': 'saɪd',
+    'kind': 'kaɪnd', 'head': 'hɛd', 'service': 'sɜːvɪs',
+    'friend': 'fɹɛnd', 'power': 'paʊɚ', 'game': 'ɡeɪm',
+    'line': 'laɪn', 'end': 'ɛnd', 'member': 'mɛmbɚ', 'law': 'lɔː',
+    'car': 'kɑːɹ', 'city': 'sɪɾi', 'community': 'kəmjuːnɪɾi',
+    'name': 'neɪm', 'president': 'pɹɛzɪdənt', 'team': 'tiːm',
+    'minute': 'mɪnɪt', 'idea': 'aɪdiːə', 'body': 'bɑːdi',
+    'information': 'ɪnfɚmeɪʃən', 'back': 'bæk', 'face': 'feɪs',
+    'others': 'ʌðɚz', 'level': 'lɛvəl', 'office': 'ɔːfɪs',
+    'door': 'dɔːɹ', 'health': 'hɛlθ', 'person': 'pɜːsən',
+    'art': 'ɑːɹt', 'war': 'wɔːɹ', 'history': 'hɪstɚɹi',
+    'party': 'pɑːɹɾi', 'result': 'ɹɪzʌlt', 'change': 'tʃeɪndʒ',
+    'morning': 'mɔːɹnɪŋ', 'reason': 'ɹiːzən', 'research': 'ɹiːsɜːtʃ',
+    'girl': 'ɡɜːl', 'boy': 'bɔɪ', 'guy': 'ɡaɪ', 'moment': 'moʊmənt',
+    'air': 'ɛɹ', 'teacher': 'tiːtʃɚ', 'force': 'fɔːɹs',
+    'education': 'ɛdʒukeɪʃən', 'foot': 'fʊt', 'feet': 'fiːt',
+    'music': 'mjuːzɪk', 'sound': 'saʊnd', 'voice': 'vɔɪs',
+    'language': 'læŋɡwɪdʒ', 'said': 'sɛd', 'says': 'sɛz',
+    'come': 'kʌm', 'comes': 'kʌmz', 'came': 'keɪm', 'get': 'ɡɛt',
+    'gets': 'ɡɛts', 'got': 'ɡɑːt', 'made': 'meɪd', 'makes': 'meɪks',
+    'going': 'ɡoʊɪŋ', 'goes': 'ɡoʊz', 'went': 'wɛnt', 'gone': 'ɡɔːn',
+    'take': 'teɪk', 'takes': 'teɪks', 'took': 'tʊk', 'taken': 'teɪkən',
+    'find': 'faɪnd', 'found': 'faʊnd', 'give': 'ɡɪv', 'gave': 'ɡeɪv',
+    'tell': 'tɛl', 'told': 'toʊld', 'become': 'bɪkʌm',
+    'became': 'bɪkeɪm', 'show': 'ʃoʊ', 'leave': 'liːv',
+    'feel': 'fiːl', 'felt': 'fɛlt', 'put': 'pʊt', 'mean': 'miːn',
+    'keep': 'kiːp', 'kept': 'kɛpt', 'let': 'lɛt', 'begin': 'bɪɡɪn',
+    'began': 'bɪɡæn', 'seem': 'siːm', 'help': 'hɛlp', 'talk': 'tɔːk',
+    'turn': 'tɜːn', 'start': 'stɑːɹt', 'might': 'maɪt',
+    'move': 'muːv', 'live': 'lɪv', 'believe': 'bɪliːv',
+    'hold': 'hoʊld', 'bring': 'bɹɪŋ', 'brought': 'bɹɔːt',
+    'happen': 'hæpən', 'must': 'mʌst', 'write': 'ɹaɪt',
+    'wrote': 'ɹoʊt', 'written': 'ɹɪtən', 'provide': 'pɹəvaɪd',
+    'sit': 'sɪt', 'sat': 'sæt', 'stand': 'stænd', 'stood': 'stʊd',
+    'lose': 'luːz', 'lost': 'lɔːst', 'pay': 'peɪ', 'paid': 'peɪd',
+    'meet': 'miːt', 'met': 'mɛt', 'include': 'ɪnkluːd',
+    'continue': 'kəntɪnjuː', 'set': 'sɛt', 'learn': 'lɜːn',
+    'understand': 'ʌndɚstænd', 'watch': 'wɑːtʃ', 'follow': 'fɑːloʊ',
+    'stop': 'stɑːp', 'create': 'kɹiːeɪt', 'speak': 'spiːk',
+    'spoke': 'spoʊk', 'read': 'ɹiːd', 'allow': 'əlaʊ', 'add': 'æd',
+    'spend': 'spɛnd', 'grow': 'ɡɹoʊ', 'open': 'oʊpən',
+    'walk': 'wɔːk', 'win': 'wɪn', 'won': 'wʌn', 'offer': 'ɔːfɚ',
+    'remember': 'ɹɪmɛmbɚ', 'love': 'lʌv', 'consider': 'kənsɪdɚ',
+    'appear': 'əpɪɹ', 'buy': 'baɪ', 'bought': 'bɔːt',
+    'wait': 'weɪt', 'serve': 'sɜːv', 'die': 'daɪ', 'died': 'daɪd',
+    'send': 'sɛnd', 'sent': 'sɛnt', 'expect': 'ɪkspɛkt',
+    'build': 'bɪld', 'built': 'bɪlt', 'stay': 'steɪ', 'fall': 'fɔːl',
+    'fell': 'fɛl', 'cut': 'kʌt', 'reach': 'ɹiːtʃ', 'kill': 'kɪl',
+    'remain': 'ɹɪmeɪn',
 }
 
 # Longest-match context-free digraph/letter rules (en-us flavored).
@@ -87,9 +160,14 @@ def _word_to_phonemes(word: str) -> str:
     magic_map = {'a': 'eɪ', 'i': 'aɪ', 'o': 'oʊ', 'u': 'juː', 'e': 'iː'}
     i = 0
     while i < len(w):
-        # soft c / soft g before e,i,y
+        # final '-le' after a consonant: syllabic l ("particle")
+        if w[i:] == 'le' and i > 0 and w[i - 1] not in 'aeiou':
+            out.append('əl')
+            break
+        # soft c / soft g before e,i,y ('sc' -> single s)
         if w[i] == 'c' and i + 1 < len(w) and w[i + 1] in 'eiy':
-            out.append('s')
+            if not (out and out[-1].endswith('s')):
+                out.append('s')
             i += 1
             continue
         if w[i] == 'g' and i + 1 < len(w) and w[i + 1] in 'eiy' \
