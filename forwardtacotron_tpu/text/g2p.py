@@ -150,12 +150,12 @@ def _word_to_phonemes(word: str) -> str:
     lower = word.lower()
     if lower in _LEXICON:
         return _LEXICON[lower]
-    # silent final e + magic-e vowel lengthening (made -> meɪd)
+    # silent final e (sentence, name) + magic-e lengthening (made -> meɪd)
     out = []
     w = lower
-    magic_e = (len(w) >= 3 and w.endswith('e') and w[-2] not in 'aeiou'
-               and w[-3] in 'aeiou')
-    if magic_e:
+    silent_e = len(w) >= 3 and w.endswith('e') and w[-2] not in 'aeiou'
+    magic_e = silent_e and w[-3] in 'aeiou'
+    if silent_e:
         w = w[:-1]
     magic_map = {'a': 'eɪ', 'i': 'aɪ', 'o': 'oʊ', 'u': 'juː', 'e': 'iː'}
     i = 0
