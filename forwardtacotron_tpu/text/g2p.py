@@ -150,20 +150,32 @@ def _word_to_phonemes(word: str) -> str:
     lower = word.lower()
     if lower in _LEXICON:
         return _LEXICON[lower]
-    # silent final e (sentence, name) + magic-e lengthening (made -> meɪd)
     out = []
     w = lower
-    silent_e = len(w) >= 3 and w.endswith('e') and w[-2] not in 'aeiou'
-    magic_e = silent_e and w[-3] in 'aeiou'
-    if silent_e:
+    suffix = ''
+    magic_e = False
+    # word-final patterns, handled before the main rule scan:
+    # consonant + 'le' -> syllabic l (particle); 'ce'/'ge' -> soft
+    # consonant with silent e (sentence, page); other consonant + 'e'
+    # -> silent e, possibly magic (made -> meɪd, name -> neɪm)
+    magic_pos = -10
+    if len(w) >= 3 and w.endswith('le') and w[-3] not in 'aeiou':
+        suffix, w = 'əl', w[:-2]
+    elif len(w) >= 3 and w.endswith('ce'):
+        suffix, w = 's', w[:-2]
+        magic_e = len(w) > 0 and w[-1] in 'aeiou'
+        magic_pos = len(w) - 1
+    elif len(w) >= 3 and w.endswith('ge'):
+        suffix, w = 'dʒ', w[:-2]
+        magic_e = len(w) > 0 and w[-1] in 'aeiou'
+        magic_pos = len(w) - 1
+    elif len(w) >= 3 and w.endswith('e') and w[-2] not in 'aeiou':
+        magic_e = w[-3] in 'aeiou'
+        magic_pos = len(w) - 3
         w = w[:-1]
     magic_map = {'a': 'eɪ', 'i': 'aɪ', 'o': 'oʊ', 'u': 'juː', 'e': 'iː'}
     i = 0
     while i < len(w):
-        # final '-le' after a consonant: syllabic l ("particle")
-        if w[i:] == 'le' and i > 0 and w[i - 1] not in 'aeiou':
-            out.append('əl')
-            break
         # soft c / soft g before e,i,y ('sc' -> single s)
         if w[i] == 'c' and i + 1 < len(w) and w[i + 1] in 'eiy':
             if not (out and out[-1].endswith('s')):
@@ -182,7 +194,7 @@ def _word_to_phonemes(word: str) -> str:
         for pattern, ipa in _RULES:
             if w.startswith(pattern, i):
                 if magic_e and len(pattern) == 1 and pattern in magic_map \
-                        and i == len(w) - 2:
+                        and i == magic_pos:
                     out.append(magic_map[pattern])
                 else:
                     out.append(ipa)
@@ -190,6 +202,7 @@ def _word_to_phonemes(word: str) -> str:
                 break
         else:
             i += 1  # unknown character: drop
+    out.append(suffix)
     return ''.join(out)
 
 
