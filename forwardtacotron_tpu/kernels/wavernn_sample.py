@@ -15,8 +15,11 @@ the speed-of-light version for the serving path:
   persisting across grid steps (the grid walks time chunks
   sequentially).
 
-RAW mode only (softmax classes aligned to the 128-lane VPU); MOL falls
-back to the scan sampler.
+RAW mode samples categorically over the softmax classes (lane-aligned);
+MOL mode (30 = 10x{logit, mean, log_scale} outputs, utils/
+distribution.py:87-123 in the reference) pads the fc3 output to 128
+lanes and runs the Gumbel-max mixture pick + logistic inverse-CDF
+sample on-chip with lane-iota masks.
 """
 from __future__ import annotations
 
@@ -30,6 +33,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 CHUNK = 32         # time steps per grid block
+LOG_SCALE_MIN = float(np.log(1e-14))   # ops/mol.py parity
 
 
 def _b_pad(b: int) -> int:
@@ -37,7 +41,7 @@ def _b_pad(b: int) -> int:
     return max(8, ((b + 7) // 8) * 8)
 
 
-def _kernel(n_classes: int, rnn_dims: int, fc_dims: int,
+def _kernel(n_classes: int, nr_mix: int, rnn_dims: int, fc_dims: int,
             greedy: bool, compute_dtype, b_pad: int,
             # refs:
             seed_ref,                      # SMEM (1,)
@@ -97,18 +101,49 @@ def _kernel(n_classes: int, rnn_dims: int, fc_dims: int,
         logits = jnp.dot(f2.astype(compute_dtype), fc3_k_ref[:],
                          preferred_element_type=jnp.float32) + fc3_b_ref[0]
 
-        if greedy:
-            cls = jnp.argmax(logits, axis=-1)
-        else:
-            bits = pltpu.bitcast(
-                pltpu.prng_random_bits((b_pad, n_classes)), jnp.uint32)
+        def uniform01():
             # uint32 -> f32 is unsupported in Mosaic: drop to 24 bits,
             # go through int32 (positive range) instead
+            bits = pltpu.bitcast(
+                pltpu.prng_random_bits((b_pad, n_classes)), jnp.uint32)
             bits24 = pltpu.bitcast(bits >> 8, jnp.int32)
-            u = bits24.astype(jnp.float32) * (1.0 / 16777216.0)
-            gumbel = -jnp.log(-jnp.log(u + 1e-9) + 1e-9)
-            cls = jnp.argmax(logits + gumbel, axis=-1)
-        sample = 2.0 * cls.astype(jnp.float32) / (n_classes - 1.0) - 1.0
+            return bits24.astype(jnp.float32) * (1.0 / 16777216.0)
+
+        if nr_mix:
+            # MOL: Gumbel-max mixture pick + logistic inverse-CDF sample
+            # (ops/mol.py:sample_from_discretized_mix_logistic) with the
+            # packed [logits | means | log_scales] layout masked by lane
+            lane = jax.lax.broadcasted_iota(jnp.int32,
+                                            (b_pad, n_classes), 1)
+            neg = jnp.full_like(logits, -1e30)
+            if greedy:
+                temp = jnp.where(lane < nr_mix, logits, neg)
+            else:
+                u = jnp.clip(uniform01(), 1e-5, 1.0 - 1e-5)
+                temp = jnp.where(lane < nr_mix, logits - jnp.log(-jnp.log(u)),
+                                 neg)
+            k_mix = jnp.argmax(temp, axis=-1)[:, None]
+            mean = jnp.sum(jnp.where(lane == k_mix + nr_mix, logits, 0.0),
+                           axis=-1)
+            if greedy:
+                sample = jnp.clip(mean, -1.0, 1.0)
+            else:
+                log_s = jnp.maximum(
+                    jnp.sum(jnp.where(lane == k_mix + 2 * nr_mix,
+                                      logits, 0.0), axis=-1),
+                    LOG_SCALE_MIN)
+                u2 = jnp.clip(uniform01(), 1e-5, 1.0 - 1e-5)
+                u2c = jnp.sum(jnp.where(lane == 0, u2, 0.0), axis=-1)
+                sample = jnp.clip(
+                    mean + jnp.exp(log_s)
+                    * (jnp.log(u2c) - jnp.log(1.0 - u2c)), -1.0, 1.0)
+        else:
+            if greedy:
+                cls = jnp.argmax(logits, axis=-1)
+            else:
+                gumbel = -jnp.log(-jnp.log(uniform01() + 1e-9) + 1e-9)
+                cls = jnp.argmax(logits + gumbel, axis=-1)
+            sample = 2.0 * cls.astype(jnp.float32) / (n_classes - 1.0) - 1.0
 
         out_ref[t, :] = sample
         return sample[:, None], h1, h2
@@ -121,18 +156,22 @@ def _kernel(n_classes: int, rnn_dims: int, fc_dims: int,
     x_ref[:, 0:1] = x
 
 
-@functools.partial(jax.jit, static_argnames=('n_classes', 'rnn_dims',
-                                             'fc_dims', 'greedy',
-                                             'compute_dtype', 'b_pad'))
+@functools.partial(jax.jit, static_argnames=('n_classes', 'nr_mix',
+                                             'rnn_dims', 'fc_dims',
+                                             'greedy', 'compute_dtype',
+                                             'b_pad'))
 def pallas_sample(i_pre: jnp.ndarray, gi2_pre: jnp.ndarray,
                   fc1_pre: jnp.ndarray, fc2_pre: jnp.ndarray,
                   weights: Dict[str, jnp.ndarray], seed: jnp.ndarray,
                   n_classes: int, rnn_dims: int, fc_dims: int,
+                  nr_mix: int = 0,
                   greedy: bool = False,
                   compute_dtype=jnp.bfloat16,
                   b_pad: int = 8) -> jnp.ndarray:
     """Inputs are flattened time-major (T * b_pad, D) with
-    T % CHUNK == 0 (row t*b_pad+b = step t, lane b). Returns samples
+    T % CHUNK == 0 (row t*b_pad+b = step t, lane b). `n_classes` is the
+    (lane-padded) fc3 output width; `nr_mix` > 0 switches to MOL
+    sampling with that many mixture components. Returns samples
     (T, b_pad) float32."""
     T = i_pre.shape[0] // b_pad
     assert T % CHUNK == 0
@@ -146,8 +185,8 @@ def pallas_sample(i_pre: jnp.ndarray, gi2_pre: jnp.ndarray,
         return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                             memory_space=pltpu.VMEM)
 
-    kernel = functools.partial(_kernel, n_classes, rnn_dims, fc_dims,
-                               greedy, compute_dtype, b_pad)
+    kernel = functools.partial(_kernel, n_classes, nr_mix, rnn_dims,
+                               fc_dims, greedy, compute_dtype, b_pad)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -190,17 +229,22 @@ def wavernn_sample_pallas(model, variables: Dict, mels_up: np.ndarray,
                           aux: np.ndarray, seed: int = 0,
                           greedy: bool = False,
                           compute_dtype=jnp.bfloat16) -> np.ndarray:
-    """Drop-in replacement for model.sample_scan on RAW-mode models.
+    """Drop-in replacement for model.sample_scan (RAW and MOL modes).
 
     mels_up / aux: (B, T, C). Returns samples (B, T) float32.
     """
     rnn_dims, fc_dims = model.rnn_dims, model.fc_dims
-    n_classes = model.n_classes
     d = model.aux_dims
     B, T = mels_up.shape[0], mels_up.shape[1]
+    if model.mode == 'MOL':
+        nr_mix = model.n_classes // 3
+        n_classes = 128  # lane-padded fc3 width; pad lanes masked off
+    else:
+        nr_mix = 0
+        n_classes = model.n_classes
 
     b_pad = _b_pad(B)
-    cache_key = (rnn_dims, fc_dims, n_classes, d, B, T, greedy,
+    cache_key = (rnn_dims, fc_dims, n_classes, nr_mix, d, B, T, greedy,
                  jnp.dtype(compute_dtype).name)
     if cache_key in _RUN_CACHE:
         run = _RUN_CACHE[cache_key]
@@ -236,6 +280,12 @@ def wavernn_sample_pallas(model, variables: Dict, mels_up: np.ndarray,
             return out.reshape(T_pad * b_pad, d_last)
 
         bf = compute_dtype
+        fc3_k = params['fc3_kernel']
+        fc3_b = params['fc3_bias']
+        if fc3_k.shape[-1] < n_classes:  # MOL: pad fc3 to full lanes
+            pad = n_classes - fc3_k.shape[-1]
+            fc3_k = jnp.pad(fc3_k, ((0, 0), (0, pad)))
+            fc3_b = jnp.pad(fc3_b, (0, pad))
         weights = {
             'w_x': I_k[0][None, :].astype(jnp.float32),
             'w1_ih': params['rnn1_w_ih'].T.astype(bf),
@@ -247,15 +297,15 @@ def wavernn_sample_pallas(model, variables: Dict, mels_up: np.ndarray,
             'b2_hh': params['rnn2_b_hh'][None, :].astype(jnp.float32),
             'fc1_kx': params['fc1_kernel'][:rnn_dims].astype(bf),
             'fc2_kx': params['fc2_kernel'][:fc_dims].astype(bf),
-            'fc3_k': params['fc3_kernel'].astype(bf),
-            'fc3_b': params['fc3_bias'][None, :].astype(jnp.float32),
+            'fc3_k': fc3_k.astype(bf),
+            'fc3_b': fc3_b[None, :].astype(jnp.float32),
         }
         samples = pallas_sample(
             prep(i_pre, rnn_dims), prep(gi2_pre, 3 * rnn_dims),
             prep(fc1_pre, fc_dims), prep(fc2_pre, fc_dims),
             weights, seed, n_classes=n_classes, rnn_dims=rnn_dims,
-            fc_dims=fc_dims, greedy=greedy, compute_dtype=compute_dtype,
-            b_pad=b_pad)
+            fc_dims=fc_dims, nr_mix=nr_mix, greedy=greedy,
+            compute_dtype=compute_dtype, b_pad=b_pad)
         return samples[:T, :B].T
 
     _RUN_CACHE[cache_key] = run
@@ -270,10 +320,13 @@ _RUN_CACHE: dict = {}
 
 def pallas_supported(model) -> bool:
     import jax as _jax
-    if model.mode != 'RAW':
+    if model.mode not in ('RAW', 'MOL'):
         return False
-    if model.rnn_dims % 128 or model.fc_dims % 128 or \
-            model.n_classes % 128:
+    if model.rnn_dims % 128 or model.fc_dims % 128:
         return False
+    if model.mode == 'RAW' and model.n_classes % 128:
+        return False
+    if model.mode == 'MOL' and model.n_classes > 3 * 42:
+        return False  # packed MOL params must fit the 128-lane fc3 pad
     platform = _jax.devices()[0].platform
     return platform in ('tpu', 'axon')

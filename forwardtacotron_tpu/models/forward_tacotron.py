@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from typing import Any, Dict, Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -195,9 +196,28 @@ class ForwardTacotron(nn.Module):
 
     def predict_series(self, x: jnp.ndarray, alpha: float = 1.0,
                        pitch_scale: float = 1.0, energy_scale: float = 1.0,
-                       x_len: Optional[jnp.ndarray] = None
+                       x_len: Optional[jnp.ndarray] = None,
+                       fused: Optional[bool] = None
                        ) -> Dict[str, jnp.ndarray]:
+        """Predict dur/pitch/energy series. `fused=None` auto-selects the
+        single-scan grouped-predictor path (predict_series_fused) for
+        small batches, where sequential scan latency dominates."""
+        from forwardtacotron_tpu.ops.rnn import FUSE_BIDIR_MAX_BATCH
+        if fused is None:
+            fused = (not self.is_initializing()
+                     and x.shape[0] <= FUSE_BIDIR_MAX_BATCH)
+        if fused and self._series_fusable() and not self.is_initializing():
+            return self.predict_series_fused(
+                x, alpha=alpha, pitch_scale=pitch_scale,
+                energy_scale=energy_scale, x_len=x_len)
         dur_hat = self.dur_pred(x, alpha=alpha, lengths=x_len)
+        dur_hat = self._dur_floor(x, dur_hat, x_len)
+        pitch_hat = self.pitch_pred(x, lengths=x_len) * pitch_scale
+        energy_hat = self.energy_pred(x, lengths=x_len) * energy_scale
+        return {'dur': dur_hat, 'pitch': pitch_hat, 'energy': energy_hat}
+
+    def _dur_floor(self, x: jnp.ndarray, dur_hat: jnp.ndarray,
+                   x_len: Optional[jnp.ndarray]) -> jnp.ndarray:
         # degenerate-duration floor (forward_tacotron.py:254-255)
         if x_len is not None:
             dur_valid = jnp.where(
@@ -205,10 +225,103 @@ class ForwardTacotron(nn.Module):
         else:
             dur_valid = dur_hat
         total = jnp.sum(dur_valid.astype(jnp.int32))
-        dur_hat = jnp.where(total <= 0, jnp.full_like(dur_hat, 2.0), dur_hat)
-        pitch_hat = self.pitch_pred(x, lengths=x_len) * pitch_scale
-        energy_hat = self.energy_pred(x, lengths=x_len) * energy_scale
-        return {'dur': dur_hat, 'pitch': pitch_hat, 'energy': energy_hat}
+        return jnp.where(total <= 0, jnp.full_like(dur_hat, 2.0), dur_hat)
+
+    def _series_fusable(self) -> bool:
+        return (self.durpred_conv_dims == self.pitch_conv_dims
+                == self.energy_conv_dims)
+
+    def predict_series_fused(self, x: jnp.ndarray, alpha: float = 1.0,
+                             pitch_scale: float = 1.0,
+                             energy_scale: float = 1.0,
+                             x_len: Optional[jnp.ndarray] = None
+                             ) -> Dict[str, jnp.ndarray]:
+        """All three SeriesPredictors in ONE scan (inference only).
+
+        The unfused path pays 3 sequential BiGRU scans (dur, pitch,
+        energy); here embeddings become one stacked gather, the conv
+        stacks one grouped convolution, and the three BiGRUs a 6-group
+        (3 predictors x 2 directions) grouped scan — identical math on
+        the valid lanes (see ops/rnn.py:grouped_bigru), ~3x fewer
+        sequential steps. Reads the same parameters the unfused modules
+        own, so checkpoints are oblivious to which path runs.
+        """
+        from forwardtacotron_tpu.ops.rnn import grouped_bigru, pad_gru_gates
+        preds = [self.dur_pred, self.pitch_pred, self.energy_pred]
+        variables = [p.variables for p in preds]
+        params = [v['params'] for v in variables]
+        stats = [v['batch_stats'] for v in variables]
+        G = 3
+        conv_dims = self.durpred_conv_dims
+        H = max(self.durpred_rnn_dims, self.pitch_rnn_dims,
+                self.energy_rnn_dims)
+        h_groups = [self.durpred_rnn_dims, self.pitch_rnn_dims,
+                    self.energy_rnn_dims]
+
+        # stacked embedding gather: (B, T, G*emb)
+        table = jnp.concatenate([p['embedding']['embedding'] for p in params],
+                                axis=-1)
+        h = table[x]
+        h = _time_mask(h, x_len)
+
+        # grouped conv stacks: conv5(no bias) -> relu -> BN(eval)
+        for i in range(3):
+            kernel = jnp.concatenate(
+                [p[f'conv_{i}']['conv']['kernel'] for p in params], axis=-1)
+            h = jax.lax.conv_general_dilated(
+                h, kernel, window_strides=(1,), padding=((2, 2),),
+                dimension_numbers=('NWC', 'WIO', 'NWC'),
+                feature_group_count=G)
+            h = jax.nn.relu(h)
+            scale = jnp.concatenate(
+                [p[f'conv_{i}']['bnorm']['scale'] for p in params])
+            bias = jnp.concatenate(
+                [p[f'conv_{i}']['bnorm']['bias'] for p in params])
+            mean = jnp.concatenate(
+                [s[f'conv_{i}']['bnorm']['mean'] for s in stats])
+            var = jnp.concatenate(
+                [s[f'conv_{i}']['bnorm']['var'] for s in stats])
+            h = (h - mean) * jax.lax.rsqrt(var + 1e-5) * scale + bias
+            h = _time_mask(h, x_len)
+
+        B, T = x.shape
+        h = h.reshape(B, T, G, conv_dims)
+
+        # 6-group fused BiGRU: weights padded per gate block to common H
+        def stack(dir_name, key, pad_cols):
+            ws = []
+            for p, hg in zip(params, h_groups):
+                w = pad_gru_gates(p['rnn'][dir_name][key], hg, H)
+                if pad_cols and hg != H:
+                    w = jnp.pad(w, ((0, 0), (0, H - hg)))
+                ws.append(w)
+            return jnp.stack(ws)
+
+        w_ih = jnp.stack([stack('fwd', 'w_ih', False),
+                          stack('bwd', 'w_ih', False)])   # (2, G, 3H, D)
+        w_hh = jnp.stack([stack('fwd', 'w_hh', True),
+                          stack('bwd', 'w_hh', True)])    # (2, G, 3H, H)
+        b_ih = jnp.stack([stack('fwd', 'b_ih', False),
+                          stack('bwd', 'b_ih', False)])
+        b_hh = jnp.stack([stack('fwd', 'b_hh', False),
+                          stack('bwd', 'b_hh', False)])
+        y = grouped_bigru(w_ih, w_hh, b_ih, b_hh, h, lengths=x_len)
+
+        # per-group output head: Dense((2Hg,) -> 1), zero-padded to H
+        w_out, b_out = [], []
+        for p, hg in zip(params, h_groups):
+            k = p['lin']['kernel'][:, 0]                  # (2Hg,)
+            w = jnp.stack([jnp.pad(k[:hg], (0, H - hg)),
+                           jnp.pad(k[hg:], (0, H - hg))])  # (2, H)
+            w_out.append(w)
+            b_out.append(p['lin']['bias'][0])
+        out = jnp.einsum('btgch,gch->btg', y, jnp.stack(w_out)) \
+            + jnp.stack(b_out)
+
+        dur_hat = self._dur_floor(x, out[..., 0] / alpha, x_len)
+        return {'dur': dur_hat,
+                'pitch': out[..., 1] * pitch_scale,
+                'energy': out[..., 2] * energy_scale}
 
     def generate_from_series(self, x: jnp.ndarray, dur: jnp.ndarray,
                              pitch: jnp.ndarray, energy: jnp.ndarray,

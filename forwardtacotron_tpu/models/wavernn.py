@@ -30,7 +30,9 @@ from flax import linen as nn
 
 from forwardtacotron_tpu.models.layers import torch_uniform_init
 from forwardtacotron_tpu.ops import rnn as rnn_ops
-from forwardtacotron_tpu.ops.mol import sample_from_discretized_mix_logistic
+from forwardtacotron_tpu.ops.mol import (
+    greedy_from_discretized_mix_logistic,
+    sample_from_discretized_mix_logistic)
 
 
 class ResBlock(nn.Module):
@@ -274,7 +276,10 @@ class WaveRNN(nn.Module):
             logits = f2 @ fc3_k + fc3_b
 
             if self.mode == 'MOL':
-                sample = sample_from_discretized_mix_logistic(logits, k)
+                if greedy:
+                    sample = greedy_from_discretized_mix_logistic(logits)
+                else:
+                    sample = sample_from_discretized_mix_logistic(logits, k)
                 x_new = sample
             else:
                 if greedy:
@@ -412,9 +417,9 @@ def generate_wav(model: WaveRNN, variables: Dict, mel: np.ndarray,
 
     use_pallas: run the fused Pallas sampling kernel
     (kernels/wavernn_sample.py) instead of the lax.scan sampler.
-    Default auto: the kernel when supported (TPU + RAW + 128-aligned
-    dims; measured 5.1 us/step vs 7.7 us/step for the bf16 scan on
-    v5e), scan otherwise."""
+    Default auto: the kernel when supported (TPU + RAW/MOL +
+    128-aligned dims; measured 5.1 us/step vs 7.7 us/step for the bf16
+    scan on v5e), scan otherwise."""
     from forwardtacotron_tpu.dsp.audio import DSP
 
     mel = np.asarray(mel, dtype=np.float32)

@@ -64,6 +64,17 @@ def discretized_mix_logistic_loss(y_hat: jnp.ndarray, y: jnp.ndarray,
     return -log_sum_exp(log_probs)[..., None]
 
 
+def greedy_from_discretized_mix_logistic(y: jnp.ndarray) -> jnp.ndarray:
+    """Deterministic MOL 'sample': the mean of the most likely mixture
+    component. Used as the reproducible trajectory for kernel parity
+    tests (the stochastic sampler below is the production path)."""
+    nr_mix = y.shape[-1] // 3
+    argmax = jnp.argmax(y[..., :nr_mix], axis=-1)
+    one_hot = jax.nn.one_hot(argmax, nr_mix)
+    means = jnp.sum(y[..., nr_mix:2 * nr_mix] * one_hot, axis=-1)
+    return jnp.clip(means, -1.0, 1.0)
+
+
 def sample_from_discretized_mix_logistic(
         y: jnp.ndarray, key: jax.Array,
         log_scale_min: float = LOG_SCALE_MIN) -> jnp.ndarray:

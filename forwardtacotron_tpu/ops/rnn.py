@@ -204,6 +204,69 @@ def _bidir_fused(cell_kind: str, params_fwd: Params, params_bwd: Params,
 FUSE_BIDIR_MAX_BATCH = 8
 
 
+def grouped_bigru(w_ih: jnp.ndarray, w_hh: jnp.ndarray, b_ih: jnp.ndarray,
+                  b_hh: jnp.ndarray, x_groups: jnp.ndarray,
+                  lengths: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """G independent bidirectional GRUs advanced together in ONE scan.
+
+    Batch-1 RNN inference on TPU is sequential-step-latency bound, so an
+    ensemble of small independent BiGRUs (e.g. the three duration/pitch/
+    energy SeriesPredictors, reference models/forward_tacotron.py:14-55)
+    should pay for ONE scan of T steps, not 2*G of them. Groups and
+    directions become a leading einsum axis of grouped matmuls; weights
+    of narrower groups are zero-padded per gate block to the common H
+    (zero rows/columns keep pad lanes exactly zero through the GRU
+    recurrence, so valid lanes are bit-identical to separate runs).
+
+    w_ih: (2, G, 3H, D) with dir 0 = forward, 1 = backward;
+    w_hh: (2, G, 3H, H); b_ih/b_hh: (2, G, 3H); x_groups: (B, T, G, D).
+    Returns (B, T, G, 2, H) — per-group [forward, backward] features.
+    """
+    B, T, G, _ = x_groups.shape
+    H = w_hh.shape[-1]
+    # whole-sequence input projections in one MXU pass per direction
+    gi = jnp.einsum('btgd,cghd->tcgbh', x_groups, w_ih) \
+        + b_ih[None, :, :, None, :]                      # (T, 2, G, B, 3H)
+    gi = jnp.concatenate([gi[:, :1], gi[::-1, 1:]], axis=1)
+    w_hh_t = jnp.swapaxes(w_hh, -1, -2)                  # (2, G, H, 3H)
+    ts_f = jnp.arange(T)
+    ts = jnp.stack([ts_f, ts_f[::-1]], axis=1)           # (T, 2)
+
+    def step(h, inp):
+        gi_t, t = inp                                    # (2,G,B,3H), (2,)
+        gh = jnp.einsum('cgbh,cghk->cgbk', h, w_hh_t) + b_hh[:, :, None, :]
+        r = jax.nn.sigmoid(gi_t[..., :H] + gh[..., :H])
+        z = jax.nn.sigmoid(gi_t[..., H:2 * H] + gh[..., H:2 * H])
+        n = jnp.tanh(gi_t[..., 2 * H:] + r * gh[..., 2 * H:])
+        h_new = (1.0 - z) * n + z * h
+        if lengths is not None:
+            mask = (t[:, None, None] < lengths[None, None, :])[..., None]
+            h_new = jnp.where(mask, h_new, h)
+        return h_new, h_new
+
+    init = jnp.zeros((2, G, B, H), x_groups.dtype)
+    _, ys = jax.lax.scan(step, init, (gi, ts))           # (T, 2, G, B, H)
+    y = jnp.stack([ys[:, 0], ys[::-1, 1]], axis=3)       # (T, G, B, 2, H)
+    y = jnp.transpose(y, (2, 0, 1, 3, 4))                # (B, T, G, 2, H)
+    if lengths is not None:
+        tmask = jnp.arange(T)[None, :, None, None, None] \
+            < lengths[:, None, None, None, None]
+        y = jnp.where(tmask, y, 0.0)
+    return y
+
+
+def pad_gru_gates(w: jnp.ndarray, h_group: int, h_common: int,
+                  n_gates: int = 3) -> jnp.ndarray:
+    """Zero-pad per-gate blocks of a torch-layout stacked-gate tensor
+    (n_gates*h_group, ...) to (n_gates*h_common, ...)."""
+    if h_group == h_common:
+        return w
+    w = w.reshape((n_gates, h_group) + w.shape[1:])
+    pad = [(0, 0), (0, h_common - h_group)] + [(0, 0)] * (w.ndim - 2)
+    w = jnp.pad(w, pad)
+    return w.reshape((n_gates * h_common,) + w.shape[2:])
+
+
 def bigru(params_fwd: Params, params_bwd: Params, x: jnp.ndarray,
           lengths: Optional[jnp.ndarray] = None, pad_value: float = 0.0
           ) -> jnp.ndarray:

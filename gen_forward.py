@@ -79,6 +79,11 @@ def main() -> None:
     wr_parser.add_argument('--overlap', '-o', default=550, type=int)
     wr_parser.add_argument('--target', '-t', default=11_000, type=int)
     wr_parser.add_argument('--voc_checkpoint', type=str)
+    wr_parser.add_argument('--stream', action='store_true',
+                           help='write audio incrementally as fold groups '
+                                'complete (bounded memory for long inputs)')
+    wr_parser.add_argument('--stream_group', default=8, type=int,
+                           help='fold lanes sampled per streamed chunk')
     subparsers.add_parser('griffinlim')
     subparsers.add_parser('melgan')
     subparsers.add_parser('hifigan')
@@ -87,6 +92,9 @@ def main() -> None:
     assert args.vocoder in {'griffinlim', 'wavernn', 'melgan', 'hifigan'}, \
         ("Please provide a valid vocoder! Choices: ['griffinlim', "
          "'wavernn', 'melgan', 'hifigan']")
+    if args.alpha <= 0:
+        parser.error('--alpha must be > 0 (it divides the predicted '
+                     'durations; 0 would explode the output length)')
 
     from forwardtacotron_tpu.dsp.audio import DSP
     from forwardtacotron_tpu.text.cleaners import Cleaner
@@ -144,12 +152,25 @@ def main() -> None:
             np.save(out_path / f'{wav_name}.npy', mel_post[None],
                     allow_pickle=False)
         elif args.vocoder == 'wavernn':
-            from forwardtacotron_tpu.models.wavernn import generate_wav
-            wav = generate_wav(voc_model, voc_variables, mel_post,
-                               batched=True, target=args.target,
-                               overlap=args.overlap,
-                               mu_law=voc_dsp.mu_law)
-            dsp.save_wav(wav, out_path / f'{wav_name}.wav')
+            if args.stream:
+                from forwardtacotron_tpu.models.streaming import (
+                    stream_wav, write_wav_streaming)
+                chunks = stream_wav(voc_model, voc_variables, mel_post,
+                                    target=args.target,
+                                    overlap=args.overlap,
+                                    group=args.stream_group,
+                                    mu_law=voc_dsp.mu_law)
+                n = write_wav_streaming(chunks,
+                                        out_path / f'{wav_name}.wav',
+                                        dsp.sample_rate)
+                print(f'| streamed {n} samples')
+            else:
+                from forwardtacotron_tpu.models.wavernn import generate_wav
+                wav = generate_wav(voc_model, voc_variables, mel_post,
+                                   batched=True, target=args.target,
+                                   overlap=args.overlap,
+                                   mu_law=voc_dsp.mu_law)
+                dsp.save_wav(wav, out_path / f'{wav_name}.wav')
         elif args.vocoder == 'griffinlim':
             wav = dsp.griffinlim(mel_post)
             dsp.save_wav(wav, out_path / f'{wav_name}.wav')

@@ -44,3 +44,29 @@ def test_batched_generate_equals_single():
         np.testing.assert_allclose(
             np.asarray(batched['mel_post'])[i, :bl],
             np.asarray(single['mel_post'])[0, :sl], atol=1e-5)
+
+
+def test_fused_series_matches_unfused():
+    """predict_series fused path (one grouped scan for dur/pitch/energy,
+    mixed hidden widths) == the three separate predictor runs."""
+    from forwardtacotron_tpu.models.forward_tacotron import ForwardTacotron
+    cfg = dict(TINY)
+    cfg.update(durpred_rnn_dims=4, pitch_rnn_dims=6, energy_rnn_dims=3)
+    model = ForwardTacotron(num_chars=40, n_mels=6, **cfg)
+    rng = np.random.RandomState(1)
+    x = np.zeros((2, 12), dtype=np.int32)
+    lens = [12, 8]
+    for i, l in enumerate(lens):
+        x[i, :l] = rng.randint(1, 39, l)
+    x = jnp.asarray(x)
+    xl = jnp.asarray(lens)
+    variables = model.init({'params': jax.random.PRNGKey(0)}, x, 32,
+                           method='generate', x_len=xl)
+    kw = dict(alpha=1.2, pitch_scale=0.7, energy_scale=1.4, x_len=xl)
+    un = model.apply(variables, x, method='predict_series', fused=False,
+                     **kw)
+    fu = model.apply(variables, x, method='predict_series', fused=True,
+                     **kw)
+    for k in un:
+        np.testing.assert_allclose(np.asarray(fu[k]), np.asarray(un[k]),
+                                   atol=1e-6)

@@ -123,3 +123,53 @@ def test_masked_l1_matches_reference():
                      jnp.asarray(t.numpy().transpose(0, 2, 1)),
                      jnp.asarray(lens.numpy()))
     np.testing.assert_allclose(float(ours), float(ref), rtol=1e-6)
+
+
+def test_grouped_bigru_matches_torch():
+    """3 independent BiGRUs with DIFFERENT hidden sizes advanced in one
+    grouped scan (the fused SeriesPredictor ensemble) must match three
+    separate torch packed BiGRUs on the valid lanes."""
+    from forwardtacotron_tpu.ops.rnn import grouped_bigru, pad_gru_gates
+    torch.manual_seed(3)
+    B, T, D = 2, 9, 6
+    hs = [4, 8, 5]
+    H = max(hs)
+    x = torch.randn(B, T, D)
+    lengths = torch.tensor([9, 5])
+
+    refs, w_ih, w_hh, b_ih, b_hh = [], [], [], [], []
+    for hg in hs:
+        tg = torch.nn.GRU(D, hg, batch_first=True, bidirectional=True)
+        packed = torch.nn.utils.rnn.pack_padded_sequence(
+            x, lengths, batch_first=True, enforce_sorted=False)
+        out, _ = tg(packed)
+        ref, _ = torch.nn.utils.rnn.pad_packed_sequence(
+            out, batch_first=True, total_length=T)
+        refs.append(ref.detach().numpy())
+        for lst, key, pad_cols in [(w_ih, 'weight_ih_l0', False),
+                                   (w_hh, 'weight_hh_l0', True),
+                                   (b_ih, 'bias_ih_l0', False),
+                                   (b_hh, 'bias_hh_l0', False)]:
+            pair = []
+            for suffix in ['', '_reverse']:
+                w = jnp.asarray(getattr(tg, key + suffix).detach().numpy())
+                w = pad_gru_gates(w, hg, H)
+                if pad_cols and hg != H:
+                    w = jnp.pad(w, ((0, 0), (0, H - hg)))
+                pair.append(w)
+            lst.append(pair)
+
+    def stack(lst, d):
+        return jnp.stack([lst[g][d] for g in range(3)])
+
+    xg = jnp.broadcast_to(jnp.asarray(x.numpy())[:, :, None, :], (B, T, 3, D))
+    y = grouped_bigru(
+        jnp.stack([stack(w_ih, 0), stack(w_ih, 1)]),
+        jnp.stack([stack(w_hh, 0), stack(w_hh, 1)]),
+        jnp.stack([stack(b_ih, 0), stack(b_ih, 1)]),
+        jnp.stack([stack(b_hh, 0), stack(b_hh, 1)]),
+        xg, lengths=jnp.asarray(lengths.numpy()))
+    for g, hg in enumerate(hs):
+        ours = np.concatenate([np.asarray(y[:, :, g, 0, :hg]),
+                               np.asarray(y[:, :, g, 1, :hg])], axis=-1)
+        np.testing.assert_allclose(ours, refs[g], atol=1e-5)
