@@ -141,20 +141,25 @@ class ForwardTacotron(nn.Module):
         return h
 
     def _decode(self, h: jnp.ndarray, mel_lens: Optional[jnp.ndarray],
-                train: bool, masked: bool = False) -> Dict[str, jnp.ndarray]:
+                train: bool, masked: bool = False,
+                fast: bool = False) -> Dict[str, jnp.ndarray]:
         """BiLSTM main net + linear + CBHG postnet. h already expanded.
 
         masked=False reproduces the reference's teacher-forced batch path
         (padding flows through the postnet, like the torch model on padded
         batches); masked=True is the padded-exact inference path where
         every stage is cut at the true mel length so a static bucket
-        computes the same values as an exact-length run.
+        computes the same values as an exact-length run. `fast` opts the
+        inference path into the fused Pallas BiRNN kernels (bf16, no
+        autodiff — never set during training).
         """
-        y = self.lstm(h, lengths=mel_lens, pad_value=PADDING_VALUE)
+        y = self.lstm(h, lengths=mel_lens, pad_value=PADDING_VALUE,
+                      fast=fast)
         mel = self.lin(y)
         post_in = _time_mask(mel, mel_lens) if masked else mel
         post = self.postnet(post_in, train=train,
-                            lengths=mel_lens if masked else None)
+                            lengths=mel_lens if masked else None,
+                            fast=fast)
         mel_post = self.post_proj(post)
         return {'mel': mel, 'mel_post': mel_post}
 
@@ -180,17 +185,19 @@ class ForwardTacotron(nn.Module):
 
     def generate(self, x: jnp.ndarray, max_t: int, alpha: float = 1.0,
                  pitch_scale: float = 1.0, energy_scale: float = 1.0,
-                 x_len: Optional[jnp.ndarray] = None
-                 ) -> Dict[str, jnp.ndarray]:
+                 x_len: Optional[jnp.ndarray] = None,
+                 fast: bool = True) -> Dict[str, jnp.ndarray]:
         """Fully-jitted inference (reference .generate / .generate_jit,
         forward_tacotron.py:244-330). `max_t` is the static mel bucket;
-        returned 'mel_len' gives the true generated length."""
+        returned 'mel_len' gives the true generated length. `fast`
+        selects the Pallas BiRNN kernels on TPU (see
+        generate_from_series)."""
         series = self.predict_series(x, alpha=alpha,
                                      pitch_scale=pitch_scale,
                                      energy_scale=energy_scale, x_len=x_len)
         out = self.generate_from_series(
             x, series['dur'], series['pitch'], series['energy'],
-            max_t=max_t, x_len=x_len)
+            max_t=max_t, x_len=x_len, fast=fast)
         out['dur'] = series['dur']
         return out
 
@@ -305,7 +312,15 @@ class ForwardTacotron(nn.Module):
                           stack('bwd', 'b_ih', False)])
         b_hh = jnp.stack([stack('fwd', 'b_hh', False),
                           stack('bwd', 'b_hh', False)])
-        y = grouped_bigru(w_ih, w_hh, b_ih, b_hh, h, lengths=x_len)
+        from forwardtacotron_tpu.ops.rnn import _fast_kernel_ok
+        if _fast_kernel_ok(x, H):
+            # long inputs: the whole 6-group ensemble in one Pallas
+            # kernel launch (kernels/birnn.py)
+            from forwardtacotron_tpu.kernels.birnn import birnn_pallas
+            y = birnn_pallas('gru', w_ih, w_hh, b_ih, b_hh, h,
+                             lengths=x_len)
+        else:
+            y = grouped_bigru(w_ih, w_hh, b_ih, b_hh, h, lengths=x_len)
 
         # per-group output head: Dense((2Hg,) -> 1), zero-padded to H
         w_out, b_out = [], []
@@ -326,15 +341,19 @@ class ForwardTacotron(nn.Module):
     def generate_from_series(self, x: jnp.ndarray, dur: jnp.ndarray,
                              pitch: jnp.ndarray, energy: jnp.ndarray,
                              max_t: int,
-                             x_len: Optional[jnp.ndarray] = None
-                             ) -> Dict[str, jnp.ndarray]:
+                             x_len: Optional[jnp.ndarray] = None,
+                             fast: bool = True) -> Dict[str, jnp.ndarray]:
+        """Expand + decode. `fast=True` (default) uses the fused Pallas
+        BiRNN kernels for the decoder/postnet recurrences on TPU (bf16,
+        ~1e-3 mel error); pass fast=False for bit-parity with the scan
+        path (e.g. golden-mel gates)."""
         h = self._encode(x, pitch, energy, train=False, lengths=x_len)
         if x_len is not None:
             dur = jnp.where(jnp.arange(x.shape[1])[None] < x_len[:, None],
                             dur, 0.0)
             h = _time_mask(h, x_len)
         h, mel_len = length_regulate(h, dur, max_t=max_t)
-        out = self._decode(h, mel_len, train=False, masked=True)
+        out = self._decode(h, mel_len, train=False, masked=True, fast=fast)
         out.update(pitch=pitch, energy=energy, mel_len=mel_len)
         return out
 

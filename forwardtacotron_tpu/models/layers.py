@@ -75,17 +75,19 @@ class TorchGRU(nn.Module):
 class TorchBiGRU(nn.Module):
     """Bidirectional GRU: both directions advance in ONE fused scan
     (ops/rnn.py:_bidir_fused) — half the sequential steps, identical
-    math to two separate direction passes."""
+    math to two separate direction passes. `fast=True` opts long
+    sequences into the fused Pallas kernel (inference only)."""
     hidden: int
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
                  lengths: Optional[jnp.ndarray] = None,
-                 pad_value: float = 0.0) -> jnp.ndarray:
+                 pad_value: float = 0.0, fast: bool = False) -> jnp.ndarray:
         fwd = _DirParams(self.hidden, 3, name='fwd')(x.shape[-1])
         bwd = _DirParams(self.hidden, 3, name='bwd')(x.shape[-1])
         return rnn_ops.bigru(fwd, bwd, x, lengths=lengths,
-                             pad_value=pad_value)
+                             pad_value=pad_value,
+                             fast=fast and not self.is_initializing())
 
 
 class TorchBiLSTM(nn.Module):
@@ -94,11 +96,12 @@ class TorchBiLSTM(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray,
                  lengths: Optional[jnp.ndarray] = None,
-                 pad_value: float = 0.0) -> jnp.ndarray:
+                 pad_value: float = 0.0, fast: bool = False) -> jnp.ndarray:
         fwd = _DirParams(self.hidden, 4, name='fwd')(x.shape[-1])
         bwd = _DirParams(self.hidden, 4, name='bwd')(x.shape[-1])
         return rnn_ops.bilstm(fwd, bwd, x, lengths=lengths,
-                              pad_value=pad_value)
+                              pad_value=pad_value,
+                              fast=fast and not self.is_initializing())
 
 
 class BatchNormConv(nn.Module):
@@ -149,7 +152,8 @@ class CBHG(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False,
-                 lengths: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                 lengths: Optional[jnp.ndarray] = None,
+                 fast: bool = False) -> jnp.ndarray:
         """With `lengths`, every stage is cut at each item's true length
         (convs see zero padding, maxpool sees -inf, the BiGRU reverses
         from the true end) so a padded static-bucket run computes the
@@ -184,4 +188,5 @@ class CBHG(nn.Module):
         for i in range(self.num_highways):
             x = HighwayNetwork(self.channels, name=f'highway_{i}')(x)
 
-        return TorchBiGRU(self.channels, name='rnn')(x, lengths=lengths)
+        return TorchBiGRU(self.channels, name='rnn')(x, lengths=lengths,
+                                                     fast=fast)

@@ -267,17 +267,50 @@ def pad_gru_gates(w: jnp.ndarray, h_group: int, h_common: int,
     return w.reshape((n_gates * h_common,) + w.shape[2:])
 
 
+# The fused Pallas kernel beats the XLA scan only when the sequence is
+# long enough to amortize its layout/launch overhead (measured
+# crossover ~T=200-300 on v5e; prenet-sized T=128 is faster as a scan).
+FAST_KERNEL_MIN_T = 256
+
+
+def _fast_kernel_ok(x: jnp.ndarray, hidden: int) -> bool:
+    from forwardtacotron_tpu.kernels.birnn import birnn_pallas_supported
+    return (x.shape[1] >= FAST_KERNEL_MIN_T
+            and birnn_pallas_supported(hidden, x.shape[0]))
+
+
+def _birnn_fast(cell: str, params_fwd: Params, params_bwd: Params,
+                x: jnp.ndarray, lengths: Optional[jnp.ndarray]
+                ) -> jnp.ndarray:
+    """Whole bidirectional recurrence in one Pallas kernel
+    (kernels/birnn.py): 1.3x (LSTM 512) to 1.6x (GRU 256) over the
+    fused scan at batch 1 on v5e. bf16 compute (~1e-3 output error) —
+    inference only; the scan path remains the training/parity path."""
+    from forwardtacotron_tpu.kernels.birnn import birnn_pallas
+    w_ih = jnp.stack([params_fwd['w_ih'], params_bwd['w_ih']])[:, None]
+    w_hh = jnp.stack([params_fwd['w_hh'], params_bwd['w_hh']])[:, None]
+    b_ih = jnp.stack([params_fwd['b_ih'], params_bwd['b_ih']])[:, None]
+    b_hh = jnp.stack([params_fwd['b_hh'], params_bwd['b_hh']])[:, None]
+    y = birnn_pallas(cell, w_ih, w_hh, b_ih, b_hh, x[:, :, None, :],
+                     lengths=lengths)
+    return jnp.concatenate([y[:, :, 0, 0], y[:, :, 0, 1]], axis=-1)
+
+
 def bigru(params_fwd: Params, params_bwd: Params, x: jnp.ndarray,
-          lengths: Optional[jnp.ndarray] = None, pad_value: float = 0.0
-          ) -> jnp.ndarray:
+          lengths: Optional[jnp.ndarray] = None, pad_value: float = 0.0,
+          fast: bool = False) -> jnp.ndarray:
     """Bidirectional GRU, output (B, T, 2H) = concat(fwd, bwd).
 
     Small batches run both directions fused in one scan
     (see _bidir_fused); large batches run two direction scans. With
     `lengths`, replicates torch pack_padded semantics (reverse pass
     starts at the true end; padded outputs filled with pad_value).
+    `fast=True` opts into the fused Pallas kernel for long sequences
+    on TPU (inference only — bf16 compute, no autodiff).
     """
-    if x.shape[0] <= FUSE_BIDIR_MAX_BATCH:
+    if fast and _fast_kernel_ok(x, params_fwd['w_hh'].shape[1]):
+        y = _birnn_fast('gru', params_fwd, params_bwd, x, lengths)
+    elif x.shape[0] <= FUSE_BIDIR_MAX_BATCH:
         y = _bidir_fused('gru', params_fwd, params_bwd, x, lengths)
     else:
         y_f = gru(params_fwd, x, reverse=False, lengths=lengths)
@@ -287,9 +320,11 @@ def bigru(params_fwd: Params, params_bwd: Params, x: jnp.ndarray,
 
 
 def bilstm(params_fwd: Params, params_bwd: Params, x: jnp.ndarray,
-           lengths: Optional[jnp.ndarray] = None, pad_value: float = 0.0
-           ) -> jnp.ndarray:
-    if x.shape[0] <= FUSE_BIDIR_MAX_BATCH:
+           lengths: Optional[jnp.ndarray] = None, pad_value: float = 0.0,
+           fast: bool = False) -> jnp.ndarray:
+    if fast and _fast_kernel_ok(x, params_fwd['w_hh'].shape[1]):
+        y = _birnn_fast('lstm', params_fwd, params_bwd, x, lengths)
+    elif x.shape[0] <= FUSE_BIDIR_MAX_BATCH:
         y = _bidir_fused('lstm', params_fwd, params_bwd, x, lengths)
     else:
         y_f = lstm(params_fwd, x, reverse=False, lengths=lengths)

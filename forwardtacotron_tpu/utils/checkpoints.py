@@ -29,7 +29,16 @@ def save_checkpoint(variables: Dict[str, Any],
                     config: Dict[str, Any],
                     path: Union[str, Path],
                     opt_state: Any = None,
-                    step: int = 0) -> None:
+                    step: int = 0,
+                    backend: str = None) -> None:
+    """backend: 'pickle' (default, one `.fjax` file) or 'orbax'
+    (a checkpoint DIRECTORY via orbax.checkpoint — the multi-host-safe
+    format: every host writes its own shards and restore can lay
+    arrays out on a mesh). Auto-selected from the path suffix:
+    `.orbax` -> orbax."""
+    path = Path(path)
+    if backend is None:
+        backend = 'orbax' if path.suffix == '.orbax' else 'pickle'
     payload = {
         'model': _to_numpy(variables),
         'optim': None if opt_state is None else jax.tree.flatten(
@@ -38,7 +47,24 @@ def save_checkpoint(variables: Dict[str, Any],
         'step': int(step),
         'format': 'forwardtacotron_tpu.v1',
     }
-    path = Path(path)
+    if backend == 'orbax':
+        import orbax.checkpoint as ocp
+        path = path.absolute()
+        arrays = {'model': payload['model']}
+        if payload['optim'] is not None:
+            arrays['optim'] = payload['optim']
+        ckptr = ocp.StandardCheckpointer()
+        state_dir = path / 'state'
+        if state_dir.exists():
+            import shutil
+            shutil.rmtree(state_dir)
+        ckptr.save(state_dir, arrays)
+        ckptr.wait_until_finished()
+        with open(path / 'meta.pkl', 'wb') as f:
+            pickle.dump({'config': config, 'step': payload['step'],
+                         'format': payload['format'],
+                         'has_optim': payload['optim'] is not None}, f)
+        return
     tmp = path.with_suffix(path.suffix + '.tmp')
     with open(tmp, 'wb') as f:
         pickle.dump(payload, f)
@@ -46,6 +72,17 @@ def save_checkpoint(variables: Dict[str, Any],
 
 
 def restore_checkpoint(path: Union[str, Path]) -> Dict[str, Any]:
+    path = Path(path)
+    if path.is_dir():  # orbax checkpoint directory
+        import orbax.checkpoint as ocp
+        with open(path / 'meta.pkl', 'rb') as f:
+            meta = pickle.load(f)
+        ckptr = ocp.StandardCheckpointer()
+        arrays = ckptr.restore((path / 'state').absolute())
+        return {'model': arrays['model'],
+                'optim': arrays.get('optim'),
+                'config': meta['config'], 'step': meta['step'],
+                'format': meta['format']}
     with open(str(path), 'rb') as f:
         return pickle.load(f)
 

@@ -72,3 +72,29 @@ def test_torch_pt_loading(tmp_path):
     out = model.apply(variables, jnp.ones((1, 5), jnp.int32), 16,
                       method='generate', x_len=jnp.asarray([5]))
     assert np.isfinite(np.asarray(out['mel_post'])).all()
+
+
+def test_orbax_backend_roundtrip(tmp_path):
+    """Orbax directory checkpoints (the multi-host format) round-trip
+    variables, optimizer leaves, config, and step, and are
+    auto-detected by restore_checkpoint / load_tts_checkpoint."""
+    import jax.numpy as jnp
+    from forwardtacotron_tpu.utils.checkpoints import (restore_checkpoint,
+                                                       save_checkpoint)
+    variables = {'params': {'lin': {'kernel': np.ones((3, 4), np.float32),
+                                    'bias': np.zeros(4, np.float32)}}}
+    opt_state = [np.full((3, 4), 2.0, np.float32), np.int32(7)]
+    config = {'tts_model': 'forward_tacotron', 'lr': 1e-4}
+    path = tmp_path / 'ckpt.orbax'
+    save_checkpoint(variables, config, path, opt_state=opt_state, step=42)
+    assert path.is_dir()
+    payload = restore_checkpoint(path)
+    assert payload['step'] == 42
+    assert payload['config']['lr'] == 1e-4
+    np.testing.assert_array_equal(
+        payload['model']['params']['lin']['kernel'], np.ones((3, 4)))
+    np.testing.assert_array_equal(payload['optim'][0],
+                                  np.full((3, 4), 2.0))
+    # overwrite in place must work (latest_model.orbax every epoch)
+    save_checkpoint(variables, config, path, opt_state=opt_state, step=43)
+    assert restore_checkpoint(path)['step'] == 43
