@@ -116,9 +116,11 @@ class ForwardTrainer:
     def _shard_batch(self, batch: Dict[str, Any]) -> Dict[str, Any]:
         if self.mesh is None:
             return batch
-        from forwardtacotron_tpu.parallel import mesh as pmesh
-        return jax.device_put(batch, pmesh.batch_shardings(self.mesh,
-                                                           batch))
+        # single host: device_put over the mesh; multi host: each
+        # process uploads only its rows (parallel/distributed.py)
+        from forwardtacotron_tpu.parallel.distributed import (
+            host_local_batch_to_global)
+        return host_local_batch_to_global(self.mesh, batch)
 
     def train_session(self, model, optimizer, state: tc.TrainState,
                       session: tc.TTSSession, rng) -> tc.TrainState:

@@ -97,3 +97,33 @@ def test_param_sharding_rules():
     assert 'model' in str(sh['dense']['kernel'].spec)
     assert 'model' in str(sh['rnn']['w_ih'].spec)
     assert sh['odd']['kernel'].spec == jax.sharding.PartitionSpec()
+
+
+def test_host_local_batch_to_global_single_process():
+    """host_local_batch_to_global == plain sharded device_put at one
+    process (the multi-host feed path must be a no-op locally)."""
+    import jax
+    from forwardtacotron_tpu.parallel.mesh import (batch_shardings,
+                                                   make_mesh)
+    from forwardtacotron_tpu.parallel.distributed import (
+        host_local_batch_to_global, process_slice)
+    mesh = make_mesh(n_data=len(jax.devices()), n_model=1)
+    rng = np.random.RandomState(0)
+    batch = {'x': rng.randint(0, 9, (8, 5)).astype(np.int32),
+             'mel': rng.randn(8, 12, 4).astype(np.float32),
+             'scalar_like': rng.randn(3).astype(np.float32)}  # B=3: repl
+    global_b = host_local_batch_to_global(mesh, batch)
+    ref = jax.device_put(batch, batch_shardings(mesh, batch))
+    for k in batch:
+        np.testing.assert_array_equal(np.asarray(global_b[k]),
+                                      np.asarray(ref[k]))
+        assert global_b[k].sharding == ref[k].sharding, k
+    assert process_slice(8) == slice(0, 8)
+
+
+def test_maybe_initialize_noop_without_config(monkeypatch):
+    from forwardtacotron_tpu.parallel.distributed import maybe_initialize
+    monkeypatch.delenv('JAX_COORDINATOR_ADDRESS', raising=False)
+    monkeypatch.delenv('COORDINATOR_ADDRESS', raising=False)
+    assert maybe_initialize({}) is False
+    assert maybe_initialize(None) is False

@@ -71,6 +71,10 @@ def main() -> None:
     from forwardtacotron_tpu.utils.paths import Paths
 
     config = read_config(args.config)
+    # multi-host runs (TPU pods / DCN): bring up the distributed
+    # runtime before any device use so jax.devices() spans the pod
+    from forwardtacotron_tpu.parallel.distributed import maybe_initialize
+    maybe_initialize(config)
     if 'git_hash' not in config or config['git_hash'] is None:
         config['git_hash'] = try_get_git_hash()
     dsp = DSP.from_config(config)
