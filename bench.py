@@ -219,10 +219,12 @@ def _bench_wavernn(config) -> dict:
                                jnp.asarray(mel[:, :12]))
     variables = jax.device_put(variables, jax.devices()[0])
 
-    from forwardtacotron_tpu.models.wavernn import fold_device
+    from forwardtacotron_tpu.models.wavernn import (TARGET_TPU,
+                                                    fold_device)
     m = pad_tensor(mel, pad=model.pad, side='both')
     up = jax.jit(lambda v, x: model.apply(v, x, method='upsample_cond'))
     mels_up, aux = up(variables, jnp.asarray(m))
+    total = int(mels_up.shape[1])
     mels_f = fold_device(mels_up, 11000, 550)   # stays on device
     aux_f = fold_device(aux, 11000, 550)
     B, T = mels_f.shape[0], mels_f.shape[1]
@@ -243,13 +245,21 @@ def _bench_wavernn(config) -> dict:
     from forwardtacotron_tpu.kernels.wavernn_sample import (
         pallas_supported, wavernn_sample_pallas)
     if pallas_supported(model):
-        _ = wavernn_sample_pallas(model, variables, mels_f, aux_f)
-        t0 = time.perf_counter()
+        # TPU-tuned fold geometry: wider/shorter folds cut sequential
+        # steps (the kernel is step-latency bound below ~32 lanes)
+        mels_t = fold_device(mels_up, TARGET_TPU, 550)
+        aux_t = fold_device(aux, TARGET_TPU, 550)
+        Bt, Tt = mels_t.shape[0], mels_t.shape[1]
+        _ = wavernn_sample_pallas(model, variables, mels_t, aux_t)
+        dt = float('inf')
         for i in range(5):
-            r = wavernn_sample_pallas(model, variables, mels_f, aux_f,
+            t0 = time.perf_counter()
+            _ = wavernn_sample_pallas(model, variables, mels_t, aux_t,
                                       seed=i)
-        dt = (time.perf_counter() - t0) / 5
-        out['wavernn_pallas_khz'] = round(B * T / dt / 1000, 1)
+            dt = min(dt, time.perf_counter() - t0)
+        out['wavernn_pallas_khz'] = round(Bt * Tt / dt / 1000, 1)
+        out['wavernn_pallas_lanes'] = Bt
+        out['vocoder_rtf'] = round(dt / (total / model.sample_rate), 5)
     return out
 
 

@@ -32,7 +32,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-CHUNK = 32         # time steps per grid block
+CHUNK = 32         # time steps per grid block at 8 lanes
 LOG_SCALE_MIN = float(np.log(1e-14))   # ops/mol.py parity
 
 
@@ -41,8 +41,19 @@ def _b_pad(b: int) -> int:
     return max(8, ((b + 7) // 8) * 8)
 
 
+MAX_LANES = 128    # wider fold batches are processed in groups
+
+
+def _chunk_for(b_pad: int) -> int:
+    """Steps per grid block: keep streamed-block rows (chunk * b_pad)
+    ~256 so the double-buffered conditioning blocks stay well inside
+    the 16 MB VMEM budget at any fold width (wide folds = many lanes =
+    shorter chunks). Must stay a multiple of 8 (output block sublanes)."""
+    return max(8, ((CHUNK * 8) // b_pad) // 8 * 8)
+
+
 def _kernel(n_classes: int, nr_mix: int, rnn_dims: int, fc_dims: int,
-            greedy: bool, compute_dtype, b_pad: int,
+            greedy: bool, compute_dtype, b_pad: int, chunk: int,
             # refs:
             seed_ref,                      # SMEM (1,)
             i_pre_ref, gi2_pre_ref, fc1_pre_ref, fc2_pre_ref,  # (CHUNK*B,D)
@@ -149,7 +160,7 @@ def _kernel(n_classes: int, nr_mix: int, rnn_dims: int, fc_dims: int,
         return sample[:, None], h1, h2
 
     x0 = x_ref[:, 0:1]
-    carry = jax.lax.fori_loop(0, CHUNK, step, (x0, h1_ref[:], h2_ref[:]))
+    carry = jax.lax.fori_loop(0, chunk, step, (x0, h1_ref[:], h2_ref[:]))
     x, h1, h2 = carry
     h1_ref[:] = h1
     h2_ref[:] = h2
@@ -159,7 +170,7 @@ def _kernel(n_classes: int, nr_mix: int, rnn_dims: int, fc_dims: int,
 @functools.partial(jax.jit, static_argnames=('n_classes', 'nr_mix',
                                              'rnn_dims', 'fc_dims',
                                              'greedy', 'compute_dtype',
-                                             'b_pad'))
+                                             'b_pad', 'chunk'))
 def pallas_sample(i_pre: jnp.ndarray, gi2_pre: jnp.ndarray,
                   fc1_pre: jnp.ndarray, fc2_pre: jnp.ndarray,
                   weights: Dict[str, jnp.ndarray], seed: jnp.ndarray,
@@ -167,18 +178,18 @@ def pallas_sample(i_pre: jnp.ndarray, gi2_pre: jnp.ndarray,
                   nr_mix: int = 0,
                   greedy: bool = False,
                   compute_dtype=jnp.bfloat16,
-                  b_pad: int = 8) -> jnp.ndarray:
+                  b_pad: int = 8, chunk: int = CHUNK) -> jnp.ndarray:
     """Inputs are flattened time-major (T * b_pad, D) with
     T % CHUNK == 0 (row t*b_pad+b = step t, lane b). `n_classes` is the
     (lane-padded) fc3 output width; `nr_mix` > 0 switches to MOL
     sampling with that many mixture components. Returns samples
     (T, b_pad) float32."""
     T = i_pre.shape[0] // b_pad
-    assert T % CHUNK == 0
-    grid = (T // CHUNK,)
+    assert T % chunk == 0
+    grid = (T // chunk,)
 
     def time_block(d):
-        return pl.BlockSpec((CHUNK * b_pad, d), lambda i: (i, 0),
+        return pl.BlockSpec((chunk * b_pad, d), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
 
     def full(shape):
@@ -186,7 +197,8 @@ def pallas_sample(i_pre: jnp.ndarray, gi2_pre: jnp.ndarray,
                             memory_space=pltpu.VMEM)
 
     kernel = functools.partial(_kernel, n_classes, nr_mix, rnn_dims,
-                               fc_dims, greedy, compute_dtype, b_pad)
+                               fc_dims, greedy, compute_dtype, b_pad,
+                               chunk)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -209,7 +221,7 @@ def pallas_sample(i_pre: jnp.ndarray, gi2_pre: jnp.ndarray,
             full((fc_dims, n_classes)),                       # fc3_k
             full((1, n_classes)),                             # fc3_b
         ],
-        out_specs=pl.BlockSpec((CHUNK, b_pad), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((chunk, b_pad), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((T, b_pad), jnp.float32),
         scratch_shapes=[
@@ -236,6 +248,16 @@ def wavernn_sample_pallas(model, variables: Dict, mels_up: np.ndarray,
     rnn_dims, fc_dims = model.rnn_dims, model.fc_dims
     d = model.aux_dims
     B, T = mels_up.shape[0], mels_up.shape[1]
+    if B > MAX_LANES:
+        # very long utterances: process fold lanes in VMEM-sized groups
+        # (each fold starts from zero state, so groups are independent)
+        parts = [wavernn_sample_pallas(model, variables,
+                                       mels_up[g:g + MAX_LANES],
+                                       aux[g:g + MAX_LANES],
+                                       seed=seed + g, greedy=greedy,
+                                       compute_dtype=compute_dtype)
+                 for g in range(0, B, MAX_LANES)]
+        return np.concatenate(parts, axis=0)
     if model.mode == 'MOL':
         nr_mix = model.n_classes // 3
         n_classes = 128  # lane-padded fc3 width; pad lanes masked off
@@ -271,9 +293,11 @@ def wavernn_sample_pallas(model, variables: Dict, mels_up: np.ndarray,
         fc1_pre = a3 @ params['fc1_kernel'][rnn_dims:] + params['fc1_bias']
         fc2_pre = a4 @ params['fc2_kernel'][fc_dims:] + params['fc2_bias']
 
+        chunk = _chunk_for(b_pad)
+
         def prep(x, d_last):
-            # (B, T, D) -> (T_pad * b_pad, D), T padded to CHUNK
-            T_pad = ((T + CHUNK - 1) // CHUNK) * CHUNK
+            # (B, T, D) -> (T_pad * b_pad, D), T padded to the chunk
+            T_pad = ((T + chunk - 1) // chunk) * chunk
             out = jnp.zeros((T_pad, b_pad, d_last), compute_dtype)
             out = out.at[:T, :B].set(
                 jnp.swapaxes(x, 0, 1).astype(compute_dtype))
@@ -305,7 +329,7 @@ def wavernn_sample_pallas(model, variables: Dict, mels_up: np.ndarray,
             prep(fc1_pre, fc_dims), prep(fc2_pre, fc_dims),
             weights, seed, n_classes=n_classes, rnn_dims=rnn_dims,
             fc_dims=fc_dims, nr_mix=nr_mix, greedy=greedy,
-            compute_dtype=compute_dtype, b_pad=b_pad)
+            compute_dtype=compute_dtype, b_pad=b_pad, chunk=chunk)
         return samples[:T, :B].T
 
     _RUN_CACHE[cache_key] = run

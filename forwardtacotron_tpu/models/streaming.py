@@ -86,7 +86,7 @@ def write_wav_streaming(chunks: Iterator[np.ndarray],
 
 
 def stream_wav(model, variables: Dict, mel: np.ndarray,
-               target: int = 11_000, overlap: int = 550,
+               target: Optional[int] = None, overlap: int = 550,
                group: int = 8, mu_law: bool = True, seed: int = 0,
                use_pallas: Optional[bool] = None,
                sample_fn: Optional[Callable] = None,
@@ -119,15 +119,19 @@ def stream_wav(model, variables: Dict, mel: np.ndarray,
         _STREAM_JIT_CACHE[up_key] = jax.jit(
             lambda v, m: model.apply(v, m, method='upsample_cond'))
     mels_up, aux = _STREAM_JIT_CACHE[up_key](variables, jnp.asarray(mel))
+    if use_pallas is None and sample_fn is None:
+        from forwardtacotron_tpu.kernels.wavernn_sample import (
+            pallas_supported)
+        use_pallas = pallas_supported(model)
+    if target is None:
+        from forwardtacotron_tpu.models.wavernn import (TARGET_REFERENCE,
+                                                        TARGET_TPU)
+        target = TARGET_TPU if use_pallas else TARGET_REFERENCE
     mels_f = fold_device(mels_up, target, overlap)
     aux_f = fold_device(aux, target, overlap)
     num_folds = int(mels_f.shape[0])
 
     if sample_fn is None:
-        if use_pallas is None:
-            from forwardtacotron_tpu.kernels.wavernn_sample import (
-                pallas_supported)
-            use_pallas = pallas_supported(model)
         if use_pallas:
             from forwardtacotron_tpu.kernels.wavernn_sample import (
                 wavernn_sample_pallas)

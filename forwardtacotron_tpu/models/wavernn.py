@@ -406,8 +406,17 @@ def xfade_and_unfold(y: np.ndarray, target: int, overlap: int
     return unfolded
 
 
+# Reference fold target (fatchord_version.py:190, tuned for one GPU
+# stream) and the TPU-tuned value: the Pallas sampler is sequential-
+# step-latency bound up to ~32 fold lanes, so shorter/wider folds are
+# ~1.5x faster end to end (measured on v5e); overlap stays at the
+# reference's 550-sample equal-power crossfade.
+TARGET_REFERENCE = 11_000
+TARGET_TPU = 2_750
+
+
 def generate_wav(model: WaveRNN, variables: Dict, mel: np.ndarray,
-                 batched: bool = True, target: int = 11_000,
+                 batched: bool = True, target: Optional[int] = None,
                  overlap: int = 550, mu_law: bool = True,
                  seed: int = 0, use_pallas: Optional[bool] = None
                  ) -> np.ndarray:
@@ -418,8 +427,9 @@ def generate_wav(model: WaveRNN, variables: Dict, mel: np.ndarray,
     use_pallas: run the fused Pallas sampling kernel
     (kernels/wavernn_sample.py) instead of the lax.scan sampler.
     Default auto: the kernel when supported (TPU + RAW/MOL +
-    128-aligned dims; measured 5.1 us/step vs 7.7 us/step for the bf16
-    scan on v5e), scan otherwise."""
+    128-aligned dims), scan otherwise. `target=None` auto-selects the
+    fold length: TARGET_TPU for the kernel, the reference's 11000
+    otherwise."""
     from forwardtacotron_tpu.dsp.audio import DSP
 
     mel = np.asarray(mel, dtype=np.float32)
@@ -436,17 +446,19 @@ def generate_wav(model: WaveRNN, variables: Dict, mel: np.ndarray,
         _GEN_JIT_CACHE[up_key] = jax.jit(
             lambda v, m: model.apply(v, m, method='upsample_cond'))
     mels_up, aux = _GEN_JIT_CACHE[up_key](variables, jnp.asarray(mel))
+
+    if use_pallas is None:
+        from forwardtacotron_tpu.kernels.wavernn_sample import (
+            pallas_supported)
+        use_pallas = pallas_supported(model)
+    if target is None:
+        target = TARGET_TPU if use_pallas else TARGET_REFERENCE
     # stay device-resident: fold is a gather, sampling reads straight
     # from HBM — the only host transfers are the input mel and the
     # final audio
     if batched:
         mels_up = fold_device(mels_up, target, overlap)
         aux = fold_device(aux, target, overlap)
-
-    if use_pallas is None:
-        from forwardtacotron_tpu.kernels.wavernn_sample import (
-            pallas_supported)
-        use_pallas = pallas_supported(model)
     if use_pallas:
         from forwardtacotron_tpu.kernels.wavernn_sample import (
             wavernn_sample_pallas)

@@ -77,7 +77,10 @@ def main() -> None:
     subparsers = parser.add_subparsers(dest='vocoder')
     wr_parser = subparsers.add_parser('wavernn')
     wr_parser.add_argument('--overlap', '-o', default=550, type=int)
-    wr_parser.add_argument('--target', '-t', default=11_000, type=int)
+    wr_parser.add_argument('--target', '-t', default=None, type=int,
+                           help='fold length in samples (default: auto — '
+                                '2750 for the TPU kernel, 11000 for the '
+                                'scan sampler, matching the reference)')
     wr_parser.add_argument('--voc_checkpoint', type=str)
     wr_parser.add_argument('--stream', action='store_true',
                            help='write audio incrementally as fold groups '

@@ -20,7 +20,8 @@ def main() -> None:
     subparsers = parser.add_subparsers(dest='vocoder')
     wr_parser = subparsers.add_parser('wavernn')
     wr_parser.add_argument('--overlap', '-o', default=550, type=int)
-    wr_parser.add_argument('--target', '-t', default=11_000, type=int)
+    wr_parser.add_argument('--target', '-t', default=None, type=int,
+                           help='fold length (default: auto per sampler)')
     wr_parser.add_argument('--voc_checkpoint', type=str)
     subparsers.add_parser('griffinlim')
     subparsers.add_parser('melgan')

@@ -42,6 +42,6 @@ class Synthesizer:
             assert self.voc_model is not None, 'no WaveRNN loaded'
             from forwardtacotron_tpu.models.wavernn import generate_wav
             return generate_wav(self.voc_model, self.voc_variables,
-                                mel_post, batched=True, target=11_000,
+                                mel_post, batched=True, target=None,
                                 overlap=550, mu_law=self.dsp.mu_law)
         return mel_post  # 'melgan'/'hifigan': export the mel
