@@ -15,8 +15,8 @@ def main() -> None:
     parser.add_argument('--checkpoint', type=str, default=None,
                         help='path to .fjax tacotron checkpoint')
     parser.add_argument('--config', metavar='FILE', default='config.yaml')
-    parser.add_argument('--steps', type=int, default=2000,
-                        help='max decoder steps')
+    parser.add_argument('--steps', type=int, default=1000,
+                        help='Max number of steps.')
     subparsers = parser.add_subparsers(dest='vocoder')
     wr_parser = subparsers.add_parser('wavernn')
     wr_parser.add_argument('--overlap', '-o', default=550, type=int)
