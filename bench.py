@@ -137,27 +137,31 @@ def _bench_training(config, model, variables) -> dict:
         'energy': jnp.asarray(rng.randn(B, Tx).astype(np.float32)),
     }
     key = jax.random.PRNGKey(0)
-    state = tc.TrainState(
+    state0 = tc.TrainState(
         params=variables['params'],
         batch_stats=variables.get('batch_stats', {}),
         opt_state=optimizer.init(variables['params']),
         step=jnp.asarray(0, jnp.int32))
-    step_fn = jax.jit(tc.build_forward_train_step(model, optimizer,
-                                                  train_cfg))
-    # two warmup calls: the first output state's dtypes differ from
-    # optimizer.init's (weak types), causing exactly one retrace
-    state, m = step_fn(state, batch, key)
-    state, m = step_fn(state, batch, key)
-    jax.block_until_ready(m['loss'])
-    t0 = time.perf_counter()
-    n = 10
-    for _ in range(n):
+
+    out = {'train_batch': [B, Tx, Tm]}
+    for name, cfg in [('', train_cfg),
+                      ('_bf16', dict(train_cfg, precision='bf16'))]:
+        step_fn = jax.jit(tc.build_forward_train_step(model, optimizer,
+                                                      cfg))
+        # two warmup calls: the first output state's dtypes differ from
+        # optimizer.init's (weak types), causing exactly one retrace
+        state, m = step_fn(state0, batch, key)
         state, m = step_fn(state, batch, key)
-    jax.block_until_ready(m['loss'])
-    dt = (time.perf_counter() - t0) / n
-    return {'train_steps_per_sec': round(1.0 / dt, 2),
-            'train_mel_frames_per_sec': int(B * Tm / dt),
-            'train_batch': [B, Tx, Tm]}
+        jax.block_until_ready(m['loss'])
+        t0 = time.perf_counter()
+        n = 10
+        for _ in range(n):
+            state, m = step_fn(state, batch, key)
+        jax.block_until_ready(m['loss'])
+        dt = (time.perf_counter() - t0) / n
+        out[f'train{name}_steps_per_sec'] = round(1.0 / dt, 2)
+        out[f'train{name}_mel_frames_per_sec'] = int(B * Tm / dt)
+    return out
 
 
 def _bench_fastpitch(config) -> dict:
@@ -208,7 +212,9 @@ def _bench_wavernn(config) -> dict:
 
     model = WaveRNN.from_config(config)
     rng = np.random.RandomState(0)
-    T_win = 240  # ~2.8 s of audio -> 6 fold lanes
+    T_win = 732  # ~8.5 s of audio (6 lanes at the reference fold;
+    #              ~31 at the TPU fold) — long enough that per-call
+    #              dispatch doesn't dominate the RTF
     mel = rng.randn(1, T_win, model.feat_dims).astype(np.float32) * 2 - 8
 
     hop = model.hop_length

@@ -30,21 +30,31 @@ from forwardtacotron_tpu.utils.files import (parse_schedule, pickle_binary,
 from forwardtacotron_tpu.utils.paths import Paths
 
 
-def build_voc_train_step(model: WaveRNN, optimizer, mode: str) -> Callable:
+def build_voc_train_step(model: WaveRNN, optimizer, mode: str,
+                         train_cfg: Dict[str, Any] = None) -> Callable:
+    half = tc.half_dtype(train_cfg or {})
+
     def train_step(state: tc.TrainState, batch: Dict[str, jnp.ndarray]
                    ) -> Tuple[tc.TrainState, Dict]:
         def loss_fn(params):
+            p = tc.cast_half(params, half) if half else params
+            x = batch['x'].astype(half) if half else batch['x']
+            mel = batch['mel'].astype(half) if half else batch['mel']
             logits, mutated = model.apply(
-                {'params': params, 'batch_stats': state.batch_stats},
-                batch['x'], batch['mel'], train=True,
-                mutable=['batch_stats'])
+                {'params': p, 'batch_stats': state.batch_stats},
+                x, mel, train=True, mutable=['batch_stats'])
+            if half:
+                logits = logits.astype(jnp.float32)
             if mode == 'RAW':
                 loss = jnp.mean(
                     optax.softmax_cross_entropy_with_integer_labels(
                         logits, batch['y'].astype(jnp.int32)))
             else:
                 loss = discretized_mix_logistic_loss(logits, batch['y'])
-            return loss, mutated['batch_stats']
+            new_stats = mutated['batch_stats']
+            if half:
+                new_stats = tc.cast_full(new_stats, half)
+            return loss, new_stats
 
         (loss_val, new_stats), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
@@ -149,7 +159,8 @@ class VocTrainer:
         state = state.replace(
             opt_state=tc.set_learning_rate(state.opt_state, session.lr))
         train_step = build_voc_train_step(model, optimizer,
-                                          self.dsp.voc_mode)
+                                          self.dsp.voc_mode,
+                                          train_cfg=self.train_cfg)
         eval_step = build_voc_eval_step(model, self.dsp.voc_mode)
 
         loss_avg, duration_avg = tc.Averager(), tc.Averager()

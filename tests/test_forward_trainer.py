@@ -105,3 +105,56 @@ def iter_first(trainer, config):
         yield {k: jnp.asarray(v) for k, v in batch.items()
                if isinstance(v, np.ndarray)}
         return
+
+
+def test_bf16_train_step_decreases_loss():
+    """Mixed-precision (precision: bf16) training: loss decreases, BN
+    stats and params stay f32, loss stays close to the f32 step."""
+    import jax
+    import jax.numpy as jnp
+    from forwardtacotron_tpu.models.forward_tacotron import ForwardTacotron
+    from forwardtacotron_tpu.train import common as tc
+
+    model = ForwardTacotron(
+        num_chars=40, n_mels=8, embed_dims=16, series_embed_dims=8,
+        durpred_conv_dims=8, durpred_rnn_dims=4, pitch_conv_dims=8,
+        pitch_rnn_dims=4, energy_conv_dims=8, energy_rnn_dims=4,
+        rnn_dims=12, prenet_dims=8, prenet_k=2, prenet_num_highways=1,
+        postnet_dims=8, postnet_k=2, postnet_num_highways=1)
+    rng = np.random.RandomState(0)
+    B, Tx, Tm = 4, 8, 24
+    dur = np.full((B, Tx), Tm // Tx, np.float32)
+    batch = {
+        'x': jnp.asarray(rng.randint(1, 39, (B, Tx)), jnp.int32),
+        'x_len': jnp.asarray([Tx] * B, jnp.int32),
+        'mel': jnp.asarray(rng.randn(B, Tm, 8).astype(np.float32)),
+        'mel_len': jnp.asarray([Tm] * B, jnp.int32),
+        'dur': jnp.asarray(dur),
+        'pitch': jnp.asarray(rng.randn(B, Tx).astype(np.float32)),
+        'energy': jnp.asarray(rng.randn(B, Tx).astype(np.float32)),
+    }
+    cfg = {'dur_loss_factor': 0.1, 'pitch_loss_factor': 0.1,
+           'energy_loss_factor': 0.1, 'precision': 'bf16'}
+    key = jax.random.PRNGKey(0)
+    optimizer = tc.make_optimizer(1.0, lr=1e-3)
+    state = tc.init_train_state(model, optimizer, batch, key,
+                                init_kwargs={'train': True})
+    step = jax.jit(tc.build_forward_train_step(model, optimizer, cfg))
+    cfg32 = dict(cfg, precision='f32')
+    step32 = jax.jit(tc.build_forward_train_step(model, optimizer, cfg32))
+
+    _, m32 = step32(state, batch, key)
+    state1, m16 = step(state, batch, key)
+    assert abs(float(m16['loss']) - float(m32['loss'])) \
+        < 0.05 * float(m32['loss']) + 0.05
+    losses = [float(m16['loss'])]
+    s = state1
+    for i in range(30):
+        s, m = step(s, batch, jax.random.PRNGKey(i))
+        losses.append(float(m['loss']))
+    assert losses[-1] < losses[0]
+    # masters stay f32
+    assert all(l.dtype == jnp.float32
+               for l in jax.tree.leaves(s.params))
+    assert all(l.dtype == jnp.float32
+               for l in jax.tree.leaves(s.batch_stats))
