@@ -381,3 +381,51 @@ def get_vocoder_datasets(path: Path, batch_size: int, train_gta: bool,
     val_set_samples = [val_dataset[i]
                        for i in range(min(num_gen_samples, len(val_dataset)))]
     return train_set, val_set, val_set_samples
+
+
+class Prefetcher:
+    """Bounded background-thread prefetch over a batch iterable.
+
+    The batchers above load per-item `.npy` files and collate on the
+    host; on a machine where host cores are scarce relative to the
+    accelerator, that work would otherwise serialize with the device
+    step (the reference hides it behind torch DataLoader workers,
+    utils/dataset.py:166-170). Wrapping an epoch's iterator keeps
+    `depth` batches in flight on one daemon thread, overlapping disk
+    IO + collation with device compute. Exceptions propagate to the
+    consumer; iteration order is unchanged.
+    """
+
+    _DONE = object()
+
+    def __init__(self, iterable, depth: int = 2) -> None:
+        self.iterable = iterable
+        self.depth = depth
+
+    def __len__(self) -> int:
+        return len(self.iterable)
+
+    def __iter__(self):
+        import queue
+        import threading
+
+        q: 'queue.Queue' = queue.Queue(maxsize=self.depth)
+
+        def worker():
+            try:
+                for item in self.iterable:
+                    q.put(item)
+            except BaseException as e:  # re-raised on the main thread
+                q.put(e)
+                return
+            q.put(self._DONE)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is self._DONE:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item

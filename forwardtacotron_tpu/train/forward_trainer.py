@@ -17,7 +17,7 @@ from typing import Any, Dict, Optional
 import jax
 import numpy as np
 
-from forwardtacotron_tpu.data.dataset import get_tts_datasets
+from forwardtacotron_tpu.data.dataset import Prefetcher, get_tts_datasets
 from forwardtacotron_tpu.train import common as tc
 from forwardtacotron_tpu.utils.checkpoints import save_checkpoint
 from forwardtacotron_tpu.utils.decorators import ignore_exception
@@ -148,7 +148,7 @@ class ForwardTrainer:
         duration_avg, pitch_loss_avg = tc.Averager(), tc.Averager()
 
         for e in range(1, epochs + 1):
-            for i, batch in enumerate(session.train_set, 1):
+            for i, batch in enumerate(Prefetcher(session.train_set), 1):
                 start = time.time()
                 step_rng = jax.random.fold_in(rng, int(state.step))
                 jbatch = self._shard_batch(_batch_to_device(batch))

@@ -16,7 +16,7 @@ import numpy as np
 import optax
 
 from forwardtacotron_tpu.align.metrics import attention_score
-from forwardtacotron_tpu.data.dataset import get_tts_datasets
+from forwardtacotron_tpu.data.dataset import Prefetcher, get_tts_datasets
 from forwardtacotron_tpu.train import common as tc
 from forwardtacotron_tpu.utils.checkpoints import save_checkpoint
 from forwardtacotron_tpu.utils.decorators import ignore_exception
@@ -146,7 +146,7 @@ class TacoTrainer:
         loss_avg, duration_avg = tc.Averager(), tc.Averager()
 
         for e in range(1, epochs + 1):
-            for i, batch in enumerate(session.train_set, 1):
+            for i, batch in enumerate(Prefetcher(session.train_set), 1):
                 start = time.time()
                 step_rng = jax.random.fold_in(rng, int(state.step))
                 jbatch = _to_jnp(batch)

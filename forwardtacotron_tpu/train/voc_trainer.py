@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from forwardtacotron_tpu.data.dataset import get_vocoder_datasets
+from forwardtacotron_tpu.data.dataset import Prefetcher, get_vocoder_datasets
 from forwardtacotron_tpu.models.wavernn import WaveRNN, generate_wav
 from forwardtacotron_tpu.ops.mol import discretized_mix_logistic_loss
 from forwardtacotron_tpu.train import common as tc
@@ -165,7 +165,7 @@ class VocTrainer:
 
         loss_avg, duration_avg = tc.Averager(), tc.Averager()
         for e in range(1, epochs + 1):
-            for i, batch in enumerate(session.train_set, 1):
+            for i, batch in enumerate(Prefetcher(session.train_set), 1):
                 start = time.time()
                 state, metrics = train_step(state, _to_jnp(batch))
                 step = int(state.step)

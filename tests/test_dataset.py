@@ -107,3 +107,22 @@ def test_bucket_batcher_static_shapes(tmp_path):
     assert n_items == 13
     for variants in shapes.values():
         assert len(variants) == 1
+
+
+def test_prefetcher_preserves_order_and_propagates_errors():
+    from forwardtacotron_tpu.data.dataset import Prefetcher
+    items = list(range(20))
+    assert list(Prefetcher(items, depth=3)) == items
+    assert len(Prefetcher(items)) == 20
+
+    def gen():
+        yield 1
+        yield 2
+        raise ValueError('boom')
+
+    import pytest
+    out = []
+    with pytest.raises(ValueError, match='boom'):
+        for x in Prefetcher(gen(), depth=1):
+            out.append(x)
+    assert out == [1, 2]

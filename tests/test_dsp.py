@@ -5,7 +5,6 @@ same STFT contract as librosa 0.7.2's stft used by the reference
 (utils/dsp.py:72-77), so it serves as the parity oracle here.
 """
 import numpy as np
-import pytest
 
 import jax.numpy as jnp
 

@@ -2,7 +2,6 @@
 mesh construction, sharding rules, sharded train step execution, and
 data-parallel loss equivalence vs single-device."""
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp

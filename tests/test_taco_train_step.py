@@ -2,7 +2,6 @@
 optimization step with dropout/zoneout rngs, finite loss, BN stats
 update, r-dependent output shapes."""
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp

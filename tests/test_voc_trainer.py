@@ -1,6 +1,5 @@
 """WaveRNN trainer smoke test on a tiny synthetic dataset (CPU)."""
 import numpy as np
-import pytest
 import yaml
 
 
