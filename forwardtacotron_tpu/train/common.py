@@ -217,3 +217,48 @@ def build_forward_eval_step(model, train_cfg: Dict[str, Any]) -> Callable:
                                   batch['energy'], train_cfg)
         return metrics
     return eval_step
+
+
+class TopKTracker:
+    """Keep the k best checkpoints by score (lower = better) with
+    on-disk pruning — the reference tracks top-k only for the vocoder
+    (voc_trainer.py:204-226); this generalizes it to any trainer.
+    Persists its index to `<directory>/top_k.pkl` so resumes continue
+    the same leaderboard."""
+
+    def __init__(self, directory, k: int, prefix: str) -> None:
+        from pathlib import Path
+        from forwardtacotron_tpu.utils.files import unpickle_binary
+        self.directory = Path(directory)
+        self.k = int(k)
+        self.prefix = prefix
+        self.index_path = self.directory / 'top_k.pkl'
+        self.entries = []  # [(score, step, filename)]
+        if self.index_path.exists():
+            self.entries = unpickle_binary(self.index_path)
+
+    def update(self, score: float, variables, config, opt_state,
+               step: int) -> bool:
+        """Offer a checkpoint; saves + prunes if it makes the top k.
+        Returns True if it was kept."""
+        import os
+        from forwardtacotron_tpu.utils.checkpoints import save_checkpoint
+        from forwardtacotron_tpu.utils.files import pickle_binary
+        if self.k <= 0:
+            return False
+        if len(self.entries) >= self.k \
+                and score >= max(e[0] for e in self.entries):
+            return False
+        name = f'{self.prefix}_step{step}_loss{score:.5f}.fjax'
+        save_checkpoint(variables, config, self.directory / name,
+                        opt_state=opt_state, step=step)
+        self.entries.append((float(score), int(step), name))
+        self.entries.sort(key=lambda e: e[0])
+        for _, _, old in self.entries[self.k:]:
+            try:
+                os.remove(self.directory / old)
+            except OSError:
+                pass
+        self.entries = self.entries[:self.k]
+        pickle_binary(self.entries, self.index_path)
+        return True

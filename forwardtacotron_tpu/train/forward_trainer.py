@@ -52,6 +52,7 @@ class ForwardTrainer:
         self._writer = writer
         self._train_step = None
         self._eval_step = None
+        self._top_k = None
         # multi-device: shard batches over 'data', wide weights over
         # 'model' (GSPMD; parallel/mesh.py). None = single device.
         self.mesh = mesh
@@ -211,6 +212,16 @@ class ForwardTrainer:
                                 self.paths.forward_checkpoints /
                                 'latest_model.fjax',
                                 opt_state=state.opt_state, step=step)
+                # beyond-reference: keep the k best student checkpoints
+                # by val mel loss (reference has this for the vocoder
+                # only, voc_trainer.py:204-226)
+                if self._top_k is None:
+                    self._top_k = tc.TopKTracker(
+                        self.paths.forward_top_k,
+                        k=int(self.train_cfg.get('keep_top_k', 3)),
+                        prefix='forward')
+                self._top_k.update(val_out['mel_loss'], state.variables,
+                                   self.config, state.opt_state, step)
                 m_loss_avg.reset()
                 duration_avg.reset()
                 pitch_loss_avg.reset()

@@ -38,6 +38,7 @@ class Paths:
         self.taco_log = self.taco_checkpoints / 'logs'
 
         self.forward_checkpoints = self.base / 'checkpoints' / f'{tts_id}.forward'
+        self.forward_top_k = self.forward_checkpoints / 'top_k_models'
         self.forward_log = self.forward_checkpoints / 'logs'
 
         self.create_paths()
@@ -47,5 +48,6 @@ class Paths:
                   self.raw_pitch, self.phon_pitch, self.phon_energy,
                   self.voc_checkpoints, self.voc_top_k, self.voc_log,
                   self.taco_checkpoints, self.taco_log,
-                  self.forward_checkpoints, self.forward_log]:
+                  self.forward_checkpoints, self.forward_top_k,
+                  self.forward_log]:
             os.makedirs(p, exist_ok=True)

@@ -158,3 +158,21 @@ def test_bf16_train_step_decreases_loss():
                for l in jax.tree.leaves(s.params))
     assert all(l.dtype == jnp.float32
                for l in jax.tree.leaves(s.batch_stats))
+
+
+def test_top_k_tracker(tmp_path):
+    from forwardtacotron_tpu.train.common import TopKTracker
+    variables = {'params': {'w': np.ones(3, np.float32)}}
+    t = TopKTracker(tmp_path, k=2, prefix='fw')
+    assert t.update(3.0, variables, {'a': 1}, None, step=10)
+    assert t.update(1.0, variables, {'a': 1}, None, step=20)
+    assert t.update(2.0, variables, {'a': 1}, None, step=30)  # evicts 3.0
+    assert not t.update(5.0, variables, {'a': 1}, None, step=40)
+    files = sorted(p.name for p in tmp_path.glob('*.fjax'))
+    assert len(files) == 2
+    assert any('step20' in f for f in files)
+    assert any('step30' in f for f in files)
+    assert not any('step10' in f for f in files)
+    # resume picks up the persisted leaderboard
+    t2 = TopKTracker(tmp_path, k=2, prefix='fw')
+    assert [e[1] for e in t2.entries] == [20, 30]
