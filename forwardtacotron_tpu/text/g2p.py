@@ -118,13 +118,24 @@ _LEXICON = {
     'send': 'sɛnd', 'sent': 'sɛnt', 'expect': 'ɪkspɛkt',
     'build': 'bɪld', 'built': 'bɪlt', 'stay': 'steɪ', 'fall': 'fɔːl',
     'fell': 'fɛl', 'cut': 'kʌt', 'reach': 'ɹiːtʃ', 'kill': 'kɪl',
-    'remain': 'ɹɪmeɪn',
+    'remain': 'ɹɪmeɪn', 'dog': 'dɔːɡ', 'cat': 'kæt', 'bird': 'bɜːd',
+    'heart': 'hɑːɹt', 'earth': 'ɜːθ', 'heard': 'hɜːd', 'learn': 'lɜːn',
+    'early': 'ɜːli', 'sure': 'ʃʊɹ', 'sugar': 'ʃʊɡɚ', 'machine': 'məʃiːn',
+    'special': 'spɛʃəl', 'social': 'soʊʃəl', 'ocean': 'oʊʃən',
+    'usual': 'juːʒuəl', 'measure': 'mɛʒɚ', 'pleasure': 'plɛʒɚ',
+    'treasure': 'tɹɛʒɚ', 'vision': 'vɪʒən', 'version': 'vɜːʒən',
+    'television': 'tɛlɪvɪʒən', 'beautiful': 'bjuːɾɪfəl', 'busy': 'bɪzi',
+    'minute': 'mɪnɪt', 'island': 'aɪlənd', 'answer': 'ænsɚ',
+    'often': 'ɔːfən', 'listen': 'lɪsən', 'iron': 'aɪɚn',
+    'colonel': 'kɜːnəl', 'choir': 'kwaɪɚ', 'heir': 'ɛɹ',
+    'honest': 'ɑːnɪst', 'honor': 'ɑːnɚ', 'ghost': 'ɡoʊst',
 }
 
 # Longest-match context-free digraph/letter rules (en-us flavored).
 # Order matters within each leading letter group.
 _RULES = [
-    ('tion', 'ʃən'), ('sion', 'ʒən'), ('ought', 'ɔːt'),
+    ('ation', 'eɪʃən'), ('tion', 'ʃən'), ('sion', 'ʒən'),
+    ('ought', 'ɔːt'),
     ('eigh', 'eɪ'), ('ough', 'ʌf'), ('augh', 'ɔː'), ('tch', 'tʃ'),
     ('sch', 'sk'), ('dge', 'dʒ'), ('igh', 'aɪ'),
     ('ing', 'ɪŋ'), ('qu', 'kw'), ('ch', 'tʃ'), ('sh', 'ʃ'),
@@ -145,13 +156,91 @@ _RULES = [
 
 _PUNCT_KEEP = set('!\'(),.:;? -')
 
+# final-sound classes for inflection voicing (by final IPA character)
+_VOICELESS = set('ptkfθs')
+_SIBILANT_ENDS = ('s', 'z', 'ʃ', 'ʒ', 'tʃ', 'dʒ')
 
-def _word_to_phonemes(word: str) -> str:
+
+def _plural_suffix(stem_ipa: str) -> str:
+    """-s / -es voicing: cats -> s, dogs -> z, boxes -> ɪz."""
+    if stem_ipa.endswith(_SIBILANT_ENDS):
+        return 'ɪz'
+    if stem_ipa and stem_ipa[-1] in _VOICELESS:
+        return 's'
+    return 'z'
+
+
+def _past_suffix(stem_ipa: str) -> str:
+    """-ed voicing: walked -> t, loved -> d, wanted -> ɪd."""
+    if stem_ipa.endswith(('t', 'd')):
+        return 'ɪd'
+    if stem_ipa and stem_ipa[-1] in _VOICELESS:
+        return 't'
+    return 'd'
+
+
+def _has_vowel(s: str) -> bool:
+    return any(c in 'aeiouy' for c in s)
+
+
+def _try_morphology(w: str):
+    """Decompose inflections/derivations so stems reuse the lexicon and
+    the magic-e logic: makes -> make+s, hated -> hate+ɪd,
+    making -> make+ɪŋ, cities -> city+z, kindness -> kind+nəs."""
+    def stem(s: str) -> str:
+        return _word_to_phonemes(s, depth=1)
+
+    if w.endswith('ies') and len(w) > 4:
+        return stem(w[:-3] + 'y') + 'z'
+    if len(w) > 3 and (w.endswith('es') and w[-3] in 'sxz'
+                       or w.endswith(('ches', 'shes'))):
+        return stem(w[:-2]) + 'ɪz'
+    if w.endswith('s') and not w.endswith(('ss', 'us', 'is')) \
+            and len(w) > 3 and _has_vowel(w[:-1]):
+        ipa = stem(w[:-1])
+        return ipa + _plural_suffix(ipa)
+    if w.endswith('ed') and len(w) >= 4 and _has_vowel(w[:-2]):
+        if len(w) > 5 and w[-3] == w[-4] and w[-3] not in 'aeiou':
+            ipa = stem(w[:-3])  # stopped -> stop
+        else:
+            # keep the e on the stem: 'hated' -> 'hate' (magic e),
+            # 'wanted' -> 'wante' (silent e)
+            ipa = stem(w[:-1])
+        return ipa + _past_suffix(ipa)
+    if w.endswith('ing') and len(w) >= 5 and _has_vowel(w[:-3]):
+        s = w[:-3]
+        if s in _LEXICON:
+            return _LEXICON[s] + 'ɪŋ'
+        if s + 'e' in _LEXICON:
+            return _LEXICON[s + 'e'] + 'ɪŋ'
+        if len(s) > 2 and s[-1] == s[-2] and s[:-1] in _LEXICON:
+            return _LEXICON[s[:-1]] + 'ɪŋ'  # running -> run
+        if len(s) >= 3 and s[-1] not in 'aeiou' and s[-2] in 'aeiou' \
+                and s[-3] not in 'aeiou':
+            return stem(s + 'e') + 'ɪŋ'  # open syllable: making
+        return stem(s) + 'ɪŋ'
+    for suf, ipa_suf in [('ness', 'nəs'), ('ment', 'mənt'),
+                         ('ful', 'fəl'), ('less', 'ləs'), ('ly', 'li')]:
+        if w.endswith(suf) and len(w) > len(suf) + 2:
+            ipa = stem(w[:-len(suf)])
+            if ipa and ipa[-1] == ipa_suf[0] and ipa_suf[0] in 'lnm':
+                ipa = ipa[:-1]  # fully -> fʌli, not fʌlli
+            return ipa + ipa_suf
+    return None
+
+
+def _word_to_phonemes(word: str, depth: int = 0) -> str:
     lower = word.lower()
     if lower in _LEXICON:
         return _LEXICON[lower]
+    if depth == 0:
+        morph = _try_morphology(lower)
+        if morph is not None:
+            return morph
     out = []
-    w = lower
+    # degeminate doubled consonants (letter -> one sound); 'cc' stays
+    # (accent: first c hard, second soft -> ks)
+    w = re.sub(r'([bdfghjklmnprstvwz])\1', r'\1', lower)
     suffix = ''
     magic_e = False
     # word-final patterns, handled before the main rule scan:
@@ -159,7 +248,16 @@ def _word_to_phonemes(word: str) -> str:
     # consonant with silent e (sentence, page); other consonant + 'e'
     # -> silent e, possibly magic (made -> meɪd, name -> neɪm)
     magic_pos = -10
-    if len(w) >= 3 and w.endswith('le') and w[-3] not in 'aeiou':
+    if len(w) >= 6 and w.endswith('ture'):
+        # nature -> neɪtʃɚ, future -> fjuːtʃɚ
+        suffix, w = 'tʃɚ', w[:-4]
+        magic_e = len(w) > 0 and w[-1] in 'aeiou'
+        magic_pos = len(w) - 1
+    elif len(w) >= 5 and w.endswith('age'):
+        suffix, w = 'ɪdʒ', w[:-3]  # village, message
+    elif len(w) >= 5 and w.endswith('ous'):
+        suffix, w = 'əs', w[:-3]   # famous, nervous
+    elif len(w) >= 3 and w.endswith('le') and w[-3] not in 'aeiou':
         suffix, w = 'əl', w[:-2]
     elif len(w) >= 3 and w.endswith('ce'):
         suffix, w = 's', w[:-2]

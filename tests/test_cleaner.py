@@ -41,3 +41,31 @@ def test_phonemize_fallback_g2p():
     assert len(out) > 5
     if not espeak_available():
         assert out.startswith('həloʊ')  # lexicon word
+
+
+def test_g2p_morphology():
+    """Inflection decomposition: stems reuse the lexicon / magic-e
+    logic; suffix voicing follows the stem's final sound."""
+    from forwardtacotron_tpu.text.g2p import rule_based_g2p as g
+    for word, want in [
+            ('makes', 'meɪks'), ('making', 'meɪkɪŋ'), ('loved', 'lʌvd'),
+            ('hated', 'heɪtɪd'), ('wanted', 'wæntɪd'),
+            ('cities', 'sɪɾiz'), ('boxes', 'bɑːksɪz'),
+            ('walking', 'wɔːkɪŋ'), ('stopped', 'stɑːpt'),
+            ('running', 'ɹʌnɪŋ'), ('kindness', 'kaɪndnəs'),
+            ('fully', 'fʌli'), ('dogs', 'dɔːɡz'), ('cats', 'kæts'),
+            ('nature', 'neɪtʃɚ'), ('village', 'vɪlɪdʒ'),
+            ('famous', 'fæməs'), ('station', 'steɪʃən'),
+            ('needed', 'niːdɪd'), ('apple', 'æpəl'), ('happy', 'hæpi')]:
+        assert g(word) == want, f'{word}: {g(word)} != {want}'
+
+
+def test_g2p_output_stays_in_symbol_inventory():
+    from forwardtacotron_tpu.text.g2p import rule_based_g2p as g
+    from forwardtacotron_tpu.text.symbols import phonemes
+    text = ('The quick brown foxes jumped over seventeen lazy dogs, '
+            "running happily; they hadn't stopped making noises "
+            'at the station!')
+    out = g(text.lower())
+    unknown = [c for c in out if c not in phonemes]
+    assert not unknown, f'chars outside inventory: {unknown!r}'
