@@ -266,6 +266,21 @@ def _bench_wavernn(config) -> dict:
         out['wavernn_pallas_khz'] = round(Bt * Tt / dt / 1000, 1)
         out['wavernn_pallas_lanes'] = Bt
         out['vocoder_rtf'] = round(dt / (total / model.sample_rate), 5)
+
+        # streaming: time to FIRST audio chunk (stream_wav emits fold
+        # groups incrementally) vs the full one-shot vocoding above
+        from forwardtacotron_tpu.models.streaming import stream_wav
+        mel_2d = np.asarray(mel[0])          # (T, n_mels)
+        it = stream_wav(model, variables, mel_2d, group=8)
+        next(it)                             # compile
+        for _ in it:
+            pass
+        t0 = time.perf_counter()
+        chunk = next(stream_wav(model, variables, mel_2d, group=8))
+        out['stream_first_audio_ms'] = round(
+            (time.perf_counter() - t0) * 1000, 1)
+        out['stream_first_chunk_s'] = round(len(chunk)
+                                            / model.sample_rate, 2)
     return out
 
 
