@@ -41,7 +41,11 @@ def _b_pad(b: int) -> int:
     return max(8, ((b + 7) // 8) * 8)
 
 
-MAX_LANES = 128    # wider fold batches are processed in groups
+# Wider fold batches are processed in sequential lane groups. 64 is the
+# widest group whose streamed conditioning blocks (chunk*b_pad rows of
+# 3072 bf16 cols, double-buffered) + ~8 MB of resident weights fit the
+# 16 MB scoped-VMEM budget; 128 lanes compile-OOMs.
+MAX_LANES = 64
 
 
 def _chunk_for(b_pad: int) -> int:
@@ -237,27 +241,32 @@ def pallas_sample(i_pre: jnp.ndarray, gi2_pre: jnp.ndarray,
       weights['fc2_kx'], weights['fc3_k'], weights['fc3_b'])
 
 
-def wavernn_sample_pallas(model, variables: Dict, mels_up: np.ndarray,
-                          aux: np.ndarray, seed: int = 0,
-                          greedy: bool = False,
-                          compute_dtype=jnp.bfloat16) -> np.ndarray:
-    """Drop-in replacement for model.sample_scan (RAW and MOL modes).
+def sample_conditioned(model, params, mels_up: jnp.ndarray,
+                       aux: jnp.ndarray, seed: jnp.ndarray,
+                       greedy: bool = False,
+                       compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Traceable sampling path: conditioning precomputes, layout prep,
+    weight casts and the Pallas kernel, with no host round-trips —
+    embeddable inside a larger jitted program (e.g. the fused
+    mel->wav vocoder pipeline in models/wavernn.py).
 
-    mels_up / aux: (B, T, C). Returns samples (B, T) float32.
+    mels_up / aux: (B, T, C) arrays; seed: (1,) int32 array.
+    Returns samples (B, T) float32.
     """
     rnn_dims, fc_dims = model.rnn_dims, model.fc_dims
     d = model.aux_dims
     B, T = mels_up.shape[0], mels_up.shape[1]
     if B > MAX_LANES:
         # very long utterances: process fold lanes in VMEM-sized groups
-        # (each fold starts from zero state, so groups are independent)
-        parts = [wavernn_sample_pallas(model, variables,
-                                       mels_up[g:g + MAX_LANES],
-                                       aux[g:g + MAX_LANES],
-                                       seed=seed + g, greedy=greedy,
-                                       compute_dtype=compute_dtype)
+        # (each fold starts from zero state, so groups are independent;
+        # the groups still live in ONE XLA program)
+        parts = [sample_conditioned(model, params,
+                                    mels_up[g:g + MAX_LANES],
+                                    aux[g:g + MAX_LANES],
+                                    seed + g, greedy=greedy,
+                                    compute_dtype=compute_dtype)
                  for g in range(0, B, MAX_LANES)]
-        return np.concatenate(parts, axis=0)
+        return jnp.concatenate(parts, axis=0)
     if model.mode == 'MOL':
         nr_mix = model.n_classes // 3
         n_classes = 128  # lane-padded fc3 width; pad lanes masked off
@@ -266,76 +275,77 @@ def wavernn_sample_pallas(model, variables: Dict, mels_up: np.ndarray,
         n_classes = model.n_classes
 
     b_pad = _b_pad(B)
-    cache_key = (rnn_dims, fc_dims, n_classes, nr_mix, d, B, T, greedy,
-                 jnp.dtype(compute_dtype).name)
-    if cache_key in _RUN_CACHE:
-        run = _RUN_CACHE[cache_key]
-        samples = run(variables['params'], jnp.asarray(mels_up),
-                      jnp.asarray(aux), jnp.asarray([seed], jnp.int32),
-                      greedy)
-        return np.asarray(samples)
+    a1 = aux[..., 0 * d:1 * d]
+    a2 = aux[..., 1 * d:2 * d]
+    a3 = aux[..., 2 * d:3 * d]
+    a4 = aux[..., 3 * d:4 * d]
 
-    @functools.partial(jax.jit, static_argnames=('greedy',))
-    def run(params, mels_up, aux, seed, greedy):
-        """Everything — conditioning precomputes, layout prep, weight
-        casts and the kernel — in ONE jitted program (no per-call eager
-        dispatches)."""
-        a1 = aux[..., 0 * d:1 * d]
-        a2 = aux[..., 1 * d:2 * d]
-        a3 = aux[..., 2 * d:3 * d]
-        a4 = aux[..., 3 * d:4 * d]
+    I_k = params['I_kernel']
+    i_pre = jnp.concatenate([mels_up, a1], axis=-1) @ I_k[1:] \
+        + params['I_bias']
+    gi2_pre = a2 @ params['rnn2_w_ih'][:, rnn_dims:].T \
+        + params['rnn2_b_ih']
+    fc1_pre = a3 @ params['fc1_kernel'][rnn_dims:] + params['fc1_bias']
+    fc2_pre = a4 @ params['fc2_kernel'][fc_dims:] + params['fc2_bias']
 
-        I_k = params['I_kernel']
-        i_pre = jnp.concatenate([mels_up, a1], axis=-1) @ I_k[1:] \
-            + params['I_bias']
-        gi2_pre = a2 @ params['rnn2_w_ih'][:, rnn_dims:].T \
-            + params['rnn2_b_ih']
-        fc1_pre = a3 @ params['fc1_kernel'][rnn_dims:] + params['fc1_bias']
-        fc2_pre = a4 @ params['fc2_kernel'][fc_dims:] + params['fc2_bias']
+    chunk = _chunk_for(b_pad)
 
-        chunk = _chunk_for(b_pad)
+    def prep(x, d_last):
+        # (B, T, D) -> (T_pad * b_pad, D), T padded to the chunk
+        T_pad = ((T + chunk - 1) // chunk) * chunk
+        out = jnp.zeros((T_pad, b_pad, d_last), compute_dtype)
+        out = out.at[:T, :B].set(
+            jnp.swapaxes(x, 0, 1).astype(compute_dtype))
+        return out.reshape(T_pad * b_pad, d_last)
 
-        def prep(x, d_last):
-            # (B, T, D) -> (T_pad * b_pad, D), T padded to the chunk
-            T_pad = ((T + chunk - 1) // chunk) * chunk
-            out = jnp.zeros((T_pad, b_pad, d_last), compute_dtype)
-            out = out.at[:T, :B].set(
-                jnp.swapaxes(x, 0, 1).astype(compute_dtype))
-            return out.reshape(T_pad * b_pad, d_last)
+    bf = compute_dtype
+    fc3_k = params['fc3_kernel']
+    fc3_b = params['fc3_bias']
+    if fc3_k.shape[-1] < n_classes:  # MOL: pad fc3 to full lanes
+        pad = n_classes - fc3_k.shape[-1]
+        fc3_k = jnp.pad(fc3_k, ((0, 0), (0, pad)))
+        fc3_b = jnp.pad(fc3_b, (0, pad))
+    weights = {
+        'w_x': I_k[0][None, :].astype(jnp.float32),
+        'w1_ih': params['rnn1_w_ih'].T.astype(bf),
+        'w1_hh': params['rnn1_w_hh'].T.astype(bf),
+        'b1_ih': params['rnn1_b_ih'][None, :].astype(jnp.float32),
+        'b1_hh': params['rnn1_b_hh'][None, :].astype(jnp.float32),
+        'w2_x': params['rnn2_w_ih'][:, :rnn_dims].T.astype(bf),
+        'w2_hh': params['rnn2_w_hh'].T.astype(bf),
+        'b2_hh': params['rnn2_b_hh'][None, :].astype(jnp.float32),
+        'fc1_kx': params['fc1_kernel'][:rnn_dims].astype(bf),
+        'fc2_kx': params['fc2_kernel'][:fc_dims].astype(bf),
+        'fc3_k': fc3_k.astype(bf),
+        'fc3_b': fc3_b[None, :].astype(jnp.float32),
+    }
+    samples = pallas_sample(
+        prep(i_pre, rnn_dims), prep(gi2_pre, 3 * rnn_dims),
+        prep(fc1_pre, fc_dims), prep(fc2_pre, fc_dims),
+        weights, seed, n_classes=n_classes, rnn_dims=rnn_dims,
+        fc_dims=fc_dims, nr_mix=nr_mix, greedy=greedy,
+        compute_dtype=compute_dtype, b_pad=b_pad, chunk=chunk)
+    return samples[:T, :B].T
 
-        bf = compute_dtype
-        fc3_k = params['fc3_kernel']
-        fc3_b = params['fc3_bias']
-        if fc3_k.shape[-1] < n_classes:  # MOL: pad fc3 to full lanes
-            pad = n_classes - fc3_k.shape[-1]
-            fc3_k = jnp.pad(fc3_k, ((0, 0), (0, pad)))
-            fc3_b = jnp.pad(fc3_b, (0, pad))
-        weights = {
-            'w_x': I_k[0][None, :].astype(jnp.float32),
-            'w1_ih': params['rnn1_w_ih'].T.astype(bf),
-            'w1_hh': params['rnn1_w_hh'].T.astype(bf),
-            'b1_ih': params['rnn1_b_ih'][None, :].astype(jnp.float32),
-            'b1_hh': params['rnn1_b_hh'][None, :].astype(jnp.float32),
-            'w2_x': params['rnn2_w_ih'][:, :rnn_dims].T.astype(bf),
-            'w2_hh': params['rnn2_w_hh'].T.astype(bf),
-            'b2_hh': params['rnn2_b_hh'][None, :].astype(jnp.float32),
-            'fc1_kx': params['fc1_kernel'][:rnn_dims].astype(bf),
-            'fc2_kx': params['fc2_kernel'][:fc_dims].astype(bf),
-            'fc3_k': fc3_k.astype(bf),
-            'fc3_b': fc3_b[None, :].astype(jnp.float32),
-        }
-        samples = pallas_sample(
-            prep(i_pre, rnn_dims), prep(gi2_pre, 3 * rnn_dims),
-            prep(fc1_pre, fc_dims), prep(fc2_pre, fc_dims),
-            weights, seed, n_classes=n_classes, rnn_dims=rnn_dims,
-            fc_dims=fc_dims, nr_mix=nr_mix, greedy=greedy,
-            compute_dtype=compute_dtype, b_pad=b_pad, chunk=chunk)
-        return samples[:T, :B].T
 
-    _RUN_CACHE[cache_key] = run
+def wavernn_sample_pallas(model, variables: Dict, mels_up: np.ndarray,
+                          aux: np.ndarray, seed: int = 0,
+                          greedy: bool = False,
+                          compute_dtype=jnp.bfloat16) -> np.ndarray:
+    """Drop-in replacement for model.sample_scan (RAW and MOL modes).
+
+    mels_up / aux: (B, T, C). Returns samples (B, T) float32.
+    """
+    B, T = mels_up.shape[0], mels_up.shape[1]
+    cache_key = (id(model), B, T, greedy, jnp.dtype(compute_dtype).name)
+    run = _RUN_CACHE.get(cache_key)
+    if run is None:
+        run = jax.jit(functools.partial(sample_conditioned, model,
+                                        greedy=greedy,
+                                        compute_dtype=compute_dtype))
+        _RUN_CACHE[cache_key] = run
     samples = run(variables['params'], jnp.asarray(mels_up),
-                  jnp.asarray(aux), jnp.asarray([seed], jnp.int32),
-                  greedy)
+                  jnp.asarray(aux), jnp.asarray([seed], jnp.int32))
     return np.asarray(samples)
 
 

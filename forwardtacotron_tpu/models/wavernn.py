@@ -376,6 +376,100 @@ def fold_with_overlap(x: np.ndarray, target: int, overlap: int
     return folded
 
 
+def xfade_unfold_device(y: jnp.ndarray, overlap: int) -> jnp.ndarray:
+    """Equal-power crossfade overlap-add on device, no scatter: lane i's
+    tail ([target+overlap:]) overlaps lane i+1's head, so the unfold is
+    a flatten of the first target+overlap samples plus a shifted add of
+    the tails (traceable f32 version of xfade_and_unfold;
+    fatchord_version.py:343-406)."""
+    num_folds, length = y.shape
+    target = length - 2 * overlap
+    stride = target + overlap
+
+    silence_len = overlap // 2
+    fade_len = overlap - silence_len
+    t = jnp.linspace(-1.0, 1.0, fade_len)
+    fade_in = jnp.concatenate([jnp.zeros(silence_len),
+                               jnp.sqrt(0.5 * (1.0 + t))])
+    fade_out = jnp.concatenate([jnp.ones(silence_len),
+                                jnp.sqrt(0.5 * (1.0 - t))])
+
+    y = y.at[:, :overlap].multiply(fade_in[None, :])
+    y = y.at[:, -overlap:].multiply(fade_out[None, :])
+
+    main = y[:, :stride].reshape(num_folds * stride)
+    main = jnp.concatenate([main, jnp.zeros(overlap, y.dtype)])
+    tails = jnp.pad(y[:, stride:], ((0, 0), (0, target)))
+    tails = jnp.concatenate([jnp.zeros(stride, y.dtype),
+                             tails.reshape(num_folds * stride)[:-target]])
+    return main + tails
+
+
+def vocode(model: 'WaveRNN', variables: Dict, mel: np.ndarray,
+           target: Optional[int] = None, overlap: int = 550,
+           mu_law: bool = True, seed: int = 0, greedy: bool = False,
+           use_pallas: Optional[bool] = None) -> np.ndarray:
+    """Fully-fused mel -> waveform vocoding: upsample, fold (gather),
+    conditioning precomputes, AR sampling (Pallas kernel or lax.scan),
+    mu-law decode, crossfade overlap-add, tail fade — ONE jitted XLA
+    program per mel length, one device dispatch, one host fetch of the
+    final audio. On a tunneled/remote TPU each separate dispatch+fetch
+    costs ~25 ms round-trip, so the fused program is the serving path;
+    `generate_wav` keeps the step-by-step version for parity tests.
+
+    mel: (n_mels, T) or (T, n_mels). Returns float32 (wave_len,).
+    """
+    from forwardtacotron_tpu.dsp.audio import DSP
+    from forwardtacotron_tpu.kernels.wavernn_sample import (
+        pallas_supported, sample_conditioned)
+
+    mel = np.asarray(mel, dtype=np.float32)
+    if mel.shape[0] == model.feat_dims and mel.shape[-1] != model.feat_dims:
+        mel = mel.T
+    n_frames = mel.shape[0]
+    mu_law = mu_law if model.mode == 'RAW' else False
+    if use_pallas is None:
+        use_pallas = pallas_supported(model)
+    if target is None:
+        target = TARGET_TPU if use_pallas else TARGET_REFERENCE
+    wave_len = (n_frames - 1) * model.hop_length
+
+    cache_key = (id(model), 'vocode', n_frames, target, overlap, mu_law,
+                 greedy, use_pallas)
+    run = _GEN_JIT_CACHE.get(cache_key)
+    if run is None:
+        def _run(variables, mel, seed):
+            m = jnp.pad(mel[None], ((0, 0), (model.pad, model.pad),
+                                    (0, 0)))
+            mels_up, aux = model.apply(variables, m,
+                                       method='upsample_cond')
+            mels_f = fold_device(mels_up, target, overlap)
+            aux_f = fold_device(aux, target, overlap)
+            if use_pallas:
+                samples = sample_conditioned(
+                    model, variables['params'], mels_f, aux_f,
+                    seed[None], greedy=greedy)
+            else:
+                samples = model.apply(variables, mels_f, aux_f,
+                                      jax.random.PRNGKey(seed),
+                                      method='sample_scan', greedy=greedy)
+            wave = samples
+            if mu_law:
+                wave = DSP.decode_mu_law(wave, model.n_classes, False)
+            wave = xfade_unfold_device(wave, overlap)
+            wave = wave[:wave_len]
+            # utterances shorter than the 20-frame fade get fully faded
+            n_fade = min(20 * model.hop_length, wave_len)
+            fade = jnp.linspace(1.0, 0.0, n_fade)
+            return wave.at[wave_len - n_fade:].multiply(fade)
+
+        run = jax.jit(_run)
+        _GEN_JIT_CACHE[cache_key] = run
+    wav = run(variables, jnp.asarray(mel),
+              jnp.asarray(seed, jnp.int32))
+    return np.asarray(wav)
+
+
 def xfade_and_unfold(y: np.ndarray, target: int, overlap: int
                      ) -> np.ndarray:
     """(num_folds, target + 2*overlap) -> (total,) with equal-power
@@ -418,8 +512,8 @@ TARGET_TPU = 2_750
 def generate_wav(model: WaveRNN, variables: Dict, mel: np.ndarray,
                  batched: bool = True, target: Optional[int] = None,
                  overlap: int = 550, mu_law: bool = True,
-                 seed: int = 0, use_pallas: Optional[bool] = None
-                 ) -> np.ndarray:
+                 seed: int = 0, use_pallas: Optional[bool] = None,
+                 fused: Optional[bool] = None) -> np.ndarray:
     """Full generation pipeline (fatchord_version.py:171-265): pad,
     upsample, fold, scan-sample, mu-law decode, crossfade-unfold,
     fade-out. `mel` is (n_mels, T) or (T, n_mels).
@@ -429,8 +523,20 @@ def generate_wav(model: WaveRNN, variables: Dict, mel: np.ndarray,
     Default auto: the kernel when supported (TPU + RAW/MOL +
     128-aligned dims), scan otherwise. `target=None` auto-selects the
     fold length: TARGET_TPU for the kernel, the reference's 11000
-    otherwise."""
+    otherwise.
+
+    fused: delegate to `vocode` — the whole pipeline as ONE device
+    program with a single host fetch (f32 crossfade instead of this
+    path's f64 host crossfade). Default auto: on for batched TPU runs;
+    the stepwise path stays for CPU and parity tests."""
     from forwardtacotron_tpu.dsp.audio import DSP
+
+    if fused is None:
+        fused = batched and jax.devices()[0].platform in ('tpu', 'axon')
+    if fused and batched:
+        return vocode(model, variables, mel, target=target,
+                      overlap=overlap, mu_law=mu_law, seed=seed,
+                      use_pallas=use_pallas)
 
     mel = np.asarray(mel, dtype=np.float32)
     if mel.shape[0] == model.feat_dims and mel.shape[-1] != model.feat_dims:
@@ -482,7 +588,8 @@ def generate_wav(model: WaveRNN, variables: Dict, mel: np.ndarray,
     else:
         output = output[0]
 
-    fade_out = np.linspace(1, 0, 20 * model.hop_length)
     output = output[:wave_len]
-    output[-20 * model.hop_length:] *= fade_out
+    n_fade = min(20 * model.hop_length, len(output))
+    fade_out = np.linspace(1, 0, n_fade)
+    output[len(output) - n_fade:] *= fade_out
     return output
