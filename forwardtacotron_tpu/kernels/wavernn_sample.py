@@ -4,11 +4,16 @@ The lax.scan sampler (models/wavernn.py:sample_scan) re-reads the GRU/FC
 weights from HBM on every step through XLA's while-loop. This kernel is
 the speed-of-light version for the serving path:
 
-- ALL loop weights (both GRU gate matrices, fc1/fc2/fc3) are cast to
-  bfloat16 and pinned in VMEM for the kernel's whole lifetime (~8 MB);
-- the per-step conditioning rows (I/gi2/fc1/fc2 projections, precomputed
-  on the MXU outside the kernel) are streamed HBM->VMEM in chunked
-  blocks by the Pallas pipeline;
+- ALL loop weights (both GRU gate matrices, fc1/fc2/fc3, and the
+  conditioning projection) are cast to bfloat16 and pinned in VMEM for
+  the kernel's whole lifetime (~10 MB);
+- the per-step conditioning is streamed HBM->VMEM in its COMPACT raw
+  form (mel + aux channels, lane-padded to a multiple of 128) and
+  projected to the four injection points (GRU1 input, GRU2 gates,
+  fc1, fc2) by one in-kernel MXU matmul per step against a
+  block-structured weight — 12x less streamed bytes/VMEM than
+  precomputing the projections outside, which is what lets wide folds
+  (up to 128 lanes) fit on chip;
 - categorical sampling runs on-chip: per-step Gumbel noise from the TPU
   PRNG + argmax, so no host or HBM round-trips inside the loop;
 - hidden state (h1, h2) and the previous sample live in VMEM scratch
@@ -41,33 +46,37 @@ def _b_pad(b: int) -> int:
     return max(8, ((b + 7) // 8) * 8)
 
 
-# Wider fold batches are processed in sequential lane groups. 64 is the
-# widest group whose streamed conditioning blocks (chunk*b_pad rows of
-# 3072 bf16 cols, double-buffered) + ~8 MB of resident weights fit the
-# 16 MB scoped-VMEM budget; 128 lanes compile-OOMs.
-MAX_LANES = 64
+# Widest fold batch one kernel launch handles. With compact-streamed
+# conditioning the VMEM budget (resident weights ~10 MB + double-
+# buffered cond blocks ~1 MB + per-step f32 intermediates) admits 128
+# lanes — a full MXU tile in the batch dimension.
+MAX_LANES = 128
 
 
 def _chunk_for(b_pad: int) -> int:
     """Steps per grid block: keep streamed-block rows (chunk * b_pad)
-    ~256 so the double-buffered conditioning blocks stay well inside
-    the 16 MB VMEM budget at any fold width (wide folds = many lanes =
-    shorter chunks). Must stay a multiple of 8 (output block sublanes)."""
-    return max(8, ((CHUNK * 8) // b_pad) // 8 * 8)
+    ~1024 — compact cond rows are cheap, and longer chunks amortize
+    block-switch overhead. Must stay a multiple of 8 (output block
+    sublanes)."""
+    return max(8, ((CHUNK * 32) // b_pad) // 8 * 8)
 
 
 def _kernel(n_classes: int, nr_mix: int, rnn_dims: int, fc_dims: int,
-            greedy: bool, compute_dtype, b_pad: int, chunk: int,
+            greedy: bool, compute_dtype, gate_dtype, b_pad: int, chunk: int,
+            hoist_pre: bool,
             # refs:
             seed_ref,                      # SMEM (1,)
-            i_pre_ref, gi2_pre_ref, fc1_pre_ref, fc2_pre_ref,  # (CHUNK*B,D)
+            cond_ref,                      # (chunk*B, C_pad) compact cond
+            wc_ref, bc_ref,                # (C_pad, R+3H+2F), (1, R+3H+2F)
             w_x_ref,                       # (1, rnn)
             w1_ih_ref, w1_hh_ref, b1_ih_ref, b1_hh_ref,
             w2_x_ref, w2_hh_ref, b2_hh_ref,
             fc1_kx_ref, fc2_kx_ref, fc3_k_ref, fc3_b_ref,
-            out_ref,                       # (CHUNK, B)
-            h1_ref, h2_ref, x_ref):        # scratch (B, rnn)/(B, 128)
+            out_ref,                       # (chunk, B)
+            h1_ref, h2_ref, x_ref,         # scratch (B, rnn)/(B, 128)
+            pre_ref):                      # scratch (chunk*B, n_cond)|None
     H = rnn_dims
+    F = fc_dims
 
     @pl.when(pl.program_id(0) == 0)
     def _():
@@ -77,18 +86,47 @@ def _kernel(n_classes: int, nr_mix: int, rnn_dims: int, fc_dims: int,
 
     pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
 
+    if hoist_pre:
+        # conditioning projection for the WHOLE chunk in one tall MXU
+        # op (M = chunk*b_pad) — removes the serial per-step matmul
+        pre_ref[:] = jnp.dot(cond_ref[:], wc_ref[:],
+                             preferred_element_type=jnp.float32
+                             ).astype(compute_dtype)
+
     def gru(gi, gh, h):
-        r = jax.nn.sigmoid(gi[:, :H] + gh[:, :H])
-        z = jax.nn.sigmoid(gi[:, H:2 * H] + gh[:, H:2 * H])
+        # Gate math in `gate_dtype` (defaults to the compute dtype);
+        # the hidden-state update stays f32 so the AR recurrence does
+        # not accumulate low-precision error.
+        gi = gi.astype(gate_dtype)
+        gh = gh.astype(gate_dtype)
+
+        def sig(v):
+            # manual sigmoid: jax.nn.sigmoid's lowering broadcasts an
+            # f32 constant into bf16 vectors, which Mosaic rejects
+            one = jnp.asarray(1.0, v.dtype)
+            return one / (one + jnp.exp(-v))
+
+        r = sig(gi[:, :H] + gh[:, :H])
+        z = sig(gi[:, H:2 * H] + gh[:, H:2 * H])
         n = jnp.tanh(gi[:, 2 * H:] + r * gh[:, 2 * H:])
-        return (1.0 - z) * n + z * h
+        z = z.astype(jnp.float32)
+        return (1.0 - z) * n.astype(jnp.float32) + z * h
 
     def step(t, carry):
         x, h1, h2 = carry  # (B,1) f32, (B,H) f32, (B,H) f32
 
         row = t * b_pad
-        xt = i_pre_ref[pl.ds(row, b_pad), :].astype(jnp.float32) \
-            + x * w_x_ref[0][None, :]
+        if hoist_pre:
+            pre = pre_ref[pl.ds(row, b_pad), :].astype(jnp.float32) \
+                + bc_ref[0]
+        else:
+            c = cond_ref[pl.ds(row, b_pad), :]
+            # conditioning projection: one MXU op computes all four
+            # injection rows [i | gi2 | f1 | f2] from compact channels
+            pre = jnp.dot(c, wc_ref[:],
+                          preferred_element_type=jnp.float32) + bc_ref[0]
+
+        xt = pre[:, :H] + x * w_x_ref[0][None, :]
 
         xt_b = xt.astype(compute_dtype)
         gi1 = jnp.dot(xt_b, w1_ih_ref[:],
@@ -100,7 +138,7 @@ def _kernel(n_classes: int, nr_mix: int, rnn_dims: int, fc_dims: int,
         x1 = xt + h1
         gi2 = jnp.dot(x1.astype(compute_dtype), w2_x_ref[:],
                       preferred_element_type=jnp.float32) \
-            + gi2_pre_ref[pl.ds(row, b_pad), :].astype(jnp.float32)
+            + pre[:, H:4 * H]
         gh2 = jnp.dot(h2.astype(compute_dtype), w2_hh_ref[:],
                       preferred_element_type=jnp.float32) + b2_hh_ref[0]
         h2 = gru(gi2, gh2, h2)
@@ -108,11 +146,11 @@ def _kernel(n_classes: int, nr_mix: int, rnn_dims: int, fc_dims: int,
         x2 = (x1 + h2).astype(compute_dtype)
         f1 = jax.nn.relu(
             jnp.dot(x2, fc1_kx_ref[:], preferred_element_type=jnp.float32)
-            + fc1_pre_ref[pl.ds(row, b_pad), :].astype(jnp.float32))
+            + pre[:, 4 * H:4 * H + F])
         f2 = jax.nn.relu(
             jnp.dot(f1.astype(compute_dtype), fc2_kx_ref[:],
                     preferred_element_type=jnp.float32)
-            + fc2_pre_ref[pl.ds(row, b_pad), :].astype(jnp.float32))
+            + pre[:, 4 * H + F:4 * H + 2 * F])
         logits = jnp.dot(f2.astype(compute_dtype), fc3_k_ref[:],
                          preferred_element_type=jnp.float32) + fc3_b_ref[0]
 
@@ -174,44 +212,49 @@ def _kernel(n_classes: int, nr_mix: int, rnn_dims: int, fc_dims: int,
 @functools.partial(jax.jit, static_argnames=('n_classes', 'nr_mix',
                                              'rnn_dims', 'fc_dims',
                                              'greedy', 'compute_dtype',
+                                             'gate_dtype', 'hoist_pre',
                                              'b_pad', 'chunk'))
-def pallas_sample(i_pre: jnp.ndarray, gi2_pre: jnp.ndarray,
-                  fc1_pre: jnp.ndarray, fc2_pre: jnp.ndarray,
+def pallas_sample(cond: jnp.ndarray,
                   weights: Dict[str, jnp.ndarray], seed: jnp.ndarray,
                   n_classes: int, rnn_dims: int, fc_dims: int,
                   nr_mix: int = 0,
                   greedy: bool = False,
                   compute_dtype=jnp.bfloat16,
+                  gate_dtype=None,
+                  hoist_pre: bool = False,
                   b_pad: int = 8, chunk: int = CHUNK) -> jnp.ndarray:
-    """Inputs are flattened time-major (T * b_pad, D) with
-    T % CHUNK == 0 (row t*b_pad+b = step t, lane b). `n_classes` is the
-    (lane-padded) fc3 output width; `nr_mix` > 0 switches to MOL
-    sampling with that many mixture components. Returns samples
-    (T, b_pad) float32."""
-    T = i_pre.shape[0] // b_pad
+    """`cond` is the compact conditioning, flattened time-major
+    (T * b_pad, C_pad) with T % chunk == 0 (row t*b_pad+b = step t,
+    lane b). `n_classes` is the (lane-padded) fc3 output width;
+    `nr_mix` > 0 switches to MOL sampling with that many mixture
+    components. Returns samples (T, b_pad) float32."""
+    T = cond.shape[0] // b_pad
     assert T % chunk == 0
     grid = (T // chunk,)
-
-    def time_block(d):
-        return pl.BlockSpec((chunk * b_pad, d), lambda i: (i, 0),
-                            memory_space=pltpu.VMEM)
+    c_pad = cond.shape[1]
+    n_cond = rnn_dims + 3 * rnn_dims + 2 * fc_dims
 
     def full(shape):
         return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                             memory_space=pltpu.VMEM)
 
+    if gate_dtype is None:
+        gate_dtype = compute_dtype
     kernel = functools.partial(_kernel, n_classes, nr_mix, rnn_dims,
-                               fc_dims, greedy, compute_dtype, b_pad,
-                               chunk)
+                               fc_dims, greedy, compute_dtype, gate_dtype,
+                               b_pad, chunk, hoist_pre)
+    pre_scratch = (pltpu.VMEM((chunk * b_pad, n_cond), compute_dtype)
+                   if hoist_pre else
+                   pltpu.VMEM((8, 128), compute_dtype))
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),            # seed
-            time_block(rnn_dims),                             # i_pre
-            time_block(3 * rnn_dims),                         # gi2_pre
-            time_block(fc_dims),                              # fc1_pre
-            time_block(fc_dims),                              # fc2_pre
+            pl.BlockSpec((chunk * b_pad, c_pad), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),            # cond
+            full((c_pad, n_cond)),                            # wc
+            full((1, n_cond)),                                # bc
             full((1, rnn_dims)),                              # w_x
             full((rnn_dims, 3 * rnn_dims)),                   # w1_ih
             full((rnn_dims, 3 * rnn_dims)),                   # w1_hh
@@ -232,9 +275,11 @@ def pallas_sample(i_pre: jnp.ndarray, gi2_pre: jnp.ndarray,
             pltpu.VMEM((b_pad, rnn_dims), jnp.float32),  # h1
             pltpu.VMEM((b_pad, rnn_dims), jnp.float32),  # h2
             pltpu.VMEM((b_pad, 128), jnp.float32),       # x carry
+            pre_scratch,                                 # hoisted pre
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(seed, i_pre, gi2_pre, fc1_pre, fc2_pre,
+    )(seed, cond,
+      weights['wc'], weights['bc'],
       weights['w_x'], weights['w1_ih'], weights['w1_hh'],
       weights['b1_ih'], weights['b1_hh'], weights['w2_x'],
       weights['w2_hh'], weights['b2_hh'], weights['fc1_kx'],
@@ -244,17 +289,21 @@ def pallas_sample(i_pre: jnp.ndarray, gi2_pre: jnp.ndarray,
 def sample_conditioned(model, params, mels_up: jnp.ndarray,
                        aux: jnp.ndarray, seed: jnp.ndarray,
                        greedy: bool = False,
-                       compute_dtype=jnp.bfloat16) -> jnp.ndarray:
-    """Traceable sampling path: conditioning precomputes, layout prep,
-    weight casts and the Pallas kernel, with no host round-trips —
-    embeddable inside a larger jitted program (e.g. the fused
-    mel->wav vocoder pipeline in models/wavernn.py).
+                       compute_dtype=jnp.bfloat16,
+                       gate_dtype=None,
+                       hoist_pre=None) -> jnp.ndarray:
+    """Traceable sampling path: compact conditioning layout, the
+    block-structured conditioning weight, weight casts and the Pallas
+    kernel, with no host round-trips — embeddable inside a larger
+    jitted program (e.g. the fused mel->wav vocoder pipeline in
+    models/wavernn.py).
 
     mels_up / aux: (B, T, C) arrays; seed: (1,) int32 array.
     Returns samples (B, T) float32.
     """
     rnn_dims, fc_dims = model.rnn_dims, model.fc_dims
     d = model.aux_dims
+    feat = model.feat_dims
     B, T = mels_up.shape[0], mels_up.shape[1]
     if B > MAX_LANES:
         # very long utterances: process fold lanes in VMEM-sized groups
@@ -264,7 +313,8 @@ def sample_conditioned(model, params, mels_up: jnp.ndarray,
                                     mels_up[g:g + MAX_LANES],
                                     aux[g:g + MAX_LANES],
                                     seed + g, greedy=greedy,
-                                    compute_dtype=compute_dtype)
+                                    compute_dtype=compute_dtype,
+                                    gate_dtype=gate_dtype)
                  for g in range(0, B, MAX_LANES)]
         return jnp.concatenate(parts, axis=0)
     if model.mode == 'MOL':
@@ -275,28 +325,45 @@ def sample_conditioned(model, params, mels_up: jnp.ndarray,
         n_classes = model.n_classes
 
     b_pad = _b_pad(B)
-    a1 = aux[..., 0 * d:1 * d]
-    a2 = aux[..., 1 * d:2 * d]
-    a3 = aux[..., 2 * d:3 * d]
-    a4 = aux[..., 3 * d:4 * d]
-
-    I_k = params['I_kernel']
-    i_pre = jnp.concatenate([mels_up, a1], axis=-1) @ I_k[1:] \
-        + params['I_bias']
-    gi2_pre = a2 @ params['rnn2_w_ih'][:, rnn_dims:].T \
-        + params['rnn2_b_ih']
-    fc1_pre = a3 @ params['fc1_kernel'][rnn_dims:] + params['fc1_bias']
-    fc2_pre = a4 @ params['fc2_kernel'][fc_dims:] + params['fc2_bias']
-
     chunk = _chunk_for(b_pad)
+    if hoist_pre is None:
+        # hoisting the chunk's conditioning projection wins at narrow
+        # folds; at >64 lanes its scratch overflows VMEM and loses
+        hoist_pre = b_pad <= 64
+    if hoist_pre:
+        # the hoisted-pre scratch (chunk*b_pad, 4H+2F) must stay inside
+        # the VMEM budget next to ~10 MB of resident weights
+        max_rows = max(8 * 8, (3 << 20) // (2 * (4 * rnn_dims
+                                                 + 2 * fc_dims)))
+        while chunk > 8 and chunk * b_pad > max_rows:
+            chunk -= 8
 
-    def prep(x, d_last):
-        # (B, T, D) -> (T_pad * b_pad, D), T padded to the chunk
-        T_pad = ((T + chunk - 1) // chunk) * chunk
-        out = jnp.zeros((T_pad, b_pad, d_last), compute_dtype)
-        out = out.at[:T, :B].set(
-            jnp.swapaxes(x, 0, 1).astype(compute_dtype))
-        return out.reshape(T_pad * b_pad, d_last)
+    # compact conditioning: [mels | a1 | a2 | a3 | a4], lane-padded
+    c_raw = feat + 4 * d
+    c_pad = max(128, ((c_raw + 127) // 128) * 128)
+    cond_btc = jnp.concatenate([mels_up, aux], axis=-1)  # (B, T, c_raw)
+
+    T_pad = ((T + chunk - 1) // chunk) * chunk
+    cond = jnp.zeros((T_pad, b_pad, c_pad), compute_dtype)
+    cond = cond.at[:T, :B, :c_raw].set(
+        jnp.swapaxes(cond_btc, 0, 1).astype(compute_dtype))
+    cond = cond.reshape(T_pad * b_pad, c_pad)
+
+    # block-structured conditioning weight: rows are compact channels,
+    # cols are the four injection points [i | gi2 | f1 | f2]
+    H, F = rnn_dims, fc_dims
+    n_cond = 4 * H + 2 * F
+    I_k = params['I_kernel']
+    wc = jnp.zeros((c_pad, n_cond), jnp.float32)
+    wc = wc.at[:feat + d, :H].set(I_k[1:])
+    wc = wc.at[feat + d:feat + 2 * d, H:4 * H].set(
+        params['rnn2_w_ih'][:, rnn_dims:].T)
+    wc = wc.at[feat + 2 * d:feat + 3 * d, 4 * H:4 * H + F].set(
+        params['fc1_kernel'][rnn_dims:])
+    wc = wc.at[feat + 3 * d:feat + 4 * d, 4 * H + F:].set(
+        params['fc2_kernel'][fc_dims:])
+    bc = jnp.concatenate([params['I_bias'], params['rnn2_b_ih'],
+                          params['fc1_bias'], params['fc2_bias']])
 
     bf = compute_dtype
     fc3_k = params['fc3_kernel']
@@ -306,6 +373,8 @@ def sample_conditioned(model, params, mels_up: jnp.ndarray,
         fc3_k = jnp.pad(fc3_k, ((0, 0), (0, pad)))
         fc3_b = jnp.pad(fc3_b, (0, pad))
     weights = {
+        'wc': wc.astype(bf),
+        'bc': bc[None, :].astype(jnp.float32),
         'w_x': I_k[0][None, :].astype(jnp.float32),
         'w1_ih': params['rnn1_w_ih'].T.astype(bf),
         'w1_hh': params['rnn1_w_hh'].T.astype(bf),
@@ -320,11 +389,10 @@ def sample_conditioned(model, params, mels_up: jnp.ndarray,
         'fc3_b': fc3_b[None, :].astype(jnp.float32),
     }
     samples = pallas_sample(
-        prep(i_pre, rnn_dims), prep(gi2_pre, 3 * rnn_dims),
-        prep(fc1_pre, fc_dims), prep(fc2_pre, fc_dims),
-        weights, seed, n_classes=n_classes, rnn_dims=rnn_dims,
+        cond, weights, seed, n_classes=n_classes, rnn_dims=rnn_dims,
         fc_dims=fc_dims, nr_mix=nr_mix, greedy=greedy,
-        compute_dtype=compute_dtype, b_pad=b_pad, chunk=chunk)
+        compute_dtype=compute_dtype, gate_dtype=gate_dtype,
+        hoist_pre=hoist_pre, b_pad=b_pad, chunk=chunk)
     return samples[:T, :B].T
 
 
