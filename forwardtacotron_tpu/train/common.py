@@ -249,7 +249,7 @@ class TopKTracker:
         if len(self.entries) >= self.k \
                 and score >= max(e[0] for e in self.entries):
             return False
-        name = f'{self.prefix}_step{step}_loss{score:.5f}.fjax'
+        name = f'{self.prefix}_step{step}_score{score:.5f}.fjax'
         save_checkpoint(variables, config, self.directory / name,
                         opt_state=opt_state, step=step)
         self.entries.append((float(score), int(step), name))

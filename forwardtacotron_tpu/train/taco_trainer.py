@@ -82,6 +82,7 @@ class TacoTrainer:
         self.config = config
         self.train_cfg = config['tacotron']['training']
         self._writer = writer
+        self._top_k = None
 
     @property
     def writer(self):
@@ -194,6 +195,17 @@ class TacoTrainer:
                                 self.paths.taco_checkpoints /
                                 'latest_model.fjax',
                                 opt_state=state.opt_state, step=step)
+                # beyond-reference: keep the k best teacher checkpoints
+                # by val attention score — the teacher's product is
+                # alignments, so attention quality (negated: tracker
+                # keeps lowest) is the retention metric
+                if self._top_k is None:
+                    self._top_k = tc.TopKTracker(
+                        self.paths.taco_top_k,
+                        k=int(self.train_cfg.get('keep_top_k', 3)),
+                        prefix='taco')
+                self._top_k.update(-val_att, state.variables,
+                                   self.config, state.opt_state, step)
                 loss_avg.reset()
                 duration_avg.reset()
                 print(' ')

@@ -35,6 +35,7 @@ class Paths:
         self.voc_log = self.voc_checkpoints / 'logs'
 
         self.taco_checkpoints = self.base / 'checkpoints' / f'{tts_id}.tacotron'
+        self.taco_top_k = self.taco_checkpoints / 'top_k_models'
         self.taco_log = self.taco_checkpoints / 'logs'
 
         self.forward_checkpoints = self.base / 'checkpoints' / f'{tts_id}.forward'
@@ -47,7 +48,7 @@ class Paths:
         for p in [self.data, self.quant, self.mel, self.gta, self.alg,
                   self.raw_pitch, self.phon_pitch, self.phon_energy,
                   self.voc_checkpoints, self.voc_top_k, self.voc_log,
-                  self.taco_checkpoints, self.taco_log,
+                  self.taco_checkpoints, self.taco_top_k, self.taco_log,
                   self.forward_checkpoints, self.forward_top_k,
                   self.forward_log]:
             os.makedirs(p, exist_ok=True)
