@@ -129,6 +129,219 @@ _LEXICON = {
     'often': 'ɔːfən', 'listen': 'lɪsən', 'iron': 'aɪɚn',
     'colonel': 'kɜːnəl', 'choir': 'kwaɪɚ', 'heir': 'ɛɹ',
     'honest': 'ɑːnɪst', 'honor': 'ɑːnɚ', 'ghost': 'ɡoʊst',
+    # -- extended lexicon: frequent words the rule engine mispronounces --
+    'today': 'tədeɪ', 'tomorrow': 'təmɑːɹoʊ', 'yesterday': 'jɛstɚdeɪ',
+    'always': 'ɔːlweɪz', 'already': 'ɔːlɹɛdi', 'almost': 'ɔːlmoʊst',
+    'also': 'ɔːlsoʊ', 'although': 'ɔːlðoʊ', 'together': 'təɡɛðɚ',
+    'another': 'ənʌðɚ', 'anything': 'ɛniθɪŋ', 'everything': 'ɛvɹiθɪŋ',
+    'nothing': 'nʌθɪŋ', 'everyone': 'ɛvɹiwʌn', 'anyone': 'ɛniwʌn',
+    'someone': 'sʌmwʌn', 'somebody': 'sʌmbɑːdi', 'nobody': 'noʊbɑːdi',
+    'every': 'ɛvɹi', 'never': 'nɛvɚ', 'ever': 'ɛvɚ', 'however': 'haʊɛvɚ',
+    'between': 'bɪtwiːn', 'against': 'əɡɛnst', 'during': 'dʊɹɪŋ',
+    'without': 'wɪðaʊt', 'within': 'wɪðɪn', 'around': 'əɹaʊnd',
+    'across': 'əkɹɔːs', 'behind': 'bɪhaɪnd', 'toward': 'tɔːɹd',
+    'towards': 'tɔːɹdz', 'above': 'əbʌv', 'below': 'bɪloʊ',
+    'under': 'ʌndɚ', 'until': 'ʌntɪl', 'since': 'sɪns',
+    'while': 'waɪl', 'along': 'əlɔːŋ', 'among': 'əmʌŋ',
+    'away': 'əweɪ', 'ago': 'əɡoʊ', 'else': 'ɛls', 'per': 'pɜː',
+    'both': 'boʊθ', 'neither': 'niːðɚ', 'either': 'aɪðɚ',
+    'several': 'sɛvɹəl', 'certain': 'sɜːtən', 'whole': 'hoʊl',
+    'real': 'ɹiːl', 'really': 'ɹɪli', 'maybe': 'meɪbi',
+    'perhaps': 'pɚhæps', 'quite': 'kwaɪt', 'rather': 'ɹæðɚ',
+    'instead': 'ɪnstɛd', 'please': 'pliːz', 'thank': 'θæŋk',
+    'thanks': 'θæŋks', 'sorry': 'sɑːɹi', 'okay': 'oʊkeɪ',
+    'yes': 'jɛs', 'yeah': 'jɛə', 'oh': 'oʊ', 'well': 'wɛl',
+    'just': 'dʒʌst', 'even': 'iːvən', 'still': 'stɪl', 'too': 'tuː',
+    'very': 'vɛɹi', 'much': 'mʌtʃ', 'such': 'sʌtʃ', 'own': 'oʊn',
+    'being': 'biːɪŋ', 'having': 'hævɪŋ', 'doing': 'duːɪŋ',
+    'done': 'dʌn', 'seen': 'siːn', 'saw': 'sɔː', 'knew': 'nuː',
+    'known': 'noʊn', 'thinks': 'θɪŋks', 'think': 'θɪŋk',
+    'want': 'wɑːnt', 'wants': 'wɑːnts', 'wanted': 'wɑːntɪd',
+    'need': 'niːd', 'call': 'kɔːl', 'called': 'kɔːld', 'try': 'tɹaɪ',
+    'tried': 'tɹaɪd', 'ask': 'æsk', 'asked': 'æskt', 'used': 'juːzd',
+    'using': 'juːzɪŋ', 'user': 'juːzɚ', 'users': 'juːzɚz',
+    'says': 'sɛz', 'saying': 'seɪɪŋ', 'heart': 'hɑːɹt',
+    'dead': 'dɛd', 'death': 'dɛθ', 'bread': 'bɹɛd', 'ready': 'ɹɛdi',
+    'weather': 'wɛðɚ', 'whether': 'wɛðɚ', 'heavy': 'hɛvi',
+    'instead': 'ɪnstɛd', 'breakfast': 'bɹɛkfəst', 'sweat': 'swɛt',
+    'spread': 'spɹɛd', 'threat': 'θɹɛt', 'wealth': 'wɛlθ',
+    'meant': 'mɛnt', 'breath': 'bɹɛθ', 'weapon': 'wɛpən',
+    'pleasant': 'plɛzənt', 'jealous': 'dʒɛləs', 'leather': 'lɛðɚ',
+    'feather': 'fɛðɚ', 'steady': 'stɛdi', 'ahead': 'əhɛd',
+    'break': 'bɹeɪk', 'steak': 'steɪk', 'heard': 'hɜːd',
+    'love': 'lʌv', 'glove': 'ɡlʌv', 'above': 'əbʌv', 'dove': 'dʌv',
+    'none': 'nʌn', 'nonsense': 'nɑːnsɛns', 'month': 'mʌnθ',
+    'months': 'mʌnθs', 'front': 'fɹʌnt', 'son': 'sʌn', 'ton': 'tʌn',
+    'among': 'əmʌŋ', 'monkey': 'mʌŋki', 'onion': 'ʌnjən',
+    'nothing': 'nʌθɪŋ', 'brother': 'bɹʌðɚ', 'cover': 'kʌvɚ',
+    'color': 'kʌlɚ', 'colour': 'kʌlɚ', 'company': 'kʌmpəni',
+    'country': 'kʌntɹi', 'couple': 'kʌpəl', 'cousin': 'kʌzən',
+    'double': 'dʌbəl', 'trouble': 'tɹʌbəl', 'touch': 'tʌtʃ',
+    'tough': 'tʌf', 'rough': 'ɹʌf', 'young': 'jʌŋ', 'blood': 'blʌd',
+    'flood': 'flʌd', 'other': 'ʌðɚ', 'others': 'ʌðɚz',
+    'mouth': 'maʊθ', 'south': 'saʊθ', 'north': 'nɔːɹθ',
+    'course': 'kɔːɹs', 'court': 'kɔːɹt', 'four': 'fɔːɹ',
+    'door': 'dɔːɹ', 'floor': 'flɔːɹ', 'poor': 'pʊɹ', 'tour': 'tʊɹ',
+    'your': 'jʊɹ', 'hours': 'aʊɚz', 'journey': 'dʒɜːni',
+    'group': 'ɡɹuːp', 'soup': 'suːp', 'through': 'θɹuː',
+    'throughout': 'θɹuːaʊt', 'you': 'juː', 'youth': 'juːθ',
+    'move': 'muːv', 'prove': 'pɹuːv', 'lose': 'luːz', 'whose': 'huːz',
+    'shoe': 'ʃuː', 'shoes': 'ʃuːz', 'truth': 'tɹuːθ', 'fruit': 'fɹuːt',
+    'juice': 'dʒuːs', 'beauty': 'bjuːɾi', 'view': 'vjuː',
+    'friend': 'fɹɛnd', 'friends': 'fɹɛndz', 'field': 'fiːld',
+    'piece': 'piːs', 'believe': 'bɪliːv', 'chief': 'tʃiːf',
+    'brief': 'bɹiːf', 'receive': 'ɹɪsiːv', 'ceiling': 'siːlɪŋ',
+    'either': 'aɪðɚ', 'height': 'haɪt', 'neighbor': 'neɪbɚ',
+    'weight': 'weɪt', 'weigh': 'weɪ', 'great': 'ɡɹeɪt',
+    'wear': 'wɛɹ', 'bear': 'bɛɹ', 'pear': 'pɛɹ', 'tear': 'tɛɹ',
+    'swear': 'swɛɹ', 'heart': 'hɑːɹt', 'near': 'nɪɹ', 'year': 'jɪɹ',
+    'hear': 'hɪɹ', 'clear': 'klɪɹ', 'dear': 'dɪɹ', 'fear': 'fɪɹ',
+    'idea': 'aɪdiːə', 'area': 'ɛɹiə', 'theater': 'θiːəɾɚ',
+    'science': 'saɪəns', 'quiet': 'kwaɪət', 'society': 'səsaɪəɾi',
+    'variety': 'vəɹaɪəɾi', 'anxiety': 'æŋzaɪəɾi', 'diet': 'daɪət',
+    'lion': 'laɪən', 'giant': 'dʒaɪənt', 'bias': 'baɪəs',
+    'via': 'vaɪə', 'violin': 'vaɪəlɪn', 'violence': 'vaɪələns',
+    'period': 'pɪɹiəd', 'serious': 'sɪɹiəs', 'experience': 'ɪkspɪɹiəns',
+    'material': 'mətɪɹiəl', 'radio': 'ɹeɪdioʊ', 'video': 'vɪdioʊ',
+    'audio': 'ɔːdioʊ', 'studio': 'stuːdioʊ', 'media': 'miːdiə',
+    'immediately': 'ɪmiːdiətli', 'obvious': 'ɑːbviəs',
+    'previous': 'pɹiːviəs', 'various': 'vɛɹiəs', 'curious': 'kjʊɹiəs',
+    'ancient': 'eɪnʃənt', 'patient': 'peɪʃənt', 'efficient': 'ɪfɪʃənt',
+    'sufficient': 'səfɪʃənt', 'especially': 'ɪspɛʃəli',
+    'specific': 'spəsɪfɪk', 'appreciate': 'əpɹiːʃieɪt',
+    'associate': 'əsoʊsieɪt', 'negotiate': 'nɪɡoʊʃieɪt',
+    'initial': 'ɪnɪʃəl', 'official': 'əfɪʃəl', 'financial': 'faɪnænʃəl',
+    'commercial': 'kəmɜːʃəl', 'essential': 'ɪsɛnʃəl',
+    'potential': 'pətɛnʃəl', 'professional': 'pɹəfɛʃənəl',
+    'international': 'ɪntɚnæʃənəl', 'national': 'næʃənəl',
+    'personal': 'pɜːsənəl', 'general': 'dʒɛnɚɹəl', 'several': 'sɛvɹəl',
+    'natural': 'nætʃɚɹəl', 'cultural': 'kʌltʃɚɹəl', 'central': 'sɛntɹəl',
+    'political': 'pəlɪɾɪkəl', 'physical': 'fɪzɪkəl', 'typical': 'tɪpɪkəl',
+    'critical': 'kɹɪɾɪkəl', 'practical': 'pɹæktɪkəl',
+    'technical': 'tɛknɪkəl', 'chemical': 'kɛmɪkəl',
+    'medical': 'mɛdɪkəl', 'musical': 'mjuːzɪkəl', 'local': 'loʊkəl',
+    'total': 'toʊɾəl', 'final': 'faɪnəl', 'model': 'mɑːdəl',
+    'level': 'lɛvəl', 'legal': 'liːɡəl', 'global': 'ɡloʊbəl',
+    'digital': 'dɪdʒɪɾəl', 'capital': 'kæpɪɾəl', 'hospital': 'hɑːspɪɾəl',
+    'animal': 'ænɪməl', 'normal': 'nɔːɹməl', 'formal': 'fɔːɹməl',
+    'signal': 'sɪɡnəl', 'channel': 'tʃænəl', 'control': 'kəntɹoʊl',
+    'machine': 'məʃiːn', 'magazine': 'mæɡəziːn', 'routine': 'ɹuːtiːn',
+    'engine': 'ɛndʒɪn', 'examine': 'ɪɡzæmɪn', 'determine': 'dɪtɜːmɪn',
+    'imagine': 'ɪmædʒɪn', 'medicine': 'mɛdɪsɪn', 'genuine': 'dʒɛnjuɪn',
+    'define': 'dɪfaɪn', 'design': 'dɪzaɪn', 'sign': 'saɪn',
+    'signed': 'saɪnd', 'campaign': 'kæmpeɪn', 'foreign': 'fɔːɹɪn',
+    'recipe': 'ɹɛsɪpi', 'cafe': 'kæfeɪ', 'karate': 'kəɹɑːɾi',
+    'coyote': 'kaɪoʊɾi', 'epitome': 'ɪpɪɾəmi', 'apostrophe': 'əpɑːstɹəfi',
+    'catastrophe': 'kətæstɹəfi', 'simile': 'sɪmɪli',
+    'committee': 'kəmɪɾi', 'coffee': 'kɔːfi', 'toffee': 'tɔːfi',
+    'people': 'piːpəl', 'purple': 'pɜːpəl', 'simple': 'sɪmpəl',
+    'example': 'ɪɡzæmpəl', 'possible': 'pɑːsɪbəl',
+    'impossible': 'ɪmpɑːsɪbəl', 'available': 'əveɪləbəl',
+    'probably': 'pɹɑːbəbli', 'problem': 'pɹɑːbləm',
+    'question': 'kwɛstʃən', 'suggestion': 'səɡdʒɛstʃən',
+    'mountain': 'maʊntən', 'fountain': 'faʊntən', 'captain': 'kæptən',
+    'certain': 'sɜːtən', 'curtain': 'kɜːtən', 'britain': 'bɹɪtən',
+    'bargain': 'bɑːɹɡən', 'villain': 'vɪlən', 'again': 'əɡɛn',
+    'against': 'əɡɛnst', 'mind': 'maɪnd', 'find': 'faɪnd',
+    'kind': 'kaɪnd', 'blind': 'blaɪnd', 'behind': 'bɪhaɪnd',
+    'child': 'tʃaɪld', 'children': 'tʃɪldɹən', 'wild': 'waɪld',
+    'mild': 'maɪld', 'climb': 'klaɪm', 'comb': 'koʊm', 'tomb': 'tuːm',
+    'womb': 'wuːm', 'bomb': 'bɑːm', 'thumb': 'θʌm', 'dumb': 'dʌm',
+    'lamb': 'læm', 'limb': 'lɪm', 'debt': 'dɛt', 'doubt': 'daʊt',
+    'subtle': 'sʌɾəl', 'castle': 'kæsəl', 'whistle': 'wɪsəl',
+    'wrestle': 'ɹɛsəl', 'muscle': 'mʌsəl', 'scene': 'siːn',
+    'scent': 'sɛnt', 'scissors': 'sɪzɚz', 'psychology': 'saɪkɑːlədʒi',
+    'receipt': 'ɹɪsiːt', 'aisle': 'aɪl', 'isle': 'aɪl',
+    'salmon': 'sæmən', 'half': 'hæf', 'calf': 'kæf', 'talk': 'tɔːk',
+    'walk': 'wɔːk', 'chalk': 'tʃɔːk', 'folk': 'foʊk', 'yolk': 'joʊk',
+    'calm': 'kɑːm', 'palm': 'pɑːm', 'could': 'kʊd', 'should': 'ʃʊd',
+    'would': 'wʊd', 'wolf': 'wʊlf', 'wolves': 'wʊlvz',
+    'woman': 'wʊmən', 'push': 'pʊʃ', 'pull': 'pʊl', 'full': 'fʊl',
+    'bull': 'bʊl', 'bush': 'bʊʃ', 'put': 'pʊt', 'sugar': 'ʃʊɡɚ',
+    'butcher': 'bʊtʃɚ', 'cushion': 'kʊʃən', 'during': 'dʊɹɪŋ',
+    'secure': 'sɪkjʊɹ', 'pure': 'pjʊɹ', 'cure': 'kjʊɹ',
+    'europe': 'jʊɹəp', 'jury': 'dʒʊɹi', 'fury': 'fjʊɹi',
+    'one': 'wʌn', 'once': 'wʌns', 'only': 'oʊnli', 'gone': 'ɡɔːn',
+    'done': 'dʌn', 'stone': 'stoʊn', 'phone': 'foʊn', 'bone': 'boʊn',
+    'alone': 'əloʊn', 'money': 'mʌni', 'honey': 'hʌni',
+    'monday': 'mʌndeɪ', 'tuesday': 'tuːzdeɪ', 'wednesday': 'wɛnzdeɪ',
+    'thursday': 'θɜːzdeɪ', 'friday': 'fɹaɪdeɪ', 'saturday': 'sæɾɚdeɪ',
+    'sunday': 'sʌndeɪ', 'january': 'dʒænjuɛɹi', 'february': 'fɛbɹuɛɹi',
+    'march': 'mɑːɹtʃ', 'april': 'eɪpɹəl', 'may': 'meɪ', 'june': 'dʒuːn',
+    'july': 'dʒulaɪ', 'august': 'ɔːɡəst', 'september': 'sɛptɛmbɚ',
+    'october': 'ɑːktoʊbɚ', 'november': 'noʊvɛmbɚ',
+    'december': 'dɪsɛmbɚ', 'america': 'əmɛɹɪkə',
+    'american': 'əmɛɹɪkən', 'english': 'ɪŋɡlɪʃ', 'england': 'ɪŋɡlənd',
+    'europe': 'jʊɹəp', 'european': 'jʊɹəpiːən', 'china': 'tʃaɪnə',
+    'chinese': 'tʃaɪniːz', 'japan': 'dʒəpæn', 'japanese': 'dʒæpəniːz',
+    'france': 'fɹæns', 'french': 'fɹɛntʃ', 'german': 'dʒɜːmən',
+    'germany': 'dʒɜːməni', 'india': 'ɪndiə', 'russia': 'ɹʌʃə',
+    'australia': 'ɔːstɹeɪljə', 'canada': 'kænədə', 'africa': 'æfɹɪkə',
+    'mexico': 'mɛksɪkoʊ', 'london': 'lʌndən', 'paris': 'pɛɹɪs',
+    'computer': 'kəmpjuːɾɚ', 'internet': 'ɪntɚnɛt',
+    'website': 'wɛbsaɪt', 'email': 'iːmeɪl', 'online': 'ɔːnlaɪn',
+    'software': 'sɔːftwɛɹ', 'technology': 'tɛknɑːlədʒi',
+    'phone': 'foʊn', 'telephone': 'tɛlɪfoʊn', 'camera': 'kæmɹə',
+    'picture': 'pɪktʃɚ', 'image': 'ɪmɪdʒ', 'movie': 'muːvi',
+    'movies': 'muːviz', 'series': 'sɪɹiz', 'species': 'spiːʃiz',
+    'item': 'aɪɾəm', 'items': 'aɪɾəmz', 'even': 'iːvən',
+    'evening': 'iːvnɪŋ', 'event': 'ɪvɛnt', 'events': 'ɪvɛnts',
+    'open': 'oʊpən', 'over': 'oʊvɚ', 'ocean': 'oʊʃən',
+    'only': 'oʊnli', 'moment': 'moʊmənt', 'process': 'pɹɑːsɛs',
+    'project': 'pɹɑːdʒɛkt', 'product': 'pɹɑːdʌkt', 'record': 'ɹɛkɚd',
+    'report': 'ɹɪpɔːɹt', 'second': 'sɛkənd', 'minutes': 'mɪnɪts',
+    'according': 'əkɔːɹdɪŋ', 'company': 'kʌmpəni',
+    'development': 'dɪvɛləpmənt', 'different': 'dɪfɹənt',
+    'difference': 'dɪfɹəns', 'interest': 'ɪntɹəst',
+    'interesting': 'ɪntɹəstɪŋ', 'important': 'ɪmpɔːɹtənt',
+    'environment': 'ɪnvaɪɹənmənt', 'experience': 'ɪkspɪɹiəns',
+    'economy': 'ɪkɑːnəmi', 'economic': 'ɛkənɑːmɪk',
+    'industry': 'ɪndəstɹi', 'military': 'mɪlɪtɛɹi',
+    'library': 'laɪbɹɛɹi', 'necessary': 'nɛsəsɛɹi',
+    'dictionary': 'dɪkʃənɛɹi', 'secretary': 'sɛkɹətɛɹi',
+    'february': 'fɛbɹuɛɹi', 'category': 'kæɾəɡɔːɹi',
+    'actually': 'æktʃuəli', 'usually': 'juːʒuəli',
+    'finally': 'faɪnəli', 'certainly': 'sɜːtənli',
+    'probably': 'pɹɑːbəbli', 'definitely': 'dɛfɪnətli',
+    'absolutely': 'æbsəluːtli', 'exactly': 'ɪɡzæktli',
+    'directly': 'dɚɹɛktli', 'recently': 'ɹiːsəntli',
+    'currently': 'kɜːɹəntli', 'suddenly': 'sʌdənli',
+    'quickly': 'kwɪkli', 'slowly': 'sloʊli', 'easily': 'iːzɪli',
+    'simply': 'sɪmpli', 'nearly': 'nɪɹli', 'clearly': 'klɪɹli',
+    'basically': 'beɪsɪkli', 'literally': 'lɪɾɚɹəli',
+    # 'ow' = /aʊ/ exceptions to the oʊ rule
+    'brown': 'bɹaʊn', 'town': 'taʊn', 'crowd': 'kɹaʊd', 'cow': 'kaʊ',
+    'owl': 'aʊl', 'tower': 'taʊɚ', 'flower': 'flaʊɚ', 'shower': 'ʃaʊɚ',
+    'towel': 'taʊəl', 'vowel': 'vaʊəl', 'brow': 'bɹaʊ',
+    'eyebrow': 'aɪbɹaʊ', 'drown': 'dɹaʊn', 'frown': 'fɹaʊn',
+    'gown': 'ɡaʊn', 'clown': 'klaʊn', 'crown': 'kɹaʊn', 'plow': 'plaʊ',
+    'howl': 'haʊl', 'growl': 'ɡɹaʊl', 'prowl': 'pɹaʊl',
+    'coward': 'kaʊɚd', 'powder': 'paʊdɚ', 'chowder': 'tʃaʊdɚ',
+    'browse': 'bɹaʊz', 'browser': 'bɹaʊzɚ', 'drowsy': 'dɹaʊzi',
+    # open-syllable long vowels the degeminated rules miss
+    'lazy': 'leɪzi', 'crazy': 'kɹeɪzi', 'baby': 'beɪbi',
+    'lady': 'leɪdi', 'tiny': 'taɪni', 'shiny': 'ʃaɪni',
+    'paper': 'peɪpɚ', 'later': 'leɪɾɚ', 'maker': 'meɪkɚ',
+    'basic': 'beɪsɪk', 'basis': 'beɪsɪs', 'data': 'deɪɾə',
+    'label': 'leɪbəl', 'table': 'teɪbəl', 'cable': 'keɪbəl',
+    'favor': 'feɪvɚ', 'flavor': 'fleɪvɚ', 'major': 'meɪdʒɚ',
+    'navy': 'neɪvi', 'gravy': 'ɡɹeɪvi', 'wavy': 'weɪvi',
+    'tidy': 'taɪdi', 'silent': 'saɪlənt', 'pilot': 'paɪlət',
+    'item': 'aɪɾəm', 'siren': 'saɪɹən', 'virus': 'vaɪɹəs',
+    'minor': 'maɪnɚ', 'final': 'faɪnəl', 'spider': 'spaɪdɚ',
+    'cider': 'saɪdɚ', 'tiger': 'taɪɡɚ', 'rival': 'ɹaɪvəl',
+    'bonus': 'boʊnəs', 'focus': 'foʊkəs', 'photo': 'foʊɾoʊ',
+    'solo': 'soʊloʊ', 'logo': 'loʊɡoʊ', 'hero': 'hɪɹoʊ',
+    'zero': 'zɪɹoʊ', 'robot': 'ɹoʊbɑːt', 'motor': 'moʊɾɚ',
+    'soda': 'soʊdə', 'sofa': 'soʊfə', 'moment': 'moʊmənt',
+    'local': 'loʊkəl', 'vocal': 'voʊkəl', 'broken': 'bɹoʊkən',
+    'frozen': 'fɹoʊzən', 'chosen': 'tʃoʊzən', 'spoken': 'spoʊkən',
+    'human': 'hjuːmən', 'humor': 'hjuːmɚ', 'music': 'mjuːzɪk',
+    'duty': 'duːɾi', 'tuna': 'tuːnə', 'ruby': 'ɹuːbi',
+    'super': 'suːpɚ', 'duper': 'duːpɚ', 'tulip': 'tuːlɪp',
+    'pupil': 'pjuːpəl', 'unit': 'juːnɪt', 'united': 'juːnaɪɾɪd',
+    'uniform': 'juːnɪfɔːɹm', 'universe': 'juːnɪvɜːs',
+    'university': 'juːnɪvɜːsɪɾi',
 }
 
 # Longest-match context-free digraph/letter rules (en-us flavored).
@@ -194,13 +407,17 @@ def _try_morphology(w: str):
         return stem(w[:-3] + 'y') + 'z'
     if len(w) > 3 and (w.endswith('es') and w[-3] in 'sxz'
                        or w.endswith(('ches', 'shes'))):
+        if w[:-1] in _LEXICON:  # sibilant stem keeps its e: browses
+            return _LEXICON[w[:-1]] + 'ɪz'
         return stem(w[:-2]) + 'ɪz'
     if w.endswith('s') and not w.endswith(('ss', 'us', 'is')) \
             and len(w) > 3 and _has_vowel(w[:-1]):
         ipa = stem(w[:-1])
         return ipa + _plural_suffix(ipa)
     if w.endswith('ed') and len(w) >= 4 and _has_vowel(w[:-2]):
-        if len(w) > 5 and w[-3] == w[-4] and w[-3] not in 'aeiou':
+        if w[:-2] in _LEXICON:  # walked -> walk (lexicon stem)
+            ipa = _LEXICON[w[:-2]]
+        elif len(w) > 5 and w[-3] == w[-4] and w[-3] not in 'aeiou':
             ipa = stem(w[:-3])  # stopped -> stop
         else:
             # keep the e on the stem: 'hated' -> 'hate' (magic e),

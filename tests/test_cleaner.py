@@ -49,7 +49,7 @@ def test_g2p_morphology():
     from forwardtacotron_tpu.text.g2p import rule_based_g2p as g
     for word, want in [
             ('makes', 'meɪks'), ('making', 'meɪkɪŋ'), ('loved', 'lʌvd'),
-            ('hated', 'heɪtɪd'), ('wanted', 'wæntɪd'),
+            ('hated', 'heɪtɪd'), ('wanted', 'wɑːntɪd'),
             ('cities', 'sɪɾiz'), ('boxes', 'bɑːksɪz'),
             ('walking', 'wɔːkɪŋ'), ('stopped', 'stɑːpt'),
             ('running', 'ɹʌnɪŋ'), ('kindness', 'kaɪndnəs'),
