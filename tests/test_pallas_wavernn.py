@@ -89,6 +89,28 @@ def test_chunk_boundary_state_carries():
     assert agreement > 0.9, f'boundary agreement {agreement:.2f}'
 
 
+def test_lane_grouping_matches_single_launch(monkeypatch):
+    """B > MAX_LANES folds are processed in sequential VMEM-sized lane
+    groups; each fold starts from zero state, so grouped greedy output
+    must equal the single-launch greedy output exactly."""
+    import jax.numpy as jnp
+    from forwardtacotron_tpu.kernels import wavernn_sample as ws
+    model, variables, mels_up, aux = _setup()
+    mels4 = np.concatenate([mels_up] * 4, axis=0)
+    aux4 = np.concatenate([aux] * 4, axis=0)
+    ref = ws.wavernn_sample_pallas(model, variables, mels4, aux4,
+                                   greedy=True,
+                                   compute_dtype=jnp.float32)
+    ws._RUN_CACHE.clear()  # grouped run must recompile, not reuse
+    monkeypatch.setattr(ws, 'MAX_LANES', 2)
+    out = ws.wavernn_sample_pallas(model, variables, mels4, aux4,
+                                   greedy=True,
+                                   compute_dtype=jnp.float32)
+    ws._RUN_CACHE.clear()
+    agreement = float(np.mean(out == ref))
+    assert agreement > 0.95, f'grouped agreement only {agreement:.2f}'
+
+
 def _setup_mol():
     from forwardtacotron_tpu.models.wavernn import WaveRNN
     cfg = dict(TINY)
