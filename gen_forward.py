@@ -23,8 +23,10 @@ _JIT_CACHE: dict = {}
 
 
 def synthesize(model, variables, text_ids, alpha: float, amp: float,
-               mel_multiple: int = 256):
-    """Two-stage jitted generation: predict series, apply user scaling,
+               mel_multiple: int = 256, energy_scale: float = 1.0):
+    """Two-stage jitted generation: predict series, apply user scaling
+    (amp scales pitch, energy_scale scales energy — the reference's
+    pitch_function/energy_function lambdas, gen_forward.py:98-104),
     expand+decode. jits are cached per (model, bucket) so repeated
     sentences reuse compilations. Returns (mel_post (n_mels, T_true),
     dur)."""
@@ -56,7 +58,7 @@ def synthesize(model, variables, text_ids, alpha: float, amp: float,
                 v, x, d, p, e, _mt, method='generate_from_series',
                 x_len=xl))
     gen = _JIT_CACHE[key](variables, x, series['dur'], pitch,
-                          series['energy'], xl)
+                          series['energy'] * energy_scale, xl)
     mel_len = int(gen['mel_len'][0])
     mel_post = np.asarray(gen['mel_post'])[0, :mel_len].T  # (n_mels, T)
     return mel_post, dur

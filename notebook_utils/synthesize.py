@@ -35,7 +35,8 @@ class Synthesizer:
         from gen_forward import synthesize
         ids = self.tokenizer(self.cleaner(text))
         mel_post, _ = synthesize(self.tts_model, self.tts_variables, ids,
-                                 alpha, pitch_scale)
+                                 alpha, pitch_scale,
+                                 energy_scale=energy_scale)
         if voc_model == 'griffinlim':
             return self.dsp.griffinlim(mel_post, n_iter=32)
         if voc_model == 'wavernn':
