@@ -1,0 +1,51 @@
+"""Export a trained ForwardTacotron/FastPitch to a portable StableHLO
+artifact — the TPU-native analog of the reference's TorchScript export
+(README.md:149-161: `model.generate_jit` + torch.jit.save).
+
+    python export_forward.py --checkpoint checkpoints/.../latest_model.fjax \
+        --output forward.ftexp --buckets 64:512,128:1024
+
+The artifact bakes in the weights and replays on any jax install
+(optionally for multiple platforms via --platforms cpu,tpu) without
+this repo's model code:
+
+    from forwardtacotron_tpu.utils.export import ExportedTTS
+    mel, dur = ExportedTTS('forward.ftexp').generate(token_ids)
+"""
+from __future__ import annotations
+
+import argparse
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(
+        description='Export TTS generate() to a StableHLO artifact')
+    parser.add_argument('--checkpoint', type=str, required=True,
+                        help='path to .fjax or reference .pt TTS model')
+    parser.add_argument('--output', type=str, required=True,
+                        help='output artifact path (.ftexp)')
+    parser.add_argument('--buckets', type=str, default='64:512,192:1536',
+                        help='comma list of tx:max_mel static buckets')
+    parser.add_argument('--platforms', type=str, default=None,
+                        help='comma list of lowering platforms '
+                             '(e.g. cpu,tpu); default: current backend')
+    args = parser.parse_args()
+
+    from forwardtacotron_tpu.utils.checkpoints import load_tts_checkpoint
+    from forwardtacotron_tpu.utils.export import save_exported_tts
+
+    buckets = []
+    for part in args.buckets.split(','):
+        tx, max_t = part.split(':')
+        buckets.append((int(tx), int(max_t)))
+    platforms = args.platforms.split(',') if args.platforms else None
+
+    model, variables, config, step = load_tts_checkpoint(args.checkpoint)
+    save_exported_tts(model, variables, args.output, buckets=buckets,
+                      platforms=platforms)
+    print(f'Exported step-{step} {type(model).__name__} '
+          f'buckets={buckets} -> {args.output}')
+
+
+if __name__ == '__main__':
+    main()

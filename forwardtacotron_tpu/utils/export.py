@@ -1,0 +1,124 @@
+"""Serialized-model export: the TPU-native analog of the reference's
+TorchScript path (ForwardTacotron.generate_jit, reference
+forward_tacotron.py:270-284 and README.md:149-161).
+
+Where the reference scripts the module with torch.jit for deployment
+without the Python class, here the fully-jitted generate path is
+exported to a portable StableHLO artifact via jax.export: weights are
+baked in, the artifact replays on any machine with jax (and any
+lowering platform it was exported for) with no access to the model
+code. Synthesis knobs (alpha / pitch_scale / energy_scale) stay
+runtime scalars so one artifact serves all settings; text length and
+the mel bucket are static per artifact, mirroring the bucketed jit
+caches of gen_forward.py.
+"""
+from __future__ import annotations
+
+import functools
+from pathlib import Path
+from typing import Any, Dict, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+MAGIC = b'FTTX1\n'
+
+
+def export_tts_generate(model, variables: Dict[str, Any],
+                        tx: int, max_t: int,
+                        platforms: Optional[Sequence[str]] = None) -> bytes:
+    """Export `model.generate` (weights baked in) for text bucket `tx`
+    and mel bucket `max_t`. Returns serialized StableHLO bytes.
+
+    The exported callable signature is
+        (x (1, tx) int32, x_len (1,) int32,
+         alpha (), pitch_scale (), energy_scale () float32)
+        -> {'mel_post': (1, max_t, n_mels), 'mel_len': (1,),
+            'dur': (1, tx)}
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    def fn(x, x_len, alpha, pitch_scale, energy_scale):
+        out = model.apply(variables, x, max_t, alpha=alpha,
+                          pitch_scale=pitch_scale,
+                          energy_scale=energy_scale, x_len=x_len,
+                          fast=False,  # pure XLA: portable across
+                                       # platforms (no Pallas in export)
+                          method='generate')
+        return {'mel_post': out['mel_post'], 'mel_len': out['mel_len'],
+                'dur': out['dur']}
+
+    args = (jax.ShapeDtypeStruct((1, tx), jnp.int32),
+            jax.ShapeDtypeStruct((1,), jnp.int32),
+            jax.ShapeDtypeStruct((), jnp.float32),
+            jax.ShapeDtypeStruct((), jnp.float32),
+            jax.ShapeDtypeStruct((), jnp.float32))
+    kwargs = {}
+    if platforms is not None:
+        kwargs['platforms'] = tuple(platforms)
+    exported = jexport.export(jax.jit(fn), **kwargs)(*args)
+    return exported.serialize()
+
+
+def save_exported_tts(model, variables: Dict[str, Any],
+                      path: Union[str, Path],
+                      buckets: Sequence[Tuple[int, int]] = ((64, 512),),
+                      platforms: Optional[Sequence[str]] = None) -> None:
+    """Write a multi-bucket artifact: [MAGIC][n][(tx, max_t, len, blob)*].
+    Each bucket is an independent StableHLO module; the loader picks the
+    smallest bucket that fits the input."""
+    path = Path(path)
+    with open(path, 'wb') as f:
+        f.write(MAGIC)
+        f.write(np.int32(len(buckets)).tobytes())
+        for tx, max_t in buckets:
+            blob = export_tts_generate(model, variables, tx, max_t,
+                                       platforms=platforms)
+            f.write(np.int32(tx).tobytes())
+            f.write(np.int32(max_t).tobytes())
+            f.write(np.int64(len(blob)).tobytes())
+            f.write(blob)
+
+
+class ExportedTTS:
+    """Loads a saved artifact and synthesizes without the model code."""
+
+    def __init__(self, path: Union[str, Path]) -> None:
+        from jax import export as jexport
+        self.buckets: Dict[Tuple[int, int], Any] = {}
+        with open(path, 'rb') as f:
+            magic = f.read(len(MAGIC))
+            if magic != MAGIC:
+                raise ValueError(f'{path}: not a ForwardTacotron-TPU '
+                                 f'export artifact')
+            n = int(np.frombuffer(f.read(4), np.int32)[0])
+            for _ in range(n):
+                tx = int(np.frombuffer(f.read(4), np.int32)[0])
+                max_t = int(np.frombuffer(f.read(4), np.int32)[0])
+                ln = int(np.frombuffer(f.read(8), np.int64)[0])
+                self.buckets[(tx, max_t)] = jexport.deserialize(
+                    f.read(ln))
+
+    def generate(self, text_ids: Sequence[int], alpha: float = 1.0,
+                 pitch_scale: float = 1.0, energy_scale: float = 1.0
+                 ) -> Tuple[np.ndarray, np.ndarray]:
+        """-> (mel_post (n_mels, mel_len), dur (x_len,)). Picks the
+        smallest exported text bucket that fits."""
+        import jax.numpy as jnp
+        x_len = len(text_ids)
+        fitting = sorted(tx for tx, _ in self.buckets if tx >= x_len)
+        if not fitting:
+            raise ValueError(f'input length {x_len} exceeds all exported '
+                             f'buckets {sorted(self.buckets)}')
+        tx = fitting[0]
+        max_t = max(mt for t, mt in self.buckets if t == tx)
+        exported = self.buckets[(tx, max_t)]
+        x = np.zeros((1, tx), np.int32)
+        x[0, :x_len] = text_ids
+        out = exported.call(jnp.asarray(x), jnp.asarray([x_len], np.int32),
+                            jnp.float32(alpha), jnp.float32(pitch_scale),
+                            jnp.float32(energy_scale))
+        mel_len = int(np.asarray(out['mel_len'])[0])
+        mel = np.asarray(out['mel_post'])[0, :mel_len].T
+        return mel, np.asarray(out['dur'])[0, :x_len]

@@ -1,0 +1,88 @@
+"""StableHLO export roundtrip (the TorchScript-export parity surface,
+reference forward_tacotron.py:270-284): the exported artifact must
+reproduce the live model's generate outputs without the model object."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def _tiny_model():
+    from forwardtacotron_tpu.models.forward_tacotron import ForwardTacotron
+    from forwardtacotron_tpu.utils.files import read_config
+
+    config = read_config('config.yaml')
+    m = config['forward_tacotron']['model']
+    for k in list(m):
+        if k.endswith(('_dims', '_k')) and isinstance(m[k], int):
+            m[k] = max(4, min(m[k], 8))
+    model = ForwardTacotron.from_config(config)
+    batch = {'x': jnp.zeros((1, 8), jnp.int32),
+             'mel': jnp.zeros((1, 16, 80)),
+             'mel_len': jnp.asarray([16]),
+             'dur': jnp.full((1, 8), 2.0),
+             'pitch': jnp.zeros((1, 8)),
+             'energy': jnp.zeros((1, 8))}
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    # bias the duration predictor positive so random-init durations do
+    # not hit the degenerate-duration floor (which would mask alpha)
+    variables = jax.tree_util.tree_map(lambda v: v, variables)
+    params = variables['params']
+    params['dur_pred']['lin']['bias'] = \
+        params['dur_pred']['lin']['bias'] + 3.0
+    return model, variables
+
+
+def test_export_roundtrip_matches_live_model(tmp_path):
+    from forwardtacotron_tpu.utils.export import (ExportedTTS,
+                                                  save_exported_tts)
+    model, variables = _tiny_model()
+    path = tmp_path / 'tts.ftexp'
+    save_exported_tts(model, variables, path, buckets=[(16, 128)])
+
+    ids = [5, 9, 12, 3, 7]
+    exported = ExportedTTS(path)
+    mel_exp, dur_exp = exported.generate(ids, alpha=1.0)
+
+    x = np.zeros((1, 16), np.int32)
+    x[0, :len(ids)] = ids
+    live = model.apply(variables, jnp.asarray(x), 128,
+                       x_len=jnp.asarray([len(ids)]), fast=False,
+                       method='generate')
+    mel_len = int(live['mel_len'][0])
+    mel_live = np.asarray(live['mel_post'])[0, :mel_len].T
+    assert mel_exp.shape == mel_live.shape
+    np.testing.assert_allclose(mel_exp, mel_live, atol=1e-5)
+    np.testing.assert_allclose(dur_exp, np.asarray(live['dur'])[0, :5],
+                               atol=1e-5)
+
+
+def test_export_knobs_are_runtime(tmp_path):
+    """One artifact serves all alpha/pitch/energy settings."""
+    from forwardtacotron_tpu.utils.export import (ExportedTTS,
+                                                  save_exported_tts)
+    model, variables = _tiny_model()
+    path = tmp_path / 'tts.ftexp'
+    save_exported_tts(model, variables, path, buckets=[(16, 128)])
+    exported = ExportedTTS(path)
+    ids = [5, 9, 12, 3, 7]
+    mel_a, dur_a = exported.generate(ids, alpha=1.0)
+    mel_b, dur_b = exported.generate(ids, alpha=1.5)
+    # alpha > 1 = faster speech = shorter durations (reference
+    # gen_forward.py --alpha semantics: 2.0 is double-time)
+    assert np.sum(np.floor(dur_b + 0.5)) < np.sum(np.floor(dur_a + 0.5))
+    mel_c, _ = exported.generate(ids, pitch_scale=2.0)
+    lim = min(mel_a.shape[1], mel_c.shape[1])
+    assert not np.allclose(mel_a[:, :lim], mel_c[:, :lim])
+
+
+def test_export_bucket_overflow_raises(tmp_path):
+    from forwardtacotron_tpu.utils.export import (ExportedTTS,
+                                                  save_exported_tts)
+    model, variables = _tiny_model()
+    path = tmp_path / 'tts.ftexp'
+    save_exported_tts(model, variables, path, buckets=[(8, 64)])
+    exported = ExportedTTS(path)
+    with pytest.raises(ValueError, match='exceeds'):
+        exported.generate(list(range(1, 12)))
