@@ -39,13 +39,17 @@ def export_tts_generate(model, variables: Dict[str, Any],
     import jax.numpy as jnp
     from jax import export as jexport
 
+    import inspect
+    extra = {}
+    if 'fast' in inspect.signature(model.generate).parameters:
+        extra['fast'] = False  # pure XLA: portable across platforms
+        #                        (no Pallas kernels inside the export)
+
     def fn(x, x_len, alpha, pitch_scale, energy_scale):
         out = model.apply(variables, x, max_t, alpha=alpha,
                           pitch_scale=pitch_scale,
                           energy_scale=energy_scale, x_len=x_len,
-                          fast=False,  # pure XLA: portable across
-                                       # platforms (no Pallas in export)
-                          method='generate')
+                          method='generate', **extra)
         return {'mel_post': out['mel_post'], 'mel_len': out['mel_len'],
                 'dur': out['dur']}
 

@@ -77,6 +77,36 @@ def test_export_knobs_are_runtime(tmp_path):
     assert not np.allclose(mel_a[:, :lim], mel_c[:, :lim])
 
 
+def test_export_fast_pitch(tmp_path):
+    """Export is model-agnostic: FastPitch (no `fast` kwarg) exports
+    and replays too."""
+    from forwardtacotron_tpu.models.fast_pitch import FastPitch
+    from forwardtacotron_tpu.utils.export import (ExportedTTS,
+                                                  save_exported_tts)
+    from forwardtacotron_tpu.utils.files import read_config
+
+    config = read_config('config.yaml')
+    config['tts_model'] = 'fast_pitch'
+    m = config['fast_pitch']['model']
+    for k in list(m):
+        if isinstance(m[k], int) and k not in ('n_heads',
+                                               'durpred_heads'):
+            m[k] = max(2, min(m[k], 16))
+    model = FastPitch.from_config(config)
+    batch = {'x': jnp.zeros((1, 8), jnp.int32),
+             'mel': jnp.zeros((1, 16, 80)),
+             'mel_len': jnp.asarray([16]),
+             'dur': jnp.full((1, 8), 2.0),
+             'pitch': jnp.zeros((1, 8)),
+             'energy': jnp.zeros((1, 8))}
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    path = tmp_path / 'fp.ftexp'
+    save_exported_tts(model, variables, path, buckets=[(16, 128)])
+    mel, dur = ExportedTTS(path).generate([5, 9, 12, 3, 7])
+    assert mel.shape[0] == 80 and mel.shape[1] > 0
+    assert np.all(np.isfinite(mel))
+
+
 def test_export_bucket_overflow_raises(tmp_path):
     from forwardtacotron_tpu.utils.export import (ExportedTTS,
                                                   save_exported_tts)
