@@ -265,12 +265,26 @@ def _bench_wavernn(config) -> dict:
             dt = min(dt, time.perf_counter() - t0)
         out['wavernn_pallas_khz'] = round(Bt * Tt / dt / 1000, 1)
         out['wavernn_pallas_lanes'] = Bt
-        out['vocoder_rtf'] = round(dt / (total / model.sample_rate), 5)
+
+        # vocoder_rtf = the true serving path: the fused single-
+        # dispatch vocode program (upsample + fold + kernel + mu-law
+        # + crossfade + fade) fetching int16 PCM — what gen_forward's
+        # wavernn subcommand runs
+        from forwardtacotron_tpu.models.wavernn import vocode
+        mel_2d = np.asarray(mel[0])          # (T, n_mels)
+        _ = vocode(model, variables, mel_2d, pcm16=True)
+        dt_v = float('inf')
+        for i in range(5):
+            t0 = time.perf_counter()
+            _ = vocode(model, variables, mel_2d, seed=i, pcm16=True)
+            dt_v = min(dt_v, time.perf_counter() - t0)
+        wave_s = (mel_2d.shape[0] - 1) * model.hop_length \
+            / model.sample_rate
+        out['vocoder_rtf'] = round(dt_v / wave_s, 5)
 
         # streaming: time to FIRST audio chunk (stream_wav emits fold
         # groups incrementally) vs the full one-shot vocoding above
         from forwardtacotron_tpu.models.streaming import stream_wav
-        mel_2d = np.asarray(mel[0])          # (T, n_mels)
         it = stream_wav(model, variables, mel_2d, group=8)
         next(it)                             # compile
         for _ in it:

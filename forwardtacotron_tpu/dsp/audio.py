@@ -109,7 +109,12 @@ class DSP:
         return wav
 
     def save_wav(self, wav: np.ndarray, path: Union[str, Path]) -> None:
-        wav = np.asarray(wav, dtype=np.float32)
+        wav = np.asarray(wav)
+        if wav.dtype == np.int16:  # already PCM (e.g. vocode(pcm16=True))
+            from scipy.io import wavfile
+            wavfile.write(str(path), self.sample_rate, wav)
+            return
+        wav = wav.astype(np.float32)
         from forwardtacotron_tpu.utils import native_audio
         if native_audio.available():
             native_audio.write_wav(path, wav, self.sample_rate)

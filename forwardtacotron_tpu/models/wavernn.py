@@ -408,7 +408,8 @@ def xfade_unfold_device(y: jnp.ndarray, overlap: int) -> jnp.ndarray:
 def vocode(model: 'WaveRNN', variables: Dict, mel: np.ndarray,
            target: Optional[int] = None, overlap: int = 550,
            mu_law: bool = True, seed: int = 0, greedy: bool = False,
-           use_pallas: Optional[bool] = None) -> np.ndarray:
+           use_pallas: Optional[bool] = None,
+           pcm16: bool = False) -> np.ndarray:
     """Fully-fused mel -> waveform vocoding: upsample, fold (gather),
     conditioning precomputes, AR sampling (Pallas kernel or lax.scan),
     mu-law decode, crossfade overlap-add, tail fade — ONE jitted XLA
@@ -417,7 +418,11 @@ def vocode(model: 'WaveRNN', variables: Dict, mel: np.ndarray,
     costs ~25 ms round-trip, so the fused program is the serving path;
     `generate_wav` keeps the step-by-step version for parity tests.
 
-    mel: (n_mels, T) or (T, n_mels). Returns float32 (wave_len,).
+    mel: (n_mels, T) or (T, n_mels). Returns float32 (wave_len,), or
+    int16 PCM when `pcm16=True` — the conversion runs on device, which
+    HALVES the device->host fetch (the dominant non-compute cost on a
+    tunneled TPU: ~19 ms of a 60 ms 8.5 s-utterance vocode round-trip
+    is the f32 result transfer).
     """
     from forwardtacotron_tpu.dsp.audio import DSP
     from forwardtacotron_tpu.kernels.wavernn_sample import (
@@ -435,7 +440,7 @@ def vocode(model: 'WaveRNN', variables: Dict, mel: np.ndarray,
     wave_len = (n_frames - 1) * model.hop_length
 
     cache_key = (id(model), 'vocode', n_frames, target, overlap, mu_law,
-                 greedy, use_pallas)
+                 greedy, use_pallas, pcm16)
     run = _GEN_JIT_CACHE.get(cache_key)
     if run is None:
         def _run(variables, mel, seed):
@@ -461,7 +466,11 @@ def vocode(model: 'WaveRNN', variables: Dict, mel: np.ndarray,
             # utterances shorter than the 20-frame fade get fully faded
             n_fade = min(20 * model.hop_length, wave_len)
             fade = jnp.linspace(1.0, 0.0, n_fade)
-            return wave.at[wave_len - n_fade:].multiply(fade)
+            wave = wave.at[wave_len - n_fade:].multiply(fade)
+            if pcm16:
+                wave = (jnp.clip(wave, -1.0, 1.0)
+                        * 32767.0).astype(jnp.int16)
+            return wave
 
         run = jax.jit(_run)
         _GEN_JIT_CACHE[cache_key] = run
@@ -513,7 +522,8 @@ def generate_wav(model: WaveRNN, variables: Dict, mel: np.ndarray,
                  batched: bool = True, target: Optional[int] = None,
                  overlap: int = 550, mu_law: bool = True,
                  seed: int = 0, use_pallas: Optional[bool] = None,
-                 fused: Optional[bool] = None) -> np.ndarray:
+                 fused: Optional[bool] = None,
+                 pcm16: bool = False) -> np.ndarray:
     """Full generation pipeline (fatchord_version.py:171-265): pad,
     upsample, fold, scan-sample, mu-law decode, crossfade-unfold,
     fade-out. `mel` is (n_mels, T) or (T, n_mels).
@@ -534,7 +544,7 @@ def generate_wav(model: WaveRNN, variables: Dict, mel: np.ndarray,
     if fused is None:
         fused = batched and jax.devices()[0].platform in ('tpu', 'axon')
     if fused and batched:
-        return vocode(model, variables, mel, target=target,
+        return vocode(model, variables, mel, target=target, pcm16=pcm16,
                       overlap=overlap, mu_law=mu_law, seed=seed,
                       use_pallas=use_pallas)
 
@@ -592,4 +602,6 @@ def generate_wav(model: WaveRNN, variables: Dict, mel: np.ndarray,
     n_fade = min(20 * model.hop_length, len(output))
     fade_out = np.linspace(1, 0, n_fade)
     output[len(output) - n_fade:] *= fade_out
+    if pcm16:  # host-side on the stepwise path; on-device in vocode
+        output = (np.clip(output, -1.0, 1.0) * 32767.0).astype(np.int16)
     return output

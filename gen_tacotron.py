@@ -104,7 +104,7 @@ def main() -> None:
             wav = generate_wav(voc_model, voc_variables, mel_post,
                                batched=True, target=args.target,
                                overlap=args.overlap,
-                               mu_law=voc_dsp.mu_law)
+                               mu_law=voc_dsp.mu_law, pcm16=True)
             dsp.save_wav(wav, out_path / f'{wav_name}.wav')
         elif args.vocoder == 'griffinlim':
             wav = dsp.griffinlim(mel_post)

@@ -48,5 +48,42 @@ def test_vocode_matches_stepwise_raw():
     _parity('RAW')
 
 
+def test_vocode_pcm16_is_quantized_f32():
+    """pcm16=True converts on device; output must equal the f32
+    program's result quantized to int16 (same trajectory, same fades).
+    save_wav must write int16 input verbatim."""
+    model = WaveRNN(**TINY)
+    rng = np.random.RandomState(2)
+    mel = rng.randn(TINY['feat_dims'], 60).astype(np.float32) * 0.3
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16)),
+                           jnp.zeros((1, 8, TINY['feat_dims'])))
+    kw = dict(target=40, overlap=8, seed=7, use_pallas=False)
+    f32 = vocode(model, variables, mel, **kw)
+    pcm = vocode(model, variables, mel, pcm16=True, **kw)
+    assert pcm.dtype == np.int16
+    want = (np.clip(f32, -1.0, 1.0) * 32767.0).astype(np.int16)
+    # identical program modulo the final cast -> at most 1 LSB apart
+    assert np.max(np.abs(pcm.astype(np.int32)
+                         - want.astype(np.int32))) <= 1
+
+    import tempfile
+    from pathlib import Path
+    from scipy.io import wavfile
+    from forwardtacotron_tpu.dsp.audio import DSP
+    dsp = DSP(num_mels=10, sample_rate=1000, hop_length=4, win_length=8,
+              n_fft=16, fmin=0, fmax=500, bits=6, mu_law=True,
+              peak_norm=False, trim_long_silences=False,
+              pitch_max_freq=400, trim_start_end_silence=False,
+              trim_silence_top_db=60, vad_sample_rate=8000,
+              vad_window_length=30, vad_moving_average_width=8,
+              vad_max_silence_length=12, voc_mode='RAW')
+    with tempfile.TemporaryDirectory() as d:
+        p = Path(d) / 'x.wav'
+        dsp.save_wav(pcm, p)
+        sr, back = wavfile.read(str(p))
+        assert back.dtype == np.int16
+        np.testing.assert_array_equal(back, pcm)
+
+
 def test_vocode_matches_stepwise_mol():
     _parity('MOL')
