@@ -405,7 +405,7 @@ def wavernn_sample_pallas(model, variables: Dict, mels_up: np.ndarray,
     mels_up / aux: (B, T, C). Returns samples (B, T) float32.
     """
     B, T = mels_up.shape[0], mels_up.shape[1]
-    cache_key = (id(model), B, T, greedy, jnp.dtype(compute_dtype).name)
+    cache_key = (model, B, T, greedy, jnp.dtype(compute_dtype).name)
     run = _RUN_CACHE.get(cache_key)
     if run is None:
         run = jax.jit(functools.partial(sample_conditioned, model,

@@ -114,7 +114,7 @@ def stream_wav(model, variables: Dict, mel: np.ndarray,
     wave_len = (mel.shape[1] - 1) * model.hop_length
 
     mel = pad_tensor(mel, pad=model.pad, side='both')
-    up_key = (id(model), 'upsample')
+    up_key = (model, 'upsample')
     if up_key not in _STREAM_JIT_CACHE:
         _STREAM_JIT_CACHE[up_key] = jax.jit(
             lambda v, m: model.apply(v, m, method='upsample_cond'))
@@ -140,7 +140,7 @@ def stream_wav(model, variables: Dict, mel: np.ndarray,
                 return wavernn_sample_pallas(model, variables,
                                              m, a, seed=s, greedy=greedy)
         else:
-            scan_key = (id(model), 'scan')
+            scan_key = (model, 'scan')
             if scan_key not in _STREAM_JIT_CACHE:
                 _STREAM_JIT_CACHE[scan_key] = jax.jit(
                     lambda v, m, a, k, g: model.apply(

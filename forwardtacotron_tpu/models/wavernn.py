@@ -439,7 +439,7 @@ def vocode(model: 'WaveRNN', variables: Dict, mel: np.ndarray,
         target = TARGET_TPU if use_pallas else TARGET_REFERENCE
     wave_len = (n_frames - 1) * model.hop_length
 
-    cache_key = (id(model), 'vocode', n_frames, target, overlap, mu_law,
+    cache_key = (model, 'vocode', n_frames, target, overlap, mu_law,
                  greedy, use_pallas, pcm16)
     run = _GEN_JIT_CACHE.get(cache_key)
     if run is None:
@@ -557,7 +557,7 @@ def generate_wav(model: WaveRNN, variables: Dict, mel: np.ndarray,
     wave_len = (mel.shape[1] - 1) * model.hop_length
 
     mel = pad_tensor(mel, pad=model.pad, side='both')
-    up_key = (id(model), 'upsample')
+    up_key = (model, 'upsample')
     if up_key not in _GEN_JIT_CACHE:
         _GEN_JIT_CACHE[up_key] = jax.jit(
             lambda v, m: model.apply(v, m, method='upsample_cond'))
@@ -582,7 +582,7 @@ def generate_wav(model: WaveRNN, variables: Dict, mel: np.ndarray,
                                        seed=seed).astype(np.float64)
     else:
         key = jax.random.PRNGKey(seed)
-        scan_key = (id(model), 'scan')
+        scan_key = (model, 'scan')
         if scan_key not in _GEN_JIT_CACHE:
             _GEN_JIT_CACHE[scan_key] = jax.jit(
                 lambda v, m, a, k: model.apply(v, m, a, k,

@@ -40,7 +40,7 @@ def synthesize(model, variables, text_ids, alpha: float, amp: float,
     x = jnp.asarray(x)
     xl = jnp.asarray([x_len])
 
-    key = (id(model), 'series')
+    key = (model, 'series')
     if key not in _JIT_CACHE:
         _JIT_CACHE[key] = jax.jit(
             lambda v, x, xl, a: model.apply(
@@ -51,7 +51,7 @@ def synthesize(model, variables, text_ids, alpha: float, amp: float,
     max_t = _bucket(total + 1, mel_multiple, mel_multiple)
 
     pitch = series['pitch'] * amp
-    key = (id(model), 'gen', max_t)
+    key = (model, 'gen', max_t)
     if key not in _JIT_CACHE:
         _JIT_CACHE[key] = jax.jit(
             lambda v, x, d, p, e, xl, _mt=max_t: model.apply(
