@@ -14,6 +14,7 @@ Prints ONE JSON line:
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -284,6 +285,26 @@ def _bench_wavernn(config) -> dict:
 
         # streaming: time to FIRST audio chunk (stream_wav emits fold
         # groups incrementally) vs the full one-shot vocoding above
+        if os.environ.get('BENCH_FULL'):
+            # article-length vocoding (the README's whole-article
+            # selling point): exercises >MAX_LANES lane grouping.
+            # Behind BENCH_FULL: the 2-group program is a ~4 min cold
+            # compile (cached across runs).
+            rng_l = np.random.RandomState(1)
+            mel_long = (rng_l.randn(5200, model.feat_dims)
+                        .astype(np.float32) * 2 - 8)
+            _ = vocode(model, variables, mel_long, pcm16=True)
+            dt_l = float('inf')
+            for i in range(3):
+                t0 = time.perf_counter()
+                _ = vocode(model, variables, mel_long, seed=i,
+                           pcm16=True)
+                dt_l = min(dt_l, time.perf_counter() - t0)
+            long_s = (mel_long.shape[0] - 1) * model.hop_length \
+                / model.sample_rate
+            out['vocoder_long_rtf'] = round(dt_l / long_s, 5)
+            out['vocoder_long_seconds'] = round(long_s, 1)
+
         from forwardtacotron_tpu.models.streaming import stream_wav
         it = stream_wav(model, variables, mel_2d, group=8)
         next(it)                             # compile
