@@ -51,6 +51,9 @@ class ForwardTrainer:
         self.train_cfg = config[model_type]['training']
         self._writer = writer
         self._train_step = None
+        from forwardtacotron_tpu.utils.profiling import (
+            StepTraceController)
+        self._tracer = StepTraceController()
         self._eval_step = None
         self._top_k = None
         # multi-device: shard batches over 'data', wide weights over
@@ -155,6 +158,7 @@ class ForwardTrainer:
                 jbatch = self._shard_batch(_batch_to_device(batch))
                 state, metrics = train_step(state, jbatch, step_rng)
                 step = int(state.step)
+                self._tracer.tick(step)
 
                 m_loss = float(metrics['mel_loss'])
                 dur_loss = float(metrics['dur_loss'])

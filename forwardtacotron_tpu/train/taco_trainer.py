@@ -83,6 +83,9 @@ class TacoTrainer:
         self.train_cfg = config['tacotron']['training']
         self._writer = writer
         self._top_k = None
+        from forwardtacotron_tpu.utils.profiling import (
+            StepTraceController)
+        self._tracer = StepTraceController()
 
     @property
     def writer(self):
@@ -153,6 +156,7 @@ class TacoTrainer:
                 jbatch = _to_jnp(batch)
                 state, (metrics, att) = train_step(state, jbatch, step_rng)
                 step = int(state.step)
+                self._tracer.tick(step)
                 loss = float(metrics['loss'])
                 loss_avg.add(loss)
                 duration_avg.add(time.time() - start)

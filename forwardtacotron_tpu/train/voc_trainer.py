@@ -96,6 +96,8 @@ class VocTrainer:
         self.config = config
         self.train_cfg = config['vocoder']['training']
         self._writer = writer
+        from forwardtacotron_tpu.utils.profiling import StepTraceController
+        self._tracer = StepTraceController()
         self.top_k_models: List[Tuple] = []
         path_top_k = paths.voc_top_k / 'top_k.pkl'
         if os.path.exists(path_top_k):
@@ -169,6 +171,7 @@ class VocTrainer:
                 start = time.time()
                 state, metrics = train_step(state, _to_jnp(batch))
                 step = int(state.step)
+                self._tracer.tick(step)
                 loss = float(metrics['loss'])
                 loss_avg.add(loss)
                 duration_avg.add(time.time() - start)

@@ -59,6 +59,49 @@ class StepTimer:
                 'steps_per_sec': float(1.0 / max(t.mean(), 1e-9))}
 
 
+class StepTraceController:
+    """Env-controlled training-loop tracing, wired into every trainer:
+
+    FTT_PROFILE_DIR=<dir>    enable; trace is written there
+    FTT_PROFILE_START=<n>    first step to capture (default 20 —
+                             past compilation and warmup retraces)
+    FTT_PROFILE_STEPS=<n>    how many steps to capture (default 10)
+
+    Call `tick(step)` once per training step; the controller starts
+    the jax.profiler trace at START and stops it STEPS later. Safe
+    no-op when FTT_PROFILE_DIR is unset."""
+
+    def __init__(self) -> None:
+        import os
+        self.dir = os.environ.get('FTT_PROFILE_DIR')
+        self.start = int(os.environ.get('FTT_PROFILE_START', 20))
+        self.steps = int(os.environ.get('FTT_PROFILE_STEPS', 10))
+        self._active = False
+        self._done = False
+
+    def tick(self, step: int) -> None:
+        if self.dir is None or self._done:
+            return
+        import jax
+        if not self._active and step >= self.start:
+            jax.profiler.start_trace(self.dir)
+            self._active = True
+            self._stop_at = step + self.steps
+        elif self._active and step >= self._stop_at:
+            jax.profiler.stop_trace()
+            self._active = False
+            self._done = True
+            print(f'\n[profiler] trace for steps '
+                  f'{self.start}..{self._stop_at} written to {self.dir}')
+
+    def close(self) -> None:
+        if self._active:
+            import jax
+            jax.profiler.stop_trace()
+            self._active = False
+            self._done = True
+
+
 def device_memory_stats() -> Dict[str, int]:
     import jax
     dev = jax.devices()[0]

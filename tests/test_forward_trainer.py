@@ -176,3 +176,24 @@ def test_top_k_tracker(tmp_path):
     # resume picks up the persisted leaderboard
     t2 = TopKTracker(tmp_path, k=2, prefix='fw')
     assert [e[1] for e in t2.entries] == [20, 30]
+
+
+def test_step_trace_controller(tmp_path, monkeypatch):
+    """FTT_PROFILE_DIR wires jax.profiler tracing into the step loop:
+    trace starts at START, stops STEPS later, writes trace files."""
+    import pathlib
+    monkeypatch.setenv('FTT_PROFILE_DIR', str(tmp_path))
+    monkeypatch.setenv('FTT_PROFILE_START', '2')
+    monkeypatch.setenv('FTT_PROFILE_STEPS', '2')
+    import jax
+    import jax.numpy as jnp
+    from forwardtacotron_tpu.utils.profiling import StepTraceController
+    t = StepTraceController()
+    f = jax.jit(lambda x: x * 2)
+    for s in range(1, 7):
+        _ = f(jnp.ones((8, 8)))
+        t.tick(s)
+    t.close()
+    assert t._done
+    files = [p for p in pathlib.Path(tmp_path).rglob('*') if p.is_file()]
+    assert files, 'no trace files written'
