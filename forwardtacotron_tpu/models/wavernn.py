@@ -479,6 +479,110 @@ def vocode(model: 'WaveRNN', variables: Dict, mel: np.ndarray,
     return np.asarray(wav)
 
 
+def vocode_batch(model: 'WaveRNN', variables: Dict, mels,
+                 target: Optional[int] = None, overlap: int = 550,
+                 mu_law: bool = True, seed: int = 0, greedy: bool = False,
+                 use_pallas: Optional[bool] = None, pcm16: bool = False,
+                 frame_bucket: int = 64):
+    """Serve MANY utterances in one fused device program (beyond the
+    reference, which vocodes one utterance per call).
+
+    Mels are padded to a common `frame_bucket` multiple, upsampled as a
+    batch, each row folded with the same geometry, and ALL fold lanes
+    packed into the sampling kernel together (lane-group batching in
+    kernels/wavernn_sample.py handles >128 lanes). One dispatch and one
+    host fetch amortize the per-call round-trip (~25 ms on a tunneled
+    TPU) across the whole batch, and short utterances no longer leave
+    kernel lanes idle. Per-lane results are independent, so outputs
+    match per-utterance `vocode` calls (greedy mode exactly; sampled
+    mode draws per-lane noise from shifted streams).
+
+    mels: list of (n_mels, T_i) or (T_i, n_mels) arrays.
+    Returns a list of per-utterance waveforms with exact lengths
+    (float32, or int16 when pcm16=True).
+    """
+    from forwardtacotron_tpu.dsp.audio import DSP
+    from forwardtacotron_tpu.kernels.wavernn_sample import (
+        pallas_supported, sample_conditioned)
+
+    prepped = []
+    for mel in mels:
+        mel = np.asarray(mel, dtype=np.float32)
+        if mel.shape[0] == model.feat_dims \
+                and mel.shape[-1] != model.feat_dims:
+            mel = mel.T
+        prepped.append(mel)
+    n_frames = [m.shape[0] for m in prepped]
+    t_pad = ((max(n_frames) + frame_bucket - 1)
+             // frame_bucket) * frame_bucket
+    batch = np.zeros((len(prepped), t_pad, model.feat_dims), np.float32)
+    for i, m in enumerate(prepped):
+        batch[i, :m.shape[0]] = m
+
+    mu_law = mu_law if model.mode == 'RAW' else False
+    if use_pallas is None:
+        use_pallas = pallas_supported(model)
+    if target is None:
+        target = TARGET_TPU if use_pallas else TARGET_REFERENCE
+    wave_lens = np.asarray([(n - 1) * model.hop_length
+                            for n in n_frames], np.int32)
+
+    cache_key = (model, 'vocode_batch', len(prepped), t_pad, target,
+                 overlap, mu_law, greedy, use_pallas, pcm16)
+    run = _GEN_JIT_CACHE.get(cache_key)
+    if run is None:
+        def _run(variables, mel_b, wave_lens, seed):
+            B = mel_b.shape[0]
+            m = jnp.pad(mel_b, ((0, 0), (model.pad, model.pad), (0, 0)))
+            mels_up, aux = model.apply(variables, m,
+                                       method='upsample_cond')
+            idx, padded_len = fold_indices(mels_up.shape[1], target,
+                                           overlap)
+            if padded_len > mels_up.shape[1]:
+                pad_t = padded_len - mels_up.shape[1]
+                mels_up = jnp.pad(mels_up, ((0, 0), (0, pad_t), (0, 0)))
+                aux = jnp.pad(aux, ((0, 0), (0, pad_t), (0, 0)))
+            idx = jnp.asarray(idx)                     # (F, L)
+            F, L = idx.shape
+            mels_f = jnp.take(mels_up, idx, axis=1)    # (B, F, L, C)
+            aux_f = jnp.take(aux, idx, axis=1)
+            mels_f = mels_f.reshape(B * F, L, -1)
+            aux_f = aux_f.reshape(B * F, L, -1)
+            if use_pallas:
+                samples = sample_conditioned(
+                    model, variables['params'], mels_f, aux_f,
+                    seed[None], greedy=greedy)
+            else:
+                samples = model.apply(variables, mels_f, aux_f,
+                                      jax.random.PRNGKey(seed),
+                                      method='sample_scan', greedy=greedy)
+            wave = samples
+            if mu_law:
+                wave = DSP.decode_mu_law(wave, model.n_classes, False)
+            wave = jax.vmap(xfade_unfold_device, in_axes=(0, None))(
+                wave.reshape(B, F, L), overlap)        # (B, total)
+            total = wave.shape[1]
+            # per-utterance trim + terminal fade from the lengths array
+            pos = jnp.arange(total)[None, :]
+            wl = wave_lens[:, None].astype(jnp.float32)
+            n_fade = jnp.float32(20 * model.hop_length)
+            # matches vocode's linspace(1, 0, n_fade) tail exactly
+            factor = jnp.clip((wl - 1.0 - pos.astype(jnp.float32))
+                              / (n_fade - 1.0), 0.0, 1.0)
+            wave = wave * factor * (pos < wave_lens[:, None])
+            if pcm16:
+                wave = (jnp.clip(wave, -1.0, 1.0)
+                        * 32767.0).astype(jnp.int16)
+            return wave
+
+        run = jax.jit(_run)
+        _GEN_JIT_CACHE[cache_key] = run
+    out = np.asarray(run(variables, jnp.asarray(batch),
+                         jnp.asarray(wave_lens),
+                         jnp.asarray(seed, jnp.int32)))
+    return [out[i, :wave_lens[i]] for i in range(len(prepped))]
+
+
 def xfade_and_unfold(y: np.ndarray, target: int, overlap: int
                      ) -> np.ndarray:
     """(num_folds, target + 2*overlap) -> (total,) with equal-power

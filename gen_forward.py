@@ -89,6 +89,11 @@ def main() -> None:
                                 'complete (bounded memory for long inputs)')
     wr_parser.add_argument('--stream_group', default=8, type=int,
                            help='fold lanes sampled per streamed chunk')
+    wr_parser.add_argument('--batched_utterances', action='store_true',
+                           help='vocode ALL input sentences in one '
+                                'fused device program (lane-packed '
+                                'fold batching; one dispatch+fetch '
+                                'for the whole set)')
     subparsers.add_parser('griffinlim')
     subparsers.add_parser('melgan')
     subparsers.add_parser('hifigan')
@@ -142,6 +147,8 @@ def main() -> None:
     simple_table([('Forward Tacotron', str(tts_k) + 'k'),
                   ('Vocoder Type', args.vocoder)])
 
+    pending = []  # (wav_name, mel) for --batched_utterances
+
     for i, x in enumerate(texts, 1):
         print(f'\n| Generating {i}/{len(texts)}')
         ids = tokenizer(cleaner(x))
@@ -169,6 +176,8 @@ def main() -> None:
                                         out_path / f'{wav_name}.wav',
                                         dsp.sample_rate)
                 print(f'| streamed {n} samples')
+            elif args.batched_utterances:
+                pending.append((wav_name, mel_post))
             else:
                 from forwardtacotron_tpu.models.wavernn import generate_wav
                 wav = generate_wav(voc_model, voc_variables, mel_post,
@@ -178,6 +187,16 @@ def main() -> None:
                 dsp.save_wav(wav, out_path / f'{wav_name}.wav')
         elif args.vocoder == 'griffinlim':
             wav = dsp.griffinlim(mel_post)
+            dsp.save_wav(wav, out_path / f'{wav_name}.wav')
+
+    if pending:
+        from forwardtacotron_tpu.models.wavernn import vocode_batch
+        print(f'\n| Vocoding {len(pending)} utterances in one batch')
+        wavs = vocode_batch(voc_model, voc_variables,
+                            [m for _, m in pending], target=args.target,
+                            overlap=args.overlap, mu_law=voc_dsp.mu_law,
+                            pcm16=True)
+        for (wav_name, _), wav in zip(pending, wavs):
             dsp.save_wav(wav, out_path / f'{wav_name}.wav')
 
     print('\n\nDone.\n')

@@ -87,3 +87,43 @@ def test_vocode_pcm16_is_quantized_f32():
 
 def test_vocode_matches_stepwise_mol():
     _parity('MOL')
+
+
+def test_vocode_batch_matches_single_calls():
+    """Lane-packed batched vocoding must equal per-utterance vocode
+    calls in greedy mode (lanes are independent; same fold geometry
+    because each row is padded to the common frame bucket)."""
+    from forwardtacotron_tpu.models.wavernn import vocode_batch
+    model = WaveRNN(**TINY)
+    rng = np.random.RandomState(3)
+    mels = [rng.randn(TINY['feat_dims'], 60).astype(np.float32) * 0.3,
+            rng.randn(TINY['feat_dims'], 44).astype(np.float32) * 0.3]
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16)),
+                           jnp.zeros((1, 8, TINY['feat_dims'])))
+    kw = dict(target=40, overlap=8, seed=7, greedy=True,
+              use_pallas=False)
+    outs = vocode_batch(model, variables, mels, frame_bucket=4, **kw)
+    assert len(outs) == 2
+    for mel, got in zip(mels, outs):
+        # single-utterance call on the bucket-padded mel (same fold
+        # geometry as inside the batch)
+        t_pad = ((mel.shape[1] + 3) // 4) * 4
+        mel_p = np.zeros((mel.shape[0], t_pad), np.float32)
+        mel_p[:, :mel.shape[1]] = mel
+        want = vocode(model, variables, mel_p, **kw)
+        wave_len = (mel.shape[1] - 1) * TINY['hop_length']
+        assert got.shape == (wave_len,)
+        np.testing.assert_allclose(got, want[:wave_len], atol=2e-4)
+
+
+def test_vocode_batch_pcm16():
+    from forwardtacotron_tpu.models.wavernn import vocode_batch
+    model = WaveRNN(**TINY)
+    rng = np.random.RandomState(4)
+    mels = [rng.randn(TINY['feat_dims'], 40).astype(np.float32) * 0.3]
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16)),
+                           jnp.zeros((1, 8, TINY['feat_dims'])))
+    outs = vocode_batch(model, variables, mels, target=40, overlap=8,
+                        use_pallas=False, pcm16=True)
+    assert outs[0].dtype == np.int16
+    assert outs[0].shape == ((40 - 1) * TINY['hop_length'],)
