@@ -99,6 +99,10 @@ def main() -> None:
         extra.update(_bench_training(config, model, variables))
     except Exception as e:
         extra['train_bench_error'] = f'{type(e).__name__}: {e}'
+    try:
+        extra.update(_bench_hifigan())
+    except Exception as e:
+        extra['hifigan_bench_error'] = f'{type(e).__name__}: {e}'
     import os
     if os.environ.get('BENCH_FULL'):  # FastPitch adds minutes of compile
         try:
@@ -201,6 +205,55 @@ def _bench_fastpitch(config) -> dict:
     dt = (time.perf_counter() - t0) / 50
     return {'fastpitch_batch1_latency_ms': round(dt * 1000, 3),
             'fastpitch_batch1_rtf': round(dt / (mel_len * hop / sr), 6)}
+
+
+def _bench_hifigan() -> dict:
+    """HiFi-GAN V1 generator serving numbers (random init — throughput
+    does not depend on weights). Methodology notes: inputs VARY per
+    call (the tunnel relay memoizes identical executions) and each
+    serial call is timed to `np.asarray` of the int16 PCM (on this
+    platform `block_until_ready` does not reliably block, and a real
+    fetch is what serving does anyway). Pipelined throughput enqueues
+    N calls and fetches only the last — executions serialize on the
+    chip, so total/N bounds per-call device+queue time."""
+    import jax
+    import jax.numpy as jnp
+    from forwardtacotron_tpu.models.hifigan import (HiFiGANGenerator,
+                                                    V1_CONFIG)
+
+    model = HiFiGANGenerator.from_config(V1_CONFIG)
+    T = 768                              # ~8.9 s at hop 256, 22.05 kHz
+    cpu = jax.local_devices(backend='cpu')[0]
+    with jax.default_device(cpu):
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 16, 80)))
+    variables = jax.device_put(variables, jax.devices()[0])
+    rng = np.random.RandomState(0)
+    mels = [jnp.asarray(rng.randn(1, T, 80).astype(np.float32))
+            for _ in range(9)]
+
+    run = jax.jit(lambda v, m: (jnp.clip(model.apply(v, m)[0], -1, 1)
+                                * 32767).astype(jnp.int16))
+    _ = np.asarray(run(variables, mels[8]))            # compile
+    ts = []
+    for i in range(8):
+        t0 = time.perf_counter()
+        _ = np.asarray(run(variables, mels[i]))
+        ts.append(time.perf_counter() - t0)
+    serial = sorted(ts)[len(ts) // 2]
+
+    n = 24
+    t0 = time.perf_counter()
+    for i in range(n):
+        out = run(variables, mels[i % 8])
+    _ = np.asarray(out)
+    piped = (time.perf_counter() - t0) / n
+
+    audio_s = T * model.hop_length / 22050
+    return {'hifigan_rtf': round(serial / audio_s, 6),
+            'hifigan_rtf_pipelined': round(piped / audio_s, 6),
+            'hifigan_mhz_pipelined': round(
+                T * model.hop_length / piped / 1e6, 2)}
 
 
 def _bench_wavernn(config) -> dict:

@@ -95,8 +95,24 @@ def main() -> None:
                                 'fold batching; one dispatch+fetch '
                                 'for the whole set)')
     subparsers.add_parser('griffinlim')
-    subparsers.add_parser('melgan')
-    subparsers.add_parser('hifigan')
+    mg_parser = subparsers.add_parser('melgan')
+    mg_parser.add_argument('--voc_checkpoint', type=str, default=None,
+                           help='MelGAN generator checkpoint (hub-'
+                                'lineage torch file). With it, wavs '
+                                'are synthesized on-device; without, '
+                                'mels are exported as .mel (reference '
+                                'behavior)')
+    hg_parser = subparsers.add_parser('hifigan')
+    hg_parser.add_argument('--voc_checkpoint', type=str, default=None,
+                           help='official HiFi-GAN generator checkpoint '
+                                '(torch file with a "generator" state '
+                                'dict; config.json alongside is picked '
+                                'up). With it, wavs are synthesized '
+                                'on-device; without, mels are exported '
+                                'as .npy (reference behavior)')
+    hg_parser.add_argument('--voc_config', type=str, default=None,
+                           help='HiFi-GAN config.json (overrides '
+                                'auto-detection next to the checkpoint)')
     args = parser.parse_args()
 
     assert args.vocoder in {'griffinlim', 'wavernn', 'melgan', 'hifigan'}, \
@@ -131,6 +147,18 @@ def main() -> None:
         voc_model, voc_variables, voc_config, _ = load_voc_checkpoint(
             args.voc_checkpoint)
         voc_dsp = DSP.from_config(voc_config)
+    elif args.vocoder == 'hifigan' and args.voc_checkpoint:
+        import json
+        from forwardtacotron_tpu.models.hifigan import load_hifigan
+        hg_config = None
+        if args.voc_config:
+            with open(args.voc_config) as f:
+                hg_config = json.load(f)
+        voc_model, voc_variables = load_hifigan(args.voc_checkpoint,
+                                                hg_config)
+    elif args.vocoder == 'melgan' and args.voc_checkpoint:
+        from forwardtacotron_tpu.models.melgan import load_melgan
+        voc_model, voc_variables = load_melgan(args.voc_checkpoint)
 
     out_path = Path('model_outputs')
     out_path.mkdir(parents=True, exist_ok=True)
@@ -157,12 +185,24 @@ def main() -> None:
         mel_post, _ = synthesize(model, variables, ids, args.alpha, args.amp)
 
         if args.vocoder == 'melgan':
-            import torch
-            torch.save(torch.tensor(mel_post[None]),
-                       out_path / f'{wav_name}.mel')
+            if voc_model is not None:
+                from forwardtacotron_tpu.models.melgan import vocode_melgan
+                wav = vocode_melgan(voc_model, voc_variables, mel_post,
+                                    pcm16=True)
+                dsp.save_wav(wav, out_path / f'{wav_name}.wav')
+            else:
+                import torch
+                torch.save(torch.tensor(mel_post[None]),
+                           out_path / f'{wav_name}.mel')
         elif args.vocoder == 'hifigan':
-            np.save(out_path / f'{wav_name}.npy', mel_post[None],
-                    allow_pickle=False)
+            if voc_model is not None:
+                from forwardtacotron_tpu.models.hifigan import vocode_hifigan
+                wav = vocode_hifigan(voc_model, voc_variables, mel_post,
+                                     pcm16=True)
+                dsp.save_wav(wav, out_path / f'{wav_name}.wav')
+            else:
+                np.save(out_path / f'{wav_name}.npy', mel_post[None],
+                        allow_pickle=False)
         elif args.vocoder == 'wavernn':
             if args.stream:
                 from forwardtacotron_tpu.models.streaming import (

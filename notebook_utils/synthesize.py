@@ -18,13 +18,25 @@ from forwardtacotron_tpu.utils.checkpoints import (load_tts_checkpoint,
 
 class Synthesizer:
 
-    def __init__(self, tts_path: str, voc_path: Optional[str] = None):
+    def __init__(self, tts_path: str, voc_path: Optional[str] = None,
+                 hifigan_path: Optional[str] = None,
+                 melgan_path: Optional[str] = None):
         self.tts_model, self.tts_variables, tts_config, _ = \
             load_tts_checkpoint(tts_path)
         self.voc_model = self.voc_variables = None
         if voc_path is not None:
             self.voc_model, self.voc_variables, _, _ = \
                 load_voc_checkpoint(voc_path)
+        self.hifigan_model = self.hifigan_variables = None
+        if hifigan_path is not None:
+            from forwardtacotron_tpu.models.hifigan import load_hifigan
+            self.hifigan_model, self.hifigan_variables = \
+                load_hifigan(hifigan_path)
+        self.melgan_model = self.melgan_variables = None
+        if melgan_path is not None:
+            from forwardtacotron_tpu.models.melgan import load_melgan
+            self.melgan_model, self.melgan_variables = \
+                load_melgan(melgan_path)
         self.cleaner = Cleaner.from_config(tts_config)
         self.tokenizer = Tokenizer()
         self.dsp = DSP.from_config(tts_config)
@@ -45,4 +57,12 @@ class Synthesizer:
             return generate_wav(self.voc_model, self.voc_variables,
                                 mel_post, batched=True, target=None,
                                 overlap=550, mu_law=self.dsp.mu_law)
-        return mel_post  # 'melgan'/'hifigan': export the mel
+        if voc_model == 'hifigan' and self.hifigan_model is not None:
+            from forwardtacotron_tpu.models.hifigan import vocode_hifigan
+            return vocode_hifigan(self.hifigan_model,
+                                  self.hifigan_variables, mel_post)
+        if voc_model == 'melgan' and self.melgan_model is not None:
+            from forwardtacotron_tpu.models.melgan import vocode_melgan
+            return vocode_melgan(self.melgan_model,
+                                 self.melgan_variables, mel_post)
+        return mel_post  # 'melgan'/'hifigan' w/o generator: export mel

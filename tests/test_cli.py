@@ -29,6 +29,10 @@ def test_gen_forward_contract():
     r = _help('gen_forward.py', 'wavernn')
     assert '--overlap' in r.stdout and '--target' in r.stdout \
         and '--voc_checkpoint' in r.stdout
+    r = _help('gen_forward.py', 'hifigan')
+    assert '--voc_checkpoint' in r.stdout and '--voc_config' in r.stdout
+    r = _help('gen_forward.py', 'melgan')
+    assert '--voc_checkpoint' in r.stdout
 
 
 def test_train_clis_contract():
