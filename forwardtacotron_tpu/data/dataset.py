@@ -383,6 +383,84 @@ def get_vocoder_datasets(path: Path, batch_size: int, train_gta: bool,
     return train_set, val_set, val_set_samples
 
 
+class GANVocCollator:
+    """Frame-aligned (mel window, float audio segment) pairs for
+    adversarial vocoder training (models/hifigan.py +
+    models/gan_discriminators.py).
+
+    Unlike VocCollator there is no shift-by-one label pair and no
+    conditioning pad: the generator consumes `seg_len // hop` mel
+    frames and must output exactly `seg_len` samples. Audio is decoded
+    from the on-disk quant labels (mu-law for RAW preprocessing,
+    linear labels otherwise) — preprocess with `voc_mode: MOL`
+    (16-bit linear) for lossless GAN targets.
+    """
+
+    def __init__(self, hop_length: int, seg_len: int, voc_mode: str,
+                 bits: int, mu_law: bool,
+                 rng: Optional[np.random.RandomState] = None) -> None:
+        assert seg_len % hop_length == 0, \
+            f'seg_len {seg_len} must be a multiple of hop {hop_length}'
+        self.hop_length = hop_length
+        self.seg_len = seg_len
+        self.voc_mode = voc_mode
+        self.bits = bits
+        self.mu_law = mu_law
+        self.rng = rng or np.random.RandomState()
+
+    def __call__(self, batch: List[Dict]) -> Dict[str, np.ndarray]:
+        from forwardtacotron_tpu.dsp.audio import DSP
+        win = self.seg_len // self.hop_length
+        mels, audios = [], []
+        for b in batch:
+            mel, x = b['mel'], b['x']
+            t = min(mel.shape[-1], len(x) // self.hop_length)
+            max_off = max(t - win - 1, 1)
+            o = self.rng.randint(0, max_off)
+            mels.append(mel[:, o:o + win])
+            seg = x[o * self.hop_length:
+                    o * self.hop_length + self.seg_len]
+            bits = 16 if self.voc_mode == 'MOL' else self.bits
+            if self.mu_law and self.voc_mode != 'MOL':
+                audio = DSP.decode_mu_law(seg, 2 ** bits,
+                                          from_labels=True)
+            else:
+                audio = DSP.label_2_float(seg.astype(np.float32), bits)
+            audios.append(audio)
+        return {'mel': np.stack(mels).astype(np.float32)
+                .transpose(0, 2, 1),
+                'audio': np.stack(audios).astype(np.float32)}
+
+
+def get_gan_vocoder_datasets(path: Path, batch_size: int,
+                             train_gta: bool, max_mel_len: int,
+                             hop_length: int, seg_len: int,
+                             voc_mode: str, bits: int, mu_law: bool,
+                             num_gen_samples: int):
+    """(mel window, audio segment) train/val sets for GAN vocoder
+    training, over the same on-disk layout as get_vocoder_datasets."""
+    path = Path(path)
+    train_data = unpickle_binary(path / 'train_dataset.pkl')
+    val_data = unpickle_binary(path / 'val_dataset.pkl')
+    train_ids = [i for i, l in filter_max_len(train_data, max_mel_len)]
+    val_ids = [i for i, l in filter_max_len(val_data, max_mel_len)]
+    train_dataset = VocoderDataset(path, train_ids, train_gta)
+    val_dataset = VocoderDataset(path, val_ids, train_gta)
+
+    train_collator = GANVocCollator(hop_length, seg_len, voc_mode, bits,
+                                    mu_law)
+    train_set = VocBatcher(train_dataset, batch_size, train_collator,
+                           shuffle=True)
+    val_collator = GANVocCollator(hop_length, seg_len, voc_mode, bits,
+                                  mu_law, rng=np.random.RandomState(42))
+    val_set = list(VocBatcher(val_dataset, batch_size, val_collator,
+                              shuffle=False))
+    val_set_samples = [val_dataset[i]
+                       for i in range(min(num_gen_samples,
+                                          len(val_dataset)))]
+    return train_set, val_set, val_set_samples
+
+
 class Prefetcher:
     """Bounded background-thread prefetch over a batch iterable.
 

@@ -283,13 +283,28 @@ def convert_hifigan_generator(state_dict: Dict[str, Any],
 
 def load_hifigan(path, config: Dict[str, Any] = None
                  ) -> Tuple[HiFiGANGenerator, Dict[str, Any]]:
-    """Load an official HiFi-GAN generator checkpoint (torch .pt file
-    holding {'generator': state_dict}, or a bare state_dict) plus an
-    optional config dict (config.json contents). A `config.json` next
-    to the checkpoint is picked up automatically."""
+    """Load a HiFi-GAN generator checkpoint.
+
+    Accepts this framework's `.fjax` files (from train_hifigan.py —
+    either full GAN state or generator-only top-k checkpoints; the
+    embedded config rebuilds the model) and official torch files
+    ({'generator': state_dict} or a bare state_dict, with an optional
+    config dict / auto-detected config.json alongside)."""
     import json
     from pathlib import Path
     path = Path(path)
+
+    if path.suffix == '.fjax':
+        from forwardtacotron_tpu.utils.checkpoints import (
+            restore_checkpoint)
+        payload = restore_checkpoint(path)
+        model_cfg = payload['config'].get('hifigan', {}).get('model', {})
+        model = HiFiGANGenerator.from_config(model_cfg)
+        params = payload['model']['params']
+        if 'generator' in params:       # full GAN train state
+            params = params['generator']
+        return model, {'params': params}
+
     if config is None:
         cand = path.parent / 'config.json'
         if cand.exists():

@@ -342,22 +342,90 @@ _LEXICON = {
     'pupil': 'pjuːpəl', 'unit': 'juːnɪt', 'united': 'juːnaɪɾɪd',
     'uniform': 'juːnɪfɔːɹm', 'universe': 'juːnɪvɜːs',
     'university': 'juːnɪvɜːsɪɾi',
+    # greek/latin 'ch' = /k/ and french 'ch' = /ʃ/
+    'stomach': 'stʌmək', 'chemistry': 'kɛmɪstɹi', 'chemical': 'kɛmɪkəl',
+    'chorus': 'kɔːɹəs', 'character': 'kɛɹəktɚ', 'christmas': 'kɹɪsməs',
+    'ache': 'eɪk', 'echo': 'ɛkoʊ', 'anchor': 'æŋkɚ',
+    'orchestra': 'ɔːɹkɪstɹə', 'mechanic': 'məkænɪk',
+    'mechanical': 'məkænɪkəl', 'architect': 'ɑːɹkɪtɛkt',
+    'chaos': 'keɪɑːs', 'chrome': 'kɹoʊm', 'chronic': 'kɹɑːnɪk',
+    'scheme': 'skiːm', 'stomachs': 'stʌməks', 'chef': 'ʃɛf',
+    'chute': 'ʃuːt', 'brochure': 'bɹoʊʃʊɹ', 'chicago': 'ʃɪkɑːɡoʊ',
+    'michigan': 'mɪʃɪɡən', 'mustache': 'mʌstæʃ', 'chevron': 'ʃɛvɹɑːn',
+    # french endings and other borrowings
+    'bureau': 'bjʊɹoʊ', 'restaurant': 'ɹɛstɹɑːnt',
+    'sergeant': 'sɑːɹdʒənt', 'lieutenant': 'luːtɛnənt',
+    'yacht': 'jɑːt', 'debris': 'dəbɹiː', 'queue': 'kjuː',
+    'cheque': 'tʃɛk', 'mortgage': 'mɔːɹɡɪdʒ', 'ballet': 'bæleɪ',
+    'buffet': 'bəfeɪ', 'bouquet': 'buːkeɪ', 'genre': 'ʒɑːnɹə',
+    'garage': 'ɡəɹɑːʒ', 'massage': 'məsɑːʒ', 'mirage': 'məɹɑːʒ',
+    'collage': 'kəlɑːʒ', 'beige': 'beɪʒ', 'regime': 'ɹəʒiːm',
+    'prestige': 'pɹɛstiːʒ', 'cliche': 'kliːʃeɪ', 'cafe': 'kæfeɪ',
+    'jeopardy': 'dʒɛpɚdi', 'leopard': 'lɛpɚd', 'leotard': 'liːətɑːɹd',
+    # -nger: hard g, soft g, or plain ŋ is lexical
+    'finger': 'fɪŋɡɚ', 'anger': 'æŋɡɚ', 'hunger': 'hʌŋɡɚ',
+    'angry': 'æŋɡɹi', 'hungry': 'hʌŋɡɹi', 'longer': 'lɔːŋɡɚ',
+    'stronger': 'stɹɔːŋɡɚ', 'younger': 'jʌŋɡɚ',
+    'danger': 'deɪndʒɚ', 'stranger': 'stɹeɪndʒɚ', 'manger': 'meɪndʒɚ',
+    'dangerous': 'deɪndʒɚɹəs', 'passenger': 'pæsɪndʒɚ',
+    'messenger': 'mɛsɪndʒɚ', 'singer': 'sɪŋɚ', 'ringer': 'ɹɪŋɚ',
+    'hanger': 'hæŋɚ',
+    # soft ge- words the hard-'ge' guard misses
+    'gentle': 'dʒɛntəl', 'gentleman': 'dʒɛntəlmən',
+    'genius': 'dʒiːniəs', 'gene': 'dʒiːn', 'generation': 'dʒɛnɚɹeɪʃən',
+    'generous': 'dʒɛnɚɹəs', 'gesture': 'dʒɛstʃɚ', 'gem': 'dʒɛm',
+    # hard gi- words the soft-g rule misses
+    'gift': 'ɡɪft', 'gifts': 'ɡɪfts', 'geese': 'ɡiːs', 'gear': 'ɡɪɹ',
+    'giggle': 'ɡɪɡəl', 'gill': 'ɡɪl', 'gig': 'ɡɪɡ', 'geyser': 'ɡaɪzɚ',
+    # assorted irregulars surfaced by frequency probing
+    'oven': 'ʌvən', 'shove': 'ʃʌv', 'wash': 'wɑːʃ', 'wasp': 'wɑːsp',
+    'watt': 'wɑːt', 'swap': 'swɑːp', 'swan': 'swɑːn',
+    'pour': 'pɔːɹ', 'source': 'sɔːɹs', 'court': 'kɔːɹt',
+    'fourth': 'fɔːɹθ', 'mourn': 'mɔːɹn', 'beard': 'bɪɹd',
+    'laughter': 'læftɚ', 'draught': 'dɹæft', 'occasion': 'əkeɪʒən',
+    'occasionally': 'əkeɪʒənəli', 'pressure': 'pɹɛʃɚ',
+    'assure': 'əʃʊɹ', 'insure': 'ɪnʃʊɹ', 'ensure': 'ɪnʃʊɹ',
+    'century': 'sɛntʃɚɹi', 'centuries': 'sɛntʃɚɹiz',
+    'penguin': 'pɛŋɡwɪn', 'pretty': 'pɹɪɾi', 'southern': 'sʌðɚn',
+    'puss': 'pʊs', 'pudding': 'pʊdɪŋ', 'bosom': 'bʊzəm',
+    'threw': 'θɹuː', 'sew': 'soʊ', 'sewn': 'soʊn', 'euro': 'jʊɹoʊ',
+    'fierce': 'fɪɹs', 'pierce': 'pɪɹs', 'giraffe': 'dʒɚɹæf',
+    'ginger': 'dʒɪndʒɚ', 'exhibit': 'ɪɡzɪbɪt',
+    'exhibition': 'ɛksɪbɪʃən', 'position': 'pəzɪʃən',
+    'positions': 'pəzɪʃənz', 'possession': 'pəzɛʃən',
+    'dessert': 'dɪzɜːt', 'desert': 'dɛzɚt', 'resort': 'ɹɪzɔːɹt',
+    'reserve': 'ɹɪzɜːv', 'resemble': 'ɹɪzɛmbəl', 'resume': 'ɹɪzuːm',
+    'observe': 'əbzɜːv', 'deserve': 'dɪzɜːv', 'present': 'pɹɛzənt',
+    'presents': 'pɹɛzənts', 'presentation': 'pɹɛzənteɪʃən',
+    'visit': 'vɪzɪt', 'visitor': 'vɪzɪɾɚ', 'positive': 'pɑːzɪɾɪv',
+    'cousin': 'kʌzən', 'raisin': 'ɹeɪzən', 'poison': 'pɔɪzən',
+    'prison': 'pɹɪzən', 'season': 'siːzən', 'reason': 'ɹiːzən',
+    'thousand': 'θaʊzənd', 'husband': 'hʌzbənd', 'closet': 'klɑːzɪt',
+    'deposit': 'dɪpɑːzɪt', 'opposite': 'ɑːpəzɪt',
+    'tongue': 'tʌŋ', 'unique': 'juːniːk', 'antique': 'æntiːk',
+    'technique': 'tɛkniːk', 'rhythm': 'ɹɪðəm', 'rhyme': 'ɹaɪm',
+    'aware': 'əwɛɹ', 'beware': 'bɪwɛɹ', 'awake': 'əweɪk',
+    'away': 'əweɪ', 'await': 'əweɪt', 'award': 'əwɔːɹd',
 }
 
 # Longest-match context-free digraph/letter rules (en-us flavored).
 # Order matters within each leading letter group.
 _RULES = [
-    ('ation', 'eɪʃən'), ('tion', 'ʃən'), ('sion', 'ʒən'),
-    ('ought', 'ɔːt'),
+    ('ation', 'eɪʃən'), ('ssion', 'ʃən'), ('tion', 'ʃən'),
+    ('sion', 'ʒən'),
+    ('oulder', 'oʊldɚ'), ('ought', 'ɔːt'),
     ('eigh', 'eɪ'), ('ough', 'ʌf'), ('augh', 'ɔː'), ('tch', 'tʃ'),
-    ('sch', 'sk'), ('dge', 'dʒ'), ('igh', 'aɪ'),
-    ('ing', 'ɪŋ'), ('qu', 'kw'), ('ch', 'tʃ'), ('sh', 'ʃ'),
+    ('sch', 'sk'), ('dge', 'dʒ'), ('igh', 'aɪ'), ('quar', 'kwɔːɹ'),
+    ('ing', 'ɪŋ'), ('eau', 'oʊ'),
+    ('qu', 'kw'), ('ch', 'tʃ'), ('sh', 'ʃ'),
     ('th', 'θ'), ('ph', 'f'), ('wh', 'w'), ('ck', 'k'), ('ng', 'ŋ'),
-    ('wr', 'ɹ'), ('kn', 'n'), ('gn', 'n'), ('mb', 'm'),
+    ('wr', 'ɹ'), ('kn', 'n'), ('gn', 'n'), ('mb', 'm'), ('rh', 'ɹ'),
+    ('xh', 'ɡz'),
     ('ee', 'iː'), ('ea', 'iː'), ('oo', 'uː'), ('ou', 'aʊ'),
     ('ow', 'oʊ'), ('oi', 'ɔɪ'), ('oy', 'ɔɪ'), ('ay', 'eɪ'),
     ('ai', 'eɪ'), ('au', 'ɔː'), ('aw', 'ɔː'), ('ew', 'juː'),
     ('oa', 'oʊ'), ('ie', 'iː'), ('ei', 'eɪ'), ('ey', 'eɪ'),
+    ('eu', 'uː'),
     ('ar', 'ɑːɹ'), ('er', 'ɚ'), ('ir', 'ɜː'), ('or', 'ɔːɹ'),
     ('ur', 'ɜː'),
     ('a', 'æ'), ('b', 'b'), ('c', 'k'), ('d', 'd'), ('e', 'ɛ'),
@@ -366,6 +434,9 @@ _RULES = [
     ('p', 'p'), ('r', 'ɹ'), ('s', 's'), ('t', 't'), ('u', 'ʌ'),
     ('v', 'v'), ('w', 'w'), ('x', 'ks'), ('y', 'j'), ('z', 'z'),
 ]
+
+# word-initial silent/greek onsets (applied only at position 0)
+_PREFIX_RULES = [('ps', 's'), ('pn', 'n'), ('gh', 'ɡ'), ('mn', 'n')]
 
 _PUNCT_KEEP = set('!\'(),.:;? -')
 
@@ -457,7 +528,9 @@ def _word_to_phonemes(word: str, depth: int = 0) -> str:
     out = []
     # degeminate doubled consonants (letter -> one sound); 'cc' stays
     # (accent: first c hard, second soft -> ks)
-    w = re.sub(r'([bdfghjklmnprstvwz])\1', r'\1', lower)
+    # (negative lookahead: keep 'ss' before 'ion' so the 'ssion'
+    # suffix branch below can see it — mission/passion are voiceless)
+    w = re.sub(r'([bdfghjklmnprstvwz])\1(?!ion)', r'\1', lower)
     suffix = ''
     magic_e = False
     # word-final patterns, handled before the main rule scan:
@@ -465,7 +538,23 @@ def _word_to_phonemes(word: str, depth: int = 0) -> str:
     # consonant with silent e (sentence, page); other consonant + 'e'
     # -> silent e, possibly magic (made -> meɪd, name -> neɪm)
     magic_pos = -10
-    if len(w) >= 6 and w.endswith('ture'):
+    if len(w) >= 6 and w.endswith('ssion'):
+        suffix, w = 'ʃən', w[:-5]      # mission, passion (before the
+        #                                ss degemination turns it into
+        #                                the voiced 'sion' rule)
+    elif len(w) >= 4 and w.endswith('alm'):
+        suffix, w = 'ɑːm', w[:-3]      # psalm, balm, (calm/palm in lex)
+    elif len(w) >= 4 and w.endswith('gue'):
+        suffix, w = 'ɡ', w[:-3]        # league, tongue, vague
+    elif len(w) >= 4 and w.endswith('que'):
+        suffix, w = 'k', w[:-3]        # unique, antique, technique
+    elif len(w) >= 3 and w.endswith('mn'):
+        suffix, w = 'm', w[:-2]        # autumn, column, hymn, damn
+    elif len(w) >= 5 and w.endswith('ften'):
+        suffix, w = 'fən', w[:-4]      # soften, often
+    elif len(w) >= 5 and w.endswith('sten'):
+        suffix, w = 'sən', w[:-4]      # fasten, hasten, moisten
+    elif len(w) >= 6 and w.endswith('ture'):
         # nature -> neɪtʃɚ, future -> fjuːtʃɚ
         suffix, w = 'tʃɚ', w[:-4]
         magic_e = len(w) > 0 and w[-1] in 'aeiou'
@@ -491,6 +580,36 @@ def _word_to_phonemes(word: str, depth: int = 0) -> str:
     magic_map = {'a': 'eɪ', 'i': 'aɪ', 'o': 'oʊ', 'u': 'juː', 'e': 'iː'}
     i = 0
     while i < len(w):
+        if i == 0:
+            matched = False
+            for pattern, ipa in _PREFIX_RULES:
+                if w.startswith(pattern):
+                    out.append(ipa)
+                    i += len(pattern)
+                    matched = True
+                    break
+            if matched:
+                continue
+        # 'war' not followed by e -> wɔːɹ (warm, ward, swarm;
+        # aware/software keep the magic-e path)
+        if w.startswith('war', i) and \
+                (i + 3 >= len(w) or w[i + 3] != 'e'):
+            out.append('wɔːɹ')
+            i += 3
+            continue
+        # 'ear' + consonant -> ɜː (search, learn, pearl); 'ear' at
+        # word end or + vowel stays iːɹ-ish via the digraph rules
+        if w.startswith('ear', i) and i + 3 < len(w) \
+                and w[i + 3] not in 'aeiouy':
+            out.append('ɜː')
+            i += 3
+            continue
+        # 'gu' + vowel -> hard g, silent u (guard, guest, guide, guild)
+        if w.startswith('gu', i) and i + 2 < len(w) \
+                and w[i + 2] in 'aeiy':
+            out.append('ɡ')
+            i += 2
+            continue
         # soft c / soft g before e,i,y ('sc' -> single s)
         if w[i] == 'c' and i + 1 < len(w) and w[i + 1] in 'eiy':
             if not (out and out[-1].endswith('s')):

@@ -42,6 +42,11 @@ class Paths:
         self.forward_top_k = self.forward_checkpoints / 'top_k_models'
         self.forward_log = self.forward_checkpoints / 'logs'
 
+        # beyond the reference: the adversarial HiFi-GAN vocoder trainer
+        self.hifigan_checkpoints = self.base / 'checkpoints' / f'{voc_id}.hifigan'
+        self.hifigan_top_k = self.hifigan_checkpoints / 'top_k_models'
+        self.hifigan_log = self.hifigan_checkpoints / 'logs'
+
         self.create_paths()
 
     def create_paths(self) -> None:
@@ -50,5 +55,6 @@ class Paths:
                   self.voc_checkpoints, self.voc_top_k, self.voc_log,
                   self.taco_checkpoints, self.taco_top_k, self.taco_log,
                   self.forward_checkpoints, self.forward_top_k,
-                  self.forward_log]:
+                  self.forward_log, self.hifigan_checkpoints,
+                  self.hifigan_top_k, self.hifigan_log]:
             os.makedirs(p, exist_ok=True)

@@ -60,6 +60,31 @@ def test_g2p_morphology():
         assert g(word) == want, f'{word}: {g(word)} != {want}'
 
 
+def test_g2p_orthography_rules():
+    """Anchored orthography rules: -ssion voicelessness, silent
+    letters (gue/que/mn/ps/pn/rh/ften/sten), war-/quar-/ear+C vowel
+    colors, gu+vowel hard g, eau/eu digraphs."""
+    from forwardtacotron_tpu.text.g2p import rule_based_g2p as g
+    for word, want in [
+            ('mission', 'mɪʃən'), ('passion', 'pæʃən'),
+            ('session', 'sɛʃən'), ('league', 'liːɡ'),
+            ('unique', 'juːniːk'), ('psalm', 'sɑːm'),
+            ('autumn', 'ɔːtʌm'), ('column', 'kɑːlʌm'),
+            ('soften', 'sɑːfən'), ('fasten', 'fæsən'),
+            ('warm', 'wɔːɹm'), ('ward', 'wɔːɹd'),
+            ('quarter', 'kwɔːɹtɚ'), ('search', 'sɜːtʃ'),
+            ('pearl', 'pɜːl'), ('guard', 'ɡɑːɹd'),
+            ('guild', 'ɡɪld'), ('guest', 'ɡɛst'),
+            ('shoulder', 'ʃoʊldɚ'), ('rhubarb', 'ɹʌbɑːɹb'),
+            ('exhale', 'ɛɡzeɪl'),
+            ('plateau', 'plætoʊ'), ('neutron', 'nuːtɹɑːn'),
+            ('finger', 'fɪŋɡɚ'), ('singer', 'sɪŋɚ'),
+            ('danger', 'deɪndʒɚ'), ('chemistry', 'kɛmɪstɹi'),
+            ('chef', 'ʃɛf'), ('gift', 'ɡɪft'),
+            ('gentle', 'dʒɛntəl')]:
+        assert g(word) == want, f'{word}: {g(word)} != {want}'
+
+
 def test_g2p_output_stays_in_symbol_inventory():
     from forwardtacotron_tpu.text.g2p import rule_based_g2p as g
     from forwardtacotron_tpu.text.symbols import phonemes

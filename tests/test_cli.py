@@ -50,6 +50,10 @@ def test_train_clis_contract():
     assert r.returncode == 0
     assert '--gta' in r.stdout
 
+    r = _help('train_hifigan.py')
+    assert r.returncode == 0
+    assert '--gta' in r.stdout and '--config' in r.stdout
+
 
 def test_preprocess_contract():
     r = _help('preprocess.py')
