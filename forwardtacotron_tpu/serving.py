@@ -1,0 +1,330 @@
+"""Production serving: dynamic-batching TTS server (beyond the
+reference, which only offers per-utterance CLI generation).
+
+`TTSServer` owns the loaded models and a background batcher thread:
+requests submitted concurrently are collected for up to `max_wait_ms`
+(or until `max_batch`), then the whole group runs through ONE batched
+device program per stage — token bucket -> fused series prediction ->
+shared mel bucket decode -> batched vocoding (lane-packed WaveRNN
+`vocode_batch`, batched HiFi-GAN, or per-item Griffin-Lim). Per-request
+`alpha` / `pitch_scale` / `energy_scale` are applied host-side to the
+shared series pass (alpha divides durations — the model applies it the
+same way, forward_tacotron.py:270-284 analog), so heterogeneous
+requests batch together.
+
+Static shapes everywhere: token lengths round up to `text_bucket`
+multiples and mel lengths to `mel_bucket` multiples, so the jit cache
+stays small and steady-state serving never recompiles.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+
+@dataclass
+class _Request:
+    text: str
+    alpha: float
+    pitch_scale: float
+    energy_scale: float
+    future: Future = field(default_factory=Future)
+
+
+def _bucket(n: int, multiple: int, minimum: int) -> int:
+    return max(((n + multiple - 1) // multiple) * multiple, minimum)
+
+
+class TTSServer:
+    """Thread-safe dynamic-batching synthesis server.
+
+    vocoder: 'griffinlim' | 'wavernn' | 'hifigan'
+    Returns int16 PCM at the checkpoint's sample rate.
+    """
+
+    def __init__(self, tts_checkpoint: str,
+                 vocoder: str = 'griffinlim',
+                 voc_checkpoint: Optional[str] = None,
+                 max_batch: int = 8, max_wait_ms: float = 20.0,
+                 text_bucket: int = 16, mel_bucket: int = 256) -> None:
+        from forwardtacotron_tpu.dsp.audio import DSP
+        from forwardtacotron_tpu.text.cleaners import Cleaner
+        from forwardtacotron_tpu.text.tokenizer import Tokenizer
+        from forwardtacotron_tpu.utils.checkpoints import (
+            load_tts_checkpoint)
+
+        self.model, self.variables, self.config, _ = \
+            load_tts_checkpoint(tts_checkpoint)
+        self.dsp = DSP.from_config(self.config)
+        self.cleaner = Cleaner.from_config(self.config)
+        self.tokenizer = Tokenizer()
+        self.vocoder = vocoder
+        self.max_batch = int(max_batch)
+        self.max_wait_s = float(max_wait_ms) / 1000.0
+        self.text_bucket = text_bucket
+        self.mel_bucket = mel_bucket
+        self.sample_rate = self.dsp.sample_rate
+        self.batch_sizes: List[int] = []   # observability / tests
+
+        self.voc_model = self.voc_variables = None
+        self._voc_mu_law = False
+        if vocoder == 'wavernn':
+            from forwardtacotron_tpu.utils.checkpoints import (
+                load_voc_checkpoint)
+            self.voc_model, self.voc_variables, voc_config, _ = \
+                load_voc_checkpoint(voc_checkpoint)
+            self._voc_mu_law = DSP.from_config(voc_config).mu_law
+        elif vocoder == 'hifigan':
+            from forwardtacotron_tpu.models.hifigan import load_hifigan
+            self.voc_model, self.voc_variables = load_hifigan(
+                voc_checkpoint)
+        elif vocoder != 'griffinlim':
+            raise ValueError(f'unknown vocoder: {vocoder}')
+
+        self._jit_cache: Dict[Any, Any] = {}
+        self._q: 'queue.Queue[Optional[_Request]]' = queue.Queue()
+        self._closed = False
+        self._worker = threading.Thread(target=self._loop, daemon=True)
+        self._worker.start()
+
+    # ------------------------------------------------------------- API
+
+    def submit(self, text: str, alpha: float = 1.0,
+               pitch_scale: float = 1.0,
+               energy_scale: float = 1.0) -> Future:
+        """Enqueue a request; the Future resolves to int16 PCM."""
+        if self._closed:
+            raise RuntimeError('server is closed')
+        req = _Request(text, float(alpha), float(pitch_scale),
+                       float(energy_scale))
+        self._q.put(req)
+        return req.future
+
+    def synthesize(self, text: str, alpha: float = 1.0,
+                   pitch_scale: float = 1.0, energy_scale: float = 1.0,
+                   timeout: Optional[float] = None) -> np.ndarray:
+        return self.submit(text, alpha, pitch_scale,
+                           energy_scale).result(timeout)
+
+    def close(self) -> None:
+        if not self._closed:
+            self._closed = True
+            self._q.put(None)
+            self._worker.join(timeout=30)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # ----------------------------------------------------- batch loop
+
+    def _loop(self) -> None:
+        import time
+        while True:
+            req = self._q.get()
+            if req is None:
+                return
+            batch = [req]
+            deadline = time.monotonic() + self.max_wait_s
+            while len(batch) < self.max_batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    nxt = self._q.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    self._run_batch(batch)
+                    return
+                batch.append(nxt)
+            self._run_batch(batch)
+
+    def _jit(self, key, builder):
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            fn = builder()
+            self._jit_cache[key] = fn
+        return fn
+
+    def _run_batch(self, reqs: List[_Request]) -> None:
+        # validate per-request so one bad input can't poison the batch
+        valid, ids = [], []
+        for r in reqs:
+            try:
+                seq = self.tokenizer(self.cleaner(r.text))
+                if not seq:
+                    raise ValueError(
+                        f'empty token sequence for {r.text!r}')
+            except BaseException as e:
+                r.future.set_exception(e)
+                continue
+            valid.append(r)
+            ids.append(seq)
+        if not valid:
+            return
+        try:
+            wavs = self._synthesize_batch(valid, ids)
+            for r, wav in zip(valid, wavs):
+                r.future.set_result(wav)
+        except BaseException as e:
+            for r in valid:
+                if not r.future.done():
+                    r.future.set_exception(e)
+
+    def _synthesize_batch(self, reqs: List[_Request],
+                          ids: List[List[int]]) -> List[np.ndarray]:
+        import jax
+        import jax.numpy as jnp
+
+        self.batch_sizes.append(len(reqs))
+        model, variables = self.model, self.variables
+        B_real = len(ids)
+        # pow-2 batch bucketing: a handful of compiled batch shapes
+        # serves every group size
+        B = 1 << (B_real - 1).bit_length() if B_real > 1 else 1
+        x_lens = np.ones((B,), np.int32)
+        x_lens[:B_real] = [len(i) for i in ids]
+        tx = _bucket(int(x_lens.max()), self.text_bucket,
+                     self.text_bucket)
+        x = np.zeros((B, tx), np.int32)
+        for i, seq in enumerate(ids):
+            x[i, :len(seq)] = seq
+
+        series_fn = self._jit(
+            ('series', model, tx, B),
+            lambda: jax.jit(lambda v, x, xl: model.apply(
+                v, x, method='predict_series', x_len=xl)))
+        series = series_fn(variables, jnp.asarray(x),
+                           jnp.asarray(x_lens))
+
+        # per-request controls on the shared series pass (alpha
+        # divides durations, exactly as the model's own alpha arg)
+        alphas = np.ones((B,), np.float32)
+        p_scale = np.ones((B,), np.float32)
+        e_scale = np.ones((B,), np.float32)
+        alphas[:B_real] = [r.alpha for r in reqs]
+        p_scale[:B_real] = [r.pitch_scale for r in reqs]
+        e_scale[:B_real] = [r.energy_scale for r in reqs]
+        dur = np.asarray(series['dur']) / alphas[:, None]
+        pitch = np.asarray(series['pitch']) * p_scale[:, None]
+        energy = np.asarray(series['energy']) * e_scale[:, None]
+
+        rounded = np.floor(np.maximum(dur, 0.0) + 0.5)
+        totals = np.asarray(
+            [rounded[i, :x_lens[i]].sum() for i in range(B)], np.int64)
+        max_t = _bucket(int(totals.max()) + 1, self.mel_bucket,
+                        self.mel_bucket)
+
+        gen_fn = self._jit(
+            ('gen', model, tx, B, max_t),
+            lambda: jax.jit(lambda v, x, d, p, e, xl, _mt=max_t:
+                            model.apply(v, x, d, p, e, _mt,
+                                        method='generate_from_series',
+                                        x_len=xl)))
+        gen = gen_fn(variables, jnp.asarray(x), jnp.asarray(dur),
+                     jnp.asarray(pitch), jnp.asarray(energy),
+                     jnp.asarray(x_lens))
+        mel_lens = np.asarray(gen['mel_len'])
+        mels = np.asarray(gen['mel_post'])        # (B, max_t, n_mels)
+        per_item = [mels[i, :int(mel_lens[i])].T
+                    for i in range(B_real)]       # drop pad rows
+
+        return self._vocode(per_item)
+
+    def _vocode(self, mels: List[np.ndarray]) -> List[np.ndarray]:
+        if self.vocoder == 'wavernn':
+            from forwardtacotron_tpu.models.wavernn import vocode_batch
+            # pow-2 pad the lane-packed batch too, so the fused vocode
+            # program compiles for a handful of batch shapes only
+            n_real = len(mels)
+            n = 1 << (n_real - 1).bit_length() if n_real > 1 else 1
+            padded = mels + [mels[-1]] * (n - n_real)
+            wavs = vocode_batch(self.voc_model, self.voc_variables,
+                                padded, mu_law=self._voc_mu_law,
+                                pcm16=True)
+            return wavs[:n_real]
+        if self.vocoder == 'hifigan':
+            from forwardtacotron_tpu.models.hifigan import vocode_hifigan
+            return [vocode_hifigan(self.voc_model, self.voc_variables,
+                                   m, pcm16=True) for m in mels]
+        out = []
+        for m in mels:
+            wav = np.asarray(self.dsp.griffinlim(m))
+            out.append((np.clip(wav, -1.0, 1.0)
+                        * 32767.0).astype(np.int16))
+        return out
+
+
+def wav_bytes(pcm16: np.ndarray, sample_rate: int) -> bytes:
+    """int16 PCM -> a complete RIFF/WAV file in memory."""
+    import io
+    import wave
+    buf = io.BytesIO()
+    with wave.open(buf, 'wb') as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(np.ascontiguousarray(pcm16, np.int16).tobytes())
+    return buf.getvalue()
+
+
+def make_http_server(server: TTSServer, host: str = '127.0.0.1',
+                     port: int = 8000):
+    """Minimal stdlib HTTP front: POST /tts {"text", "alpha",
+    "pitch_scale"|"amp", "energy_scale"} -> audio/wav;
+    GET /healthz -> 200 ok. Concurrent connections batch through the
+    TTSServer's dynamic batcher."""
+    import json
+    from http.server import (BaseHTTPRequestHandler,
+                             ThreadingHTTPServer)
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):  # quiet
+            pass
+
+        def do_GET(self):
+            if self.path == '/healthz':
+                body = b'ok'
+                self.send_response(200)
+                self.send_header('Content-Type', 'text/plain')
+                self.send_header('Content-Length', str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                self.send_error(404)
+
+        def do_POST(self):
+            if self.path != '/tts':
+                self.send_error(404)
+                return
+            try:
+                n = int(self.headers.get('Content-Length', 0))
+                payload = json.loads(self.rfile.read(n) or b'{}')
+                text = payload['text']
+                pcm = server.synthesize(
+                    text,
+                    alpha=float(payload.get('alpha', 1.0)),
+                    pitch_scale=float(payload.get(
+                        'pitch_scale', payload.get('amp', 1.0))),
+                    energy_scale=float(payload.get('energy_scale',
+                                                   1.0)))
+                body = wav_bytes(pcm, server.sample_rate)
+                self.send_response(200)
+                self.send_header('Content-Type', 'audio/wav')
+                self.send_header('Content-Length', str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            except KeyError:
+                self.send_error(400, 'missing "text"')
+            except Exception as e:  # pragma: no cover - defensive
+                self.send_error(500, f'{type(e).__name__}: {e}')
+
+    return ThreadingHTTPServer((host, port), Handler)

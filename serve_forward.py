@@ -1,0 +1,63 @@
+"""TTS serving CLI (beyond the reference): an HTTP front over the
+dynamic-batching TTSServer (forwardtacotron_tpu/serving.py).
+
+    python serve_forward.py --checkpoint ckpt.fjax --port 8000 griffinlim
+    python serve_forward.py --checkpoint ckpt.fjax wavernn \
+        --voc_checkpoint wave.fjax
+    curl -X POST localhost:8000/tts -d '{"text": "hello", "alpha": 1.1}' \
+        -o out.wav
+
+Concurrent requests are batched through shared device programs (see
+docs/serving.md).
+"""
+from __future__ import annotations
+
+import argparse
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description='TTS HTTP server')
+    parser.add_argument('--checkpoint', type=str, required=True,
+                        help='TTS checkpoint (.fjax or reference .pt)')
+    parser.add_argument('--host', type=str, default='127.0.0.1')
+    parser.add_argument('--port', type=int, default=8000)
+    parser.add_argument('--max_batch', type=int, default=8,
+                        help='dynamic batching: max requests per device '
+                             'program')
+    parser.add_argument('--max_wait_ms', type=float, default=20.0,
+                        help='dynamic batching: max time to wait for '
+                             'more requests')
+    subparsers = parser.add_subparsers(dest='vocoder')
+    subparsers.add_parser('griffinlim')
+    wr = subparsers.add_parser('wavernn')
+    wr.add_argument('--voc_checkpoint', type=str, required=True)
+    hg = subparsers.add_parser('hifigan')
+    hg.add_argument('--voc_checkpoint', type=str, required=True)
+    args = parser.parse_args()
+    vocoder = args.vocoder or 'griffinlim'
+
+    from forwardtacotron_tpu.utils.jax_setup import enable_compilation_cache
+    enable_compilation_cache()
+    from forwardtacotron_tpu.serving import TTSServer, make_http_server
+
+    server = TTSServer(
+        args.checkpoint, vocoder=vocoder,
+        voc_checkpoint=getattr(args, 'voc_checkpoint', None),
+        max_batch=args.max_batch, max_wait_ms=args.max_wait_ms)
+    # warm the compile caches so the first request is fast
+    print('Warming up...')
+    server.synthesize('Hello world.')
+    httpd = make_http_server(server, args.host, args.port)
+    print(f'Serving TTS ({vocoder}) on http://{args.host}:{args.port} '
+          f'— POST /tts {{"text": ...}}')
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.shutdown()
+        server.close()
+
+
+if __name__ == '__main__':
+    main()

@@ -55,6 +55,16 @@ def test_train_clis_contract():
     assert '--gta' in r.stdout and '--config' in r.stdout
 
 
+def test_serve_forward_contract():
+    r = _help('serve_forward.py')
+    assert r.returncode == 0
+    for flag in ('--checkpoint', '--port', '--max_batch',
+                 '--max_wait_ms'):
+        assert flag in r.stdout
+    r = _help('serve_forward.py', '--checkpoint', 'x', 'wavernn')
+    assert '--voc_checkpoint' in r.stdout
+
+
 def test_preprocess_contract():
     r = _help('preprocess.py')
     assert r.returncode == 0

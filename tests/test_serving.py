@@ -1,0 +1,129 @@
+"""Dynamic-batching TTS server tests (CPU, real checkpoint files
+created from a tiny random-init model)."""
+import threading
+import time
+
+import numpy as np
+import pytest
+
+import jax
+
+
+TINY_MODEL_CFG = {
+    'embed_dims': 16, 'series_embed_dims': 8,
+    'durpred_conv_dims': 8, 'durpred_rnn_dims': 4, 'durpred_dropout': 0.5,
+    'pitch_conv_dims': 8, 'pitch_rnn_dims': 4, 'pitch_dropout': 0.5,
+    'pitch_strength': 1.0,
+    'energy_conv_dims': 8, 'energy_rnn_dims': 4, 'energy_dropout': 0.5,
+    'energy_strength': 1.0,
+    'rnn_dims': 8, 'prenet_dims': 8, 'prenet_k': 2,
+    'postnet_num_highways': 1, 'prenet_dropout': 0.5,
+    'postnet_dims': 8, 'postnet_k': 2, 'prenet_num_highways': 1,
+    'postnet_dropout': 0.0,
+}
+
+
+@pytest.fixture(scope='module')
+def tts_ckpt(tmp_path_factory):
+    import jax.numpy as jnp
+    from forwardtacotron_tpu.models.forward_tacotron import ForwardTacotron
+    from forwardtacotron_tpu.utils.checkpoints import save_checkpoint
+
+    config = {
+        'tts_model': 'forward_tacotron',
+        'forward_tacotron': {'model': dict(TINY_MODEL_CFG)},
+        'dsp': {'sample_rate': 22050, 'n_fft': 256, 'num_mels': 80,
+                'hop_length': 64, 'win_length': 256, 'fmin': 0,
+                'fmax': 8000, 'peak_norm': False,
+                'trim_start_end_silence': False,
+                'trim_silence_top_db': 60, 'pitch_max_freq': 600,
+                'trim_long_silences': False, 'vad_window_length': 30,
+                'vad_moving_average_width': 8,
+                'vad_max_silence_length': 12, 'vad_sample_rate': 16000,
+                'voc_mode': 'RAW', 'bits': 9, 'mu_law': True},
+        'preprocessing': {'language': 'en-us', 'cleaner_name':
+                          'english_cleaners', 'use_phonemes': True},
+    }
+    model = ForwardTacotron.from_config(config)
+    x = jnp.ones((1, 16), jnp.int32)
+    variables = model.init({'params': jax.random.PRNGKey(0)}, x, 64,
+                           method='generate',
+                           x_len=jnp.asarray([12]))
+    p = tmp_path_factory.mktemp('serving') / 'tts.fjax'
+    save_checkpoint(variables, config, p, step=1000)
+    return str(p)
+
+
+@pytest.fixture(scope='module')
+def server(tts_ckpt):
+    from forwardtacotron_tpu.serving import TTSServer
+    srv = TTSServer(tts_ckpt, vocoder='griffinlim', max_batch=4,
+                    max_wait_ms=150.0, mel_bucket=128)
+    yield srv
+    srv.close()
+
+
+def test_single_request(server):
+    pcm = server.synthesize('Hello world.', timeout=300)
+    assert pcm.dtype == np.int16
+    assert pcm.ndim == 1 and len(pcm) > 0
+
+
+def test_concurrent_requests_batch_together(server):
+    server.batch_sizes.clear()
+    futs = [server.submit(t, alpha=a) for t, a in
+            [('The birch canoe slid.', 1.0),
+             ('Glue the sheet to the background.', 1.2),
+             ('It is easy to tell.', 0.9)]]
+    outs = [f.result(timeout=300) for f in futs]
+    assert all(o.dtype == np.int16 and len(o) > 0 for o in outs)
+    # all three arrived before the 150 ms window closed -> one batch
+    assert max(server.batch_sizes) >= 2, server.batch_sizes
+    # alpha changes the duration: slower (1.2) must be longer than
+    # faster (0.9) for comparable texts is not guaranteed across
+    # different texts, so compare the same text at two alphas below
+
+
+def test_alpha_scales_length(server):
+    a = server.synthesize('A quick check of speed control.', alpha=1.0,
+                          timeout=300)
+    b = server.synthesize('A quick check of speed control.', alpha=1.5,
+                          timeout=300)
+    # alpha divides durations (reference semantics): >1 = faster
+    assert len(b) < len(a)
+
+
+def test_http_roundtrip(server):
+    import json
+    import urllib.request
+    from forwardtacotron_tpu.serving import make_http_server
+    httpd = make_http_server(server, '127.0.0.1', 0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+                f'http://127.0.0.1:{port}/healthz', timeout=30) as r:
+            assert r.read() == b'ok'
+        req = urllib.request.Request(
+            f'http://127.0.0.1:{port}/tts',
+            data=json.dumps({'text': 'Served over http.'}).encode(),
+            headers={'Content-Type': 'application/json'})
+        with urllib.request.urlopen(req, timeout=300) as r:
+            body = r.read()
+            assert r.headers['Content-Type'] == 'audio/wav'
+        import io
+        import wave
+        with wave.open(io.BytesIO(body)) as w:
+            assert w.getframerate() == server.sample_rate
+            assert w.getnframes() > 0
+    finally:
+        httpd.shutdown()
+
+
+def test_error_propagates_not_poisons(server):
+    with pytest.raises(Exception):
+        server.submit('').result(timeout=300)   # empty -> tokenizer []
+    # server still serves afterwards
+    pcm = server.synthesize('Still alive.', timeout=300)
+    assert len(pcm) > 0
