@@ -90,17 +90,16 @@ def batch_shardings(mesh: Mesh, batch) -> Any:
     return jax.tree.map(spec, batch)
 
 
-def state_shardings(mesh: Mesh, state) -> Any:
-    """Shardings for a TrainState: params TP rules, opt_state mirrors
-    params where shapes match, everything else replicated."""
-    from forwardtacotron_tpu.train.common import TrainState
-    p_sh = param_shardings(mesh, state.params)
-
+def opt_shardings(mesh: Mesh, opt_state, p_sh) -> Any:
+    """Optimizer-state shardings mirroring a params sharding tree:
+    Adam/AdamW mu/nu live under .../mu/<param path>, so any suffix of
+    an opt leaf's path that matches a param path inherits its sharding;
+    everything else (counts, hyperparams) is replicated."""
     flat_params = {tuple(str(getattr(p, 'key', p)) for p in path): sh
-                   for path, sh in jax.tree_util.tree_flatten_with_path(p_sh)[0]}
+                   for path, sh in
+                   jax.tree_util.tree_flatten_with_path(p_sh)[0]}
 
     def opt_spec(path, leaf):
-        # Adam mu/nu mirror the param tree under .../mu/<param path>
         names = tuple(str(getattr(p, 'key', getattr(p, 'name', p)))
                       for p in path)
         for start in range(len(names)):
@@ -108,9 +107,31 @@ def state_shardings(mesh: Mesh, state) -> Any:
                 return flat_params[names[start:]]
         return NamedSharding(mesh, P())
 
-    opt_sh = jax.tree_util.tree_map_with_path(opt_spec, state.opt_state)
+    return jax.tree_util.tree_map_with_path(opt_spec, opt_state)
+
+
+def state_shardings(mesh: Mesh, state) -> Any:
+    """Shardings for a TrainState: params TP rules, opt_state mirrors
+    params where shapes match, everything else replicated."""
+    from forwardtacotron_tpu.train.common import TrainState
+    p_sh = param_shardings(mesh, state.params)
     return TrainState(
         params=p_sh,
         batch_stats=replicated_shardings(mesh, state.batch_stats),
-        opt_state=opt_sh,
+        opt_state=opt_shardings(mesh, state.opt_state, p_sh),
+        step=NamedSharding(mesh, P()))
+
+
+def gan_state_shardings(mesh: Mesh, state) -> Any:
+    """Shardings for a GANTrainState (train/hifigan_trainer.py): both
+    param trees under the TP rules, both optimizer states mirroring
+    their params, step replicated."""
+    from forwardtacotron_tpu.train.hifigan_trainer import GANTrainState
+    g_sh = param_shardings(mesh, state.gen_params)
+    d_sh = param_shardings(mesh, state.disc_params)
+    return GANTrainState(
+        gen_params=g_sh,
+        disc_params=d_sh,
+        gen_opt=opt_shardings(mesh, state.gen_opt, g_sh),
+        disc_opt=opt_shardings(mesh, state.disc_opt, d_sh),
         step=NamedSharding(mesh, P()))

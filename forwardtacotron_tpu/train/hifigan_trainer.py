@@ -141,12 +141,18 @@ def _to_jnp(batch: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
 class HiFiGANTrainer:
 
     def __init__(self, paths: Paths, dsp, config: Dict[str, Any],
-                 writer=None) -> None:
+                 writer=None, mesh=None) -> None:
         self.paths = paths
         self.dsp = dsp
         self.config = config
         self.train_cfg = config['hifigan']['training']
         self._writer = writer
+        # multi-device: batches shard over 'data', wide conv kernels
+        # over 'model' (GSPMD, parallel/mesh.py). None = single device.
+        self.mesh = mesh
+        if self.mesh is None and len(jax.devices()) > 1:
+            from forwardtacotron_tpu.parallel.mesh import mesh_from_config
+            self.mesh = mesh_from_config(config)
         from forwardtacotron_tpu.utils.profiling import StepTraceController
         self._tracer = StepTraceController()
         self.top_k_models: List[Tuple] = []
@@ -206,10 +212,22 @@ class HiFiGANTrainer:
                     gen_opt=gen_optimizer.init(gen_vars['params']),
                     disc_opt=disc_optimizer.init(disc_vars['params']),
                     step=jnp.asarray(0, jnp.int32))
+            if self.mesh is not None:
+                from forwardtacotron_tpu.parallel import mesh as pmesh
+                state = jax.device_put(
+                    state, pmesh.gan_state_shardings(self.mesh, state))
             state = self.train_session(gen, disc, gen_optimizer,
                                        disc_optimizer, state, session,
                                        train_gta)
         return state
+
+    def _shard_batch(self, batch: Dict[str, jnp.ndarray]
+                     ) -> Dict[str, jnp.ndarray]:
+        if self.mesh is None:
+            return batch
+        from forwardtacotron_tpu.parallel.distributed import (
+            host_local_batch_to_global)
+        return host_local_batch_to_global(self.mesh, batch)
 
     def train_session(self, gen, disc, gen_optimizer, disc_optimizer,
                       state, session, train_gta: bool) -> GANTrainState:
@@ -236,7 +254,8 @@ class HiFiGANTrainer:
         for e in range(1, epochs + 1):
             for i, batch in enumerate(Prefetcher(session.train_set), 1):
                 start = time.time()
-                state, metrics = train_step(state, _to_jnp(batch))
+                state, metrics = train_step(
+                    state, self._shard_batch(_to_jnp(batch)))
                 step = int(state.step)
                 self._tracer.tick(step)
                 gen_loss = float(metrics['gen_loss'])

@@ -126,3 +126,56 @@ def test_maybe_initialize_noop_without_config(monkeypatch):
     monkeypatch.delenv('COORDINATOR_ADDRESS', raising=False)
     assert maybe_initialize({}) is False
     assert maybe_initialize(None) is False
+
+
+def test_sharded_gan_train_step():
+    """The adversarial HiFi-GAN step executes under a ('data','model')
+    mesh with both param trees sharded and the batch split over
+    'data', matching the single-device result."""
+    from forwardtacotron_tpu.models.gan_discriminators import (
+        HiFiGANDiscriminators)
+    from forwardtacotron_tpu.models.hifigan import HiFiGANGenerator
+    from forwardtacotron_tpu.parallel import mesh as pmesh
+    from forwardtacotron_tpu.train.hifigan_trainer import (
+        GANTrainState, build_gan_train_step, make_gan_optimizer)
+    from forwardtacotron_tpu.dsp.stft import (mel_filterbank,
+                                              wav_to_mel_fn)
+
+    gen = HiFiGANGenerator(
+        resblock='2', upsample_rates=(4, 2), upsample_kernel_sizes=(8, 4),
+        upsample_initial_channel=16, resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 3),))
+    disc = HiFiGANDiscriminators(periods=(2,), n_scales=1)
+    hop = gen.hop_length
+    B, T = 8, 8
+    rng = np.random.RandomState(0)
+    mel = jnp.asarray(rng.randn(B, T, 8).astype(np.float32))
+    audio = jnp.asarray((rng.randn(B, T * hop) * 0.2).astype(np.float32))
+    basis = mel_filterbank(22050, 64, 8, 0, 8000)
+    w2m = wav_to_mel_fn(basis, 64, 8, 64)
+
+    go, do = make_gan_optimizer(), make_gan_optimizer()
+    gv = gen.init(jax.random.PRNGKey(0), mel[:1])
+    dv = disc.init(jax.random.PRNGKey(1), audio[:1], audio[:1])
+
+    def fresh_state():
+        return GANTrainState(
+            gen_params=jax.tree.map(jnp.array, gv['params']),
+            disc_params=jax.tree.map(jnp.array, dv['params']),
+            gen_opt=go.init(gv['params']),
+            disc_opt=do.init(dv['params']),
+            step=jnp.asarray(0, jnp.int32))
+
+    step_fn = build_gan_train_step(gen, disc, go, do, w2m)
+    _, want = step_fn(fresh_state(), {'mel': mel, 'audio': audio})
+
+    mesh = pmesh.make_mesh(n_data=4, n_model=2)
+    state = fresh_state()
+    state = jax.device_put(state, pmesh.gan_state_shardings(mesh, state))
+    batch = {'mel': mel, 'audio': audio}
+    batch = jax.device_put(batch, pmesh.batch_shardings(mesh, batch))
+    new_state, got = step_fn(state, batch)
+    assert int(new_state.step) == 1
+    for k in ('disc_loss', 'gen_loss', 'gen_mel'):
+        np.testing.assert_allclose(float(got[k]), float(want[k]),
+                                   rtol=2e-4), k
