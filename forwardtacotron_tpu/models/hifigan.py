@@ -299,7 +299,12 @@ def load_hifigan(path, config: Dict[str, Any] = None
             restore_checkpoint)
         payload = restore_checkpoint(path)
         model_cfg = payload['config'].get('hifigan', {}).get('model', {})
-        model = HiFiGANGenerator.from_config(model_cfg)
+        if str(model_cfg.get('generator_type', 'hifigan')) == 'melgan':
+            from forwardtacotron_tpu.train.hifigan_trainer import (
+                make_generator)
+            model = make_generator(payload['config'])
+        else:
+            model = HiFiGANGenerator.from_config(model_cfg)
         params = payload['model']['params']
         if 'generator' in params:       # full GAN train state
             params = params['generator']

@@ -73,6 +73,35 @@ def make_gan_optimizer(lr: float = 2e-4) -> optax.GradientTransformation:
         learning_rate=lr, b1=0.8, b2=0.99, weight_decay=0.01)
 
 
+def make_generator(config: Dict[str, Any]):
+    """Build the generator to train adversarially:
+    `hifigan.model.generator_type: hifigan (default) | melgan`.
+    Both expose mel (B, T, n_mels) -> wav (B, T*hop) and a
+    `hop_length`, so the trainer is oblivious to which one runs."""
+    model_cfg = config['hifigan']['model']
+    kind = str(model_cfg.get('generator_type', 'hifigan')).lower()
+    if kind == 'melgan':
+        from forwardtacotron_tpu.models.melgan import MelGANGenerator
+        return MelGANGenerator(
+            n_mels=config['dsp']['num_mels'],
+            base_channels=model_cfg.get('upsample_initial_channel', 512),
+            upsample_rates=tuple(model_cfg.get('upsample_rates',
+                                               (8, 8, 2, 2))))
+    if kind != 'hifigan':
+        raise ValueError(f'unknown generator_type: {kind}')
+    return HiFiGANGenerator.from_config(model_cfg)
+
+
+def vocode_generator(gen, variables: Dict, mel: np.ndarray,
+                     pcm16: bool = False) -> np.ndarray:
+    """Whole-utterance vocoding dispatch for either generator type."""
+    from forwardtacotron_tpu.models.melgan import (MelGANGenerator,
+                                                   vocode_melgan)
+    if isinstance(gen, MelGANGenerator):
+        return vocode_melgan(gen, variables, mel, pcm16=pcm16)
+    return vocode_hifigan(gen, variables, mel, pcm16=pcm16)
+
+
 def build_gan_train_step(gen: HiFiGANGenerator,
                          disc: HiFiGANDiscriminators,
                          gen_optimizer, disc_optimizer,
@@ -328,7 +357,7 @@ class HiFiGANTrainer:
         mel_losses = []
         for idx, sample in enumerate(session.val_set_samples, 1):
             mel = sample['mel']                  # (n_mels, T)
-            wav = vocode_hifigan(gen, state.generator_variables, mel)
+            wav = vocode_generator(gen, state.generator_variables, mel)
             gen_mel = self.dsp.wav_to_mel_bucketed(
                 np.asarray(wav, dtype=np.float32))
             T = min(gen_mel.shape[-1], mel.shape[-1])

@@ -193,6 +193,43 @@ def test_trainer_e2e_tiny(tmp_path):
     assert (paths.hifigan_checkpoints / 'latest_model.fjax').is_file()
 
 
+def test_melgan_generator_trains_and_loads(tmp_path):
+    """generator_type: melgan runs through the same adversarial step
+    and its checkpoints load back through load_hifigan."""
+    from forwardtacotron_tpu.models.melgan import MelGANGenerator
+    from forwardtacotron_tpu.models.hifigan import load_hifigan
+    from forwardtacotron_tpu.train.hifigan_trainer import (
+        make_generator, vocode_generator)
+    from forwardtacotron_tpu.utils.checkpoints import save_checkpoint
+
+    config = {'dsp': {'num_mels': 8},
+              'hifigan': {'model': {'generator_type': 'melgan',
+                                    'upsample_initial_channel': 16,
+                                    'upsample_rates': [4, 2]}}}
+    gen = make_generator(config)
+    assert isinstance(gen, MelGANGenerator)
+    assert gen.hop_length == 8
+    disc = _tiny_disc()
+    hop = gen.hop_length
+    rng = np.random.RandomState(0)
+    mel = jnp.asarray(rng.randn(2, 16, 8).astype(np.float32))
+    audio = jnp.asarray((rng.randn(2, 16 * hop) * 0.3)
+                        .astype(np.float32))
+    state, go, do = _state(gen, disc, jax.random.PRNGKey(2), mel, audio)
+    step = build_gan_train_step(gen, disc, go, do, _wav_to_mel())
+    state, metrics = step(state, {'mel': mel, 'audio': audio})
+    assert np.isfinite(float(metrics['gen_loss']))
+
+    p = tmp_path / 'latest_model.fjax'
+    save_checkpoint(state.variables, config, p, step=1)
+    m, variables = load_hifigan(p)
+    assert isinstance(m, MelGANGenerator)
+    mel_np = rng.randn(8, 11).astype(np.float32)
+    wav = vocode_generator(m, jax.tree.map(jnp.asarray, variables),
+                           mel_np)
+    assert wav.shape == (11 * hop,)
+
+
 class _NullWriter:
     def add_scalar(self, *a, **k):
         pass

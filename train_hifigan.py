@@ -7,8 +7,6 @@ from __future__ import annotations
 
 import argparse
 
-import numpy as np
-
 
 def main() -> None:
     parser = argparse.ArgumentParser(
@@ -25,9 +23,9 @@ def main() -> None:
 
     import jax.numpy as jnp
     from forwardtacotron_tpu.dsp.audio import DSP
-    from forwardtacotron_tpu.models.hifigan import HiFiGANGenerator
     from forwardtacotron_tpu.train.hifigan_trainer import (
-        GANTrainState, HiFiGANTrainer, make_gan_optimizer)
+        GANTrainState, HiFiGANTrainer, make_gan_optimizer,
+        make_generator)
     from forwardtacotron_tpu.utils.checkpoints import (restore_checkpoint,
                                                        restore_opt_state)
     from forwardtacotron_tpu.utils.files import read_config
@@ -36,11 +34,11 @@ def main() -> None:
     config = read_config(args.config)
     paths = Paths(config['data_path'], config['voc_model_id'],
                   config['tts_model_id'])
-    print('\nInitialising HiFi-GAN...\n')
-    gen = HiFiGANGenerator.from_config(config['hifigan']['model'])
+    print('\nInitialising GAN vocoder...\n')
+    gen = make_generator(config)
     dsp = DSP.from_config(config)
-    assert int(np.prod(gen.upsample_rates)) == dsp.hop_length, \
-        'hifigan upsample_rates must factorise dsp.hop_length'
+    assert gen.hop_length == dsp.hop_length, \
+        'generator upsample_rates must factorise dsp.hop_length'
 
     state = None
     latest = paths.hifigan_checkpoints / 'latest_model.fjax'
