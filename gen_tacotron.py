@@ -24,8 +24,10 @@ def main() -> None:
                            help='fold length (default: auto per sampler)')
     wr_parser.add_argument('--voc_checkpoint', type=str)
     subparsers.add_parser('griffinlim')
-    subparsers.add_parser('melgan')
-    subparsers.add_parser('hifigan')
+    mg_parser = subparsers.add_parser('melgan')
+    mg_parser.add_argument('--voc_checkpoint', type=str, default=None)
+    hg_parser = subparsers.add_parser('hifigan')
+    hg_parser.add_argument('--voc_checkpoint', type=str, default=None)
     args = parser.parse_args()
 
     assert args.vocoder in {'griffinlim', 'wavernn', 'melgan', 'hifigan'}
@@ -64,6 +66,12 @@ def main() -> None:
         voc_model, voc_variables, voc_config, _ = load_voc_checkpoint(
             args.voc_checkpoint)
         voc_dsp = DSP.from_config(voc_config)
+    elif args.vocoder == 'hifigan' and args.voc_checkpoint:
+        from forwardtacotron_tpu.models.hifigan import load_hifigan
+        voc_model, voc_variables = load_hifigan(args.voc_checkpoint)
+    elif args.vocoder == 'melgan' and args.voc_checkpoint:
+        from forwardtacotron_tpu.models.melgan import load_melgan
+        voc_model, voc_variables = load_melgan(args.voc_checkpoint)
 
     out_path = Path('model_outputs')
     out_path.mkdir(parents=True, exist_ok=True)
@@ -93,12 +101,24 @@ def main() -> None:
 
         wav_name = f'{i}_tacotron_{tts_k}k_{args.vocoder}'
         if args.vocoder == 'melgan':
-            import torch
-            torch.save(torch.tensor(mel_post[None]),
-                       out_path / f'{wav_name}.mel')
+            if voc_model is not None:
+                from forwardtacotron_tpu.models.melgan import vocode_melgan
+                wav = vocode_melgan(voc_model, voc_variables, mel_post,
+                                    pcm16=True)
+                dsp.save_wav(wav, out_path / f'{wav_name}.wav')
+            else:
+                import torch
+                torch.save(torch.tensor(mel_post[None]),
+                           out_path / f'{wav_name}.mel')
         elif args.vocoder == 'hifigan':
-            np.save(out_path / f'{wav_name}.npy', mel_post[None],
-                    allow_pickle=False)
+            if voc_model is not None:
+                from forwardtacotron_tpu.models.hifigan import vocode_hifigan
+                wav = vocode_hifigan(voc_model, voc_variables, mel_post,
+                                     pcm16=True)
+                dsp.save_wav(wav, out_path / f'{wav_name}.wav')
+            else:
+                np.save(out_path / f'{wav_name}.npy', mel_post[None],
+                        allow_pickle=False)
         elif args.vocoder == 'wavernn':
             from forwardtacotron_tpu.models.wavernn import generate_wav
             wav = generate_wav(voc_model, voc_variables, mel_post,
