@@ -11,6 +11,12 @@ this repo's model code:
 
     from forwardtacotron_tpu.utils.export import ExportedTTS
     mel, dur = ExportedTTS('forward.ftexp').generate(token_ids)
+
+With --voc_checkpoint (HiFi-GAN/MelGAN generator), the vocoder is
+fused into the same StableHLO program, making the artifact a full
+text->wav synthesizer:
+
+    pcm16 = ExportedTTS('forward.ftexp').synthesize(token_ids)
 """
 from __future__ import annotations
 
@@ -29,6 +35,11 @@ def main() -> None:
     parser.add_argument('--platforms', type=str, default=None,
                         help='comma list of lowering platforms '
                              '(e.g. cpu,tpu); default: current backend')
+    parser.add_argument('--voc_checkpoint', type=str, default=None,
+                        help='HiFi-GAN/MelGAN generator checkpoint: the '
+                             'vocoder is FUSED into the artifact, making '
+                             'it a full text->wav program (outputs int16 '
+                             'PCM; use ExportedTTS.synthesize)')
     args = parser.parse_args()
 
     from forwardtacotron_tpu.utils.checkpoints import load_tts_checkpoint
@@ -41,9 +52,14 @@ def main() -> None:
     platforms = args.platforms.split(',') if args.platforms else None
 
     model, variables, config, step = load_tts_checkpoint(args.checkpoint)
+    vocoder = None
+    if args.voc_checkpoint:
+        from forwardtacotron_tpu.models.hifigan import load_hifigan
+        vocoder = load_hifigan(args.voc_checkpoint)
     save_exported_tts(model, variables, args.output, buckets=buckets,
-                      platforms=platforms)
-    print(f'Exported step-{step} {type(model).__name__} '
+                      platforms=platforms, vocoder=vocoder)
+    voc_note = ' + fused vocoder' if vocoder else ''
+    print(f'Exported step-{step} {type(model).__name__}{voc_note} '
           f'buckets={buckets} -> {args.output}')
 
 

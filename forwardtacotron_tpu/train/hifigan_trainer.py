@@ -105,17 +105,42 @@ def vocode_generator(gen, variables: Dict, mel: np.ndarray,
 def build_gan_train_step(gen: HiFiGANGenerator,
                          disc: HiFiGANDiscriminators,
                          gen_optimizer, disc_optimizer,
-                         wav_to_mel: Callable) -> Callable:
+                         wav_to_mel: Callable,
+                         train_cfg: Dict[str, Any] = None) -> Callable:
+    # training.precision 'bf16': forward/backward compute in bfloat16,
+    # f32 master params/AdamW state/losses (same scheme as the other
+    # trainers, train/common.py:half_dtype)
+    half = tc.half_dtype(train_cfg or {})
+
     def train_step(state: GANTrainState, batch: Dict[str, jnp.ndarray]
                    ) -> Tuple[GANTrainState, Dict]:
         mel, y = batch['mel'], batch['audio']
+        if half:
+            mel = mel.astype(half)
+
+        def _gen_wav(gp):
+            p = tc.cast_half(gp, half) if half else gp
+            y_hat = gen.apply({'params': p}, mel)
+            return y_hat.astype(jnp.float32) if half else y_hat
+
+        def _disc(dp, y_real, y_gen):
+            p = tc.cast_half(dp, half) if half else dp
+            if half:
+                y_real = y_real.astype(half)
+                y_gen = y_gen.astype(half)
+            lr_, lg_, fr, fg = disc.apply({'params': p}, y_real, y_gen)
+            if half:
+                to32 = lambda t: jax.tree.map(
+                    lambda x: x.astype(jnp.float32), t)
+                lr_, lg_, fr, fg = (to32(lr_), to32(lg_), to32(fr),
+                                    to32(fg))
+            return lr_, lg_, fr, fg
 
         # 1) discriminator update on a stop-gradiented generation
-        y_hat = gen.apply({'params': state.gen_params}, mel)
-        y_hat_sg = jax.lax.stop_gradient(y_hat)
+        y_hat_sg = jax.lax.stop_gradient(_gen_wav(state.gen_params))
 
         def d_loss_fn(dp):
-            lr_, lg_, _, _ = disc.apply({'params': dp}, y, y_hat_sg)
+            lr_, lg_, _, _ = _disc(dp, y, y_hat_sg)
             return discriminator_loss(lr_, lg_)
 
         d_loss, d_grads = jax.value_and_grad(d_loss_fn)(
@@ -128,9 +153,8 @@ def build_gan_train_step(gen: HiFiGANGenerator,
         # 2) generator update against the UPDATED discriminator
         #    (matches the official step ordering)
         def g_loss_fn(gp):
-            y_hat2 = gen.apply({'params': gp}, mel)
-            _, lg_, fr, fg = disc.apply({'params': new_disc_params},
-                                        y, y_hat2)
+            y_hat2 = _gen_wav(gp)
+            _, lg_, fr, fg = _disc(new_disc_params, y, y_hat2)
             adv = generator_adversarial_loss(lg_)
             fm = feature_matching_loss(fr, fg)
             mel_l = mel_l1_loss(wav_to_mel, y, y_hat2)
@@ -276,7 +300,8 @@ class HiFiGANTrainer:
             disc_opt=tc.set_learning_rate(state.disc_opt, session.lr))
         train_step = build_gan_train_step(gen, disc, gen_optimizer,
                                           disc_optimizer,
-                                          self.wav_to_mel)
+                                          self.wav_to_mel,
+                                          train_cfg=self.train_cfg)
         eval_step = build_gan_eval_step(gen, self.wav_to_mel)
 
         loss_avg, duration_avg = tc.Averager(), tc.Averager()

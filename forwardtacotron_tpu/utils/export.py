@@ -25,7 +25,9 @@ MAGIC = b'FTTX1\n'
 
 def export_tts_generate(model, variables: Dict[str, Any],
                         tx: int, max_t: int,
-                        platforms: Optional[Sequence[str]] = None) -> bytes:
+                        platforms: Optional[Sequence[str]] = None,
+                        vocoder: Optional[Tuple[Any, Dict]] = None
+                        ) -> bytes:
     """Export `model.generate` (weights baked in) for text bucket `tx`
     and mel bucket `max_t`. Returns serialized StableHLO bytes.
 
@@ -34,6 +36,12 @@ def export_tts_generate(model, variables: Dict[str, Any],
          alpha (), pitch_scale (), energy_scale () float32)
         -> {'mel_post': (1, max_t, n_mels), 'mel_len': (1,),
             'dur': (1, tx)}
+
+    With `vocoder=(gan_model, gan_variables)` (a HiFi-GAN / MelGAN
+    generator), the artifact is a FULL text->speech program: the GAN
+    vocoder runs fused after the mel decoder inside the same StableHLO
+    module, adding 'wav' (1, max_t*hop) int16 PCM (valid up to
+    mel_len*hop) to the outputs.
     """
     import jax
     import jax.numpy as jnp
@@ -50,8 +58,14 @@ def export_tts_generate(model, variables: Dict[str, Any],
                           pitch_scale=pitch_scale,
                           energy_scale=energy_scale, x_len=x_len,
                           method='generate', **extra)
-        return {'mel_post': out['mel_post'], 'mel_len': out['mel_len'],
-                'dur': out['dur']}
+        result = {'mel_post': out['mel_post'], 'mel_len': out['mel_len'],
+                  'dur': out['dur']}
+        if vocoder is not None:
+            voc_model, voc_variables = vocoder
+            wav = voc_model.apply(voc_variables, out['mel_post'])
+            result['wav'] = (jnp.clip(wav, -1.0, 1.0)
+                             * 32767.0).astype(jnp.int16)
+        return result
 
     args = (jax.ShapeDtypeStruct((1, tx), jnp.int32),
             jax.ShapeDtypeStruct((1,), jnp.int32),
@@ -68,17 +82,20 @@ def export_tts_generate(model, variables: Dict[str, Any],
 def save_exported_tts(model, variables: Dict[str, Any],
                       path: Union[str, Path],
                       buckets: Sequence[Tuple[int, int]] = ((64, 512),),
-                      platforms: Optional[Sequence[str]] = None) -> None:
+                      platforms: Optional[Sequence[str]] = None,
+                      vocoder: Optional[Tuple[Any, Dict]] = None) -> None:
     """Write a multi-bucket artifact: [MAGIC][n][(tx, max_t, len, blob)*].
     Each bucket is an independent StableHLO module; the loader picks the
-    smallest bucket that fits the input."""
+    smallest bucket that fits the input. With `vocoder`, every bucket is
+    a full text->wav program (see export_tts_generate)."""
     path = Path(path)
     with open(path, 'wb') as f:
         f.write(MAGIC)
         f.write(np.int32(len(buckets)).tobytes())
         for tx, max_t in buckets:
             blob = export_tts_generate(model, variables, tx, max_t,
-                                       platforms=platforms)
+                                       platforms=platforms,
+                                       vocoder=vocoder)
             f.write(np.int32(tx).tobytes())
             f.write(np.int32(max_t).tobytes())
             f.write(np.int64(len(blob)).tobytes())
@@ -126,3 +143,32 @@ class ExportedTTS:
         mel_len = int(np.asarray(out['mel_len'])[0])
         mel = np.asarray(out['mel_post'])[0, :mel_len].T
         return mel, np.asarray(out['dur'])[0, :x_len]
+
+    def synthesize(self, text_ids: Sequence[int], alpha: float = 1.0,
+                   pitch_scale: float = 1.0, energy_scale: float = 1.0
+                   ) -> np.ndarray:
+        """Full text->wav for artifacts exported with a vocoder:
+        -> int16 PCM trimmed to the generated length. Raises if the
+        artifact has no fused vocoder."""
+        import jax.numpy as jnp
+        x_len = len(text_ids)
+        fitting = sorted(tx for tx, _ in self.buckets if tx >= x_len)
+        if not fitting:
+            raise ValueError(f'input length {x_len} exceeds all exported '
+                             f'buckets {sorted(self.buckets)}')
+        tx = fitting[0]
+        max_t = max(mt for t, mt in self.buckets if t == tx)
+        exported = self.buckets[(tx, max_t)]
+        x = np.zeros((1, tx), np.int32)
+        x[0, :x_len] = text_ids
+        out = exported.call(jnp.asarray(x),
+                            jnp.asarray([x_len], np.int32),
+                            jnp.float32(alpha), jnp.float32(pitch_scale),
+                            jnp.float32(energy_scale))
+        if 'wav' not in out:
+            raise ValueError('artifact was exported without a vocoder; '
+                             'use .generate() for mels')
+        mel_len = int(np.asarray(out['mel_len'])[0])
+        wav = np.asarray(out['wav'])[0]
+        hop = wav.shape[0] // max_t
+        return wav[:mel_len * hop]

@@ -116,3 +116,49 @@ def test_export_bucket_overflow_raises(tmp_path):
     exported = ExportedTTS(path)
     with pytest.raises(ValueError, match='exceeds'):
         exported.generate(list(range(1, 12)))
+
+
+def test_export_with_fused_vocoder(tmp_path):
+    """--voc_checkpoint export: one StableHLO program goes text->wav;
+    the PCM matches vocoding the exported mel with the live
+    generator."""
+    from forwardtacotron_tpu.models.hifigan import HiFiGANGenerator
+    from forwardtacotron_tpu.utils.export import (ExportedTTS,
+                                                  save_exported_tts)
+    model, variables = _tiny_model()
+    voc = HiFiGANGenerator(
+        resblock='2', upsample_rates=(4, 2), upsample_kernel_sizes=(8, 4),
+        upsample_initial_channel=16, resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 3),))
+    voc_vars = voc.init(jax.random.PRNGKey(1), jnp.zeros((1, 8, 80)))
+
+    path = tmp_path / 'tts_wav.ftexp'
+    save_exported_tts(model, variables, path, buckets=[(16, 128)],
+                      vocoder=(voc, voc_vars))
+    exported = ExportedTTS(path)
+    ids = [5, 9, 12, 3, 7]
+    pcm = exported.synthesize(ids)
+    assert pcm.dtype == np.int16
+
+    mel, _ = exported.generate(ids)          # (n_mels, mel_len)
+    hop = voc.hop_length
+    assert pcm.shape == (mel.shape[1] * hop,)
+    # full-bucket vocode then trim == the artifact's fused path
+    x = np.zeros((1, 16), np.int32)
+    x[0, :len(ids)] = ids
+    live = model.apply(variables, jnp.asarray(x), 128,
+                       x_len=jnp.asarray([len(ids)]), fast=False,
+                       method='generate')
+    want = voc.apply(voc_vars, live['mel_post'])[0]
+    want = (np.clip(np.asarray(want), -1, 1) * 32767).astype(np.int16)
+    np.testing.assert_array_equal(pcm, want[:mel.shape[1] * hop])
+
+
+def test_export_without_vocoder_rejects_synthesize(tmp_path):
+    from forwardtacotron_tpu.utils.export import (ExportedTTS,
+                                                  save_exported_tts)
+    model, variables = _tiny_model()
+    path = tmp_path / 'tts_nowav.ftexp'
+    save_exported_tts(model, variables, path, buckets=[(16, 128)])
+    with pytest.raises(ValueError, match='without a vocoder'):
+        ExportedTTS(path).synthesize([1, 2, 3])

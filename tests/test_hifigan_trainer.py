@@ -83,6 +83,28 @@ def test_train_step_runs_and_learns():
         'mel reconstruction loss did not decrease'
 
 
+def test_train_step_bf16():
+    """precision: bf16 — compute in bfloat16, f32 master params;
+    losses stay finite and params actually update."""
+    gen = HiFiGANGenerator.from_config(TINY_GEN)
+    disc = _tiny_disc()
+    hop = gen.hop_length
+    rng = np.random.RandomState(1)
+    mel = jnp.asarray(rng.randn(2, 12, 8).astype(np.float32))
+    audio = jnp.asarray((rng.randn(2, 12 * hop) * 0.3)
+                        .astype(np.float32))
+    state, go, do = _state(gen, disc, jax.random.PRNGKey(3), mel, audio)
+    p0 = jax.tree.leaves(state.gen_params)[0].copy()
+    step = build_gan_train_step(gen, disc, go, do, _wav_to_mel(),
+                                train_cfg={'precision': 'bf16'})
+    state, metrics = step(state, {'mel': mel, 'audio': audio})
+    for k in ('disc_loss', 'gen_loss', 'gen_mel'):
+        assert np.isfinite(float(metrics[k]))
+    p1 = jax.tree.leaves(state.gen_params)[0]
+    assert p1.dtype == jnp.float32          # master params stay f32
+    assert not np.allclose(np.asarray(p0), np.asarray(p1))
+
+
 def test_collator_frame_alignment():
     from forwardtacotron_tpu.data.dataset import GANVocCollator
     hop, seg = 8, 64
