@@ -406,6 +406,40 @@ _LEXICON = {
     'technique': 'tɛkniːk', 'rhythm': 'ɹɪðəm', 'rhyme': 'ɹaɪm',
     'aware': 'əwɛɹ', 'beware': 'bɪwɛɹ', 'awake': 'əweɪk',
     'away': 'əweɪ', 'await': 'əweɪt', 'award': 'əwɔːɹd',
+    # number words (heavily exercised by the number verbalizer)
+    'eleven': 'ɪlɛvən', 'twelve': 'twɛlv', 'thirteen': 'θɜːtiːn',
+    'fourteen': 'fɔːɹtiːn', 'fifteen': 'fɪftiːn',
+    'sixteen': 'sɪkstiːn', 'seventeen': 'sɛvəntiːn',
+    'eighteen': 'eɪtiːn', 'nineteen': 'naɪntiːn',
+    'twenty': 'twɛnti', 'thirty': 'θɜːɾi', 'forty': 'fɔːɹɾi',
+    'fifty': 'fɪfti', 'sixty': 'sɪksti', 'seventy': 'sɛvənti',
+    'eighty': 'eɪɾi', 'ninety': 'naɪnti', 'billion': 'bɪljən',
+    'trillion': 'tɹɪljən', 'zeroth': 'zɪɹoʊθ', 'ninth': 'naɪnθ',
+    'twelfth': 'twɛlfθ', 'fifth': 'fɪfθ', 'eighth': 'eɪtθ',
+    # compounds and pronouns the splitter can't decompose
+    'somewhere': 'sʌmwɛɹ', 'anywhere': 'ɛniwɛɹ',
+    'everywhere': 'ɛvɹiwɛɹ', 'nowhere': 'noʊwɛɹ',
+    'anybody': 'ɛnibɑːdi', 'everybody': 'ɛvɹibɑːdi',
+    'myself': 'maɪsɛlf', 'yourself': 'jɚsɛlf', 'himself': 'hɪmsɛlf',
+    'herself': 'hɚsɛlf', 'itself': 'ɪtsɛlf',
+    'ourselves': 'aʊɚsɛlvz', 'yourselves': 'jɚsɛlvz',
+    'themselves': 'ðɛmsɛlvz', 'therefore': 'ðɛɹfɔːɹ',
+    'cannot': 'kænɑːt', 'upstairs': 'ʌpstɛɹz',
+    'downstairs': 'daʊnstɛɹz', 'meanwhile': 'miːnwaɪl',
+    'moreover': 'mɔːɹoʊvɚ', 'otherwise': 'ʌðɚwaɪz',
+    'worthwhile': 'wɜːθwaɪl', 'elsewhere': 'ɛlswɛɹ',
+    # latinate endings and oddballs from the second probing round
+    'budget': 'bʌdʒɪt', 'gadget': 'ɡædʒɪt', 'widget': 'wɪdʒɪt',
+    'knowledge': 'nɑːlɪdʒ', 'college': 'kɑːlɪdʒ',
+    'clothes': 'kloʊðz', 'vegetable': 'vɛdʒtəbəl',
+    'vegetables': 'vɛdʒtəbəlz', 'chocolate': 'tʃɔːklət',
+    'explosion': 'ɪksploʊʒən', 'confusion': 'kənfjuːʒən',
+    'conclusion': 'kənkluːʒən', 'illusion': 'ɪluːʒən',
+    'insurance': 'ɪnʃʊɹəns', 'holy': 'hoʊli', 'whole': 'hoʊl',
+    'wholly': 'hoʊli', 'target': 'tɑːɹɡɪt', 'forget': 'fɚɡɛt',
+    'forgot': 'fɚɡɑːt', 'forgotten': 'fɚɡɑːtən',
+    'worn': 'wɔːɹn', 'sworn': 'swɔːɹn', 'sword': 'sɔːɹd',
+    'resign': 'ɹɪzaɪn', 'signal': 'sɪɡnəl',
 }
 
 # Longest-match context-free digraph/letter rules (en-us flavored).
@@ -419,7 +453,7 @@ _RULES = [
     ('ing', 'ɪŋ'), ('eau', 'oʊ'),
     ('qu', 'kw'), ('ch', 'tʃ'), ('sh', 'ʃ'),
     ('th', 'θ'), ('ph', 'f'), ('wh', 'w'), ('ck', 'k'), ('ng', 'ŋ'),
-    ('wr', 'ɹ'), ('kn', 'n'), ('gn', 'n'), ('mb', 'm'), ('rh', 'ɹ'),
+    ('wr', 'ɹ'), ('kn', 'n'), ('rh', 'ɹ'),
     ('xh', 'ɡz'),
     ('ee', 'iː'), ('ea', 'iː'), ('oo', 'uː'), ('ou', 'aʊ'),
     ('ow', 'oʊ'), ('oi', 'ɔɪ'), ('oy', 'ɔɪ'), ('ay', 'eɪ'),
@@ -435,8 +469,10 @@ _RULES = [
     ('v', 'v'), ('w', 'w'), ('x', 'ks'), ('y', 'j'), ('z', 'z'),
 ]
 
-# word-initial silent/greek onsets (applied only at position 0)
-_PREFIX_RULES = [('ps', 's'), ('pn', 'n'), ('gh', 'ɡ'), ('mn', 'n')]
+# word-initial silent/greek onsets (applied only at position 0);
+# gn/x are position-sensitive: gnome/xylophone vs signal/box
+_PREFIX_RULES = [('ps', 's'), ('pn', 'n'), ('gh', 'ɡ'), ('mn', 'n'),
+                 ('gn', 'n'), ('x', 'z')]
 
 _PUNCT_KEEP = set('!\'(),.:;? -')
 
@@ -550,14 +586,20 @@ def _word_to_phonemes(word: str, depth: int = 0) -> str:
         suffix, w = 'k', w[:-3]        # unique, antique, technique
     elif len(w) >= 3 and w.endswith('mn'):
         suffix, w = 'm', w[:-2]        # autumn, column, hymn, damn
+    elif len(w) >= 3 and w.endswith('mb'):
+        suffix, w = 'm', w[:-2]        # lamb, comb; mid-word mb stays
+    elif len(w) >= 4 and w.endswith('ign'):
+        suffix, w = 'aɪn', w[:-3]      # sign, align, assign, resign
     elif len(w) >= 5 and w.endswith('ften'):
         suffix, w = 'fən', w[:-4]      # soften, often
     elif len(w) >= 5 and w.endswith('sten'):
         suffix, w = 'sən', w[:-4]      # fasten, hasten, moisten
     elif len(w) >= 6 and w.endswith('ture'):
-        # nature -> neɪtʃɚ, future -> fjuːtʃɚ
+        # nature -> neɪtʃɚ, future -> fjuːtʃɚ; the long vowel only
+        # holds for short stems (temperature/literature reduce toward
+        # a lax vowel, so no magic-e there)
         suffix, w = 'tʃɚ', w[:-4]
-        magic_e = len(w) > 0 and w[-1] in 'aeiou'
+        magic_e = 0 < len(w) <= 4 and w[-1] in 'aeiou'
         magic_pos = len(w) - 1
     elif len(w) >= 5 and w.endswith('age'):
         suffix, w = 'ɪdʒ', w[:-3]  # village, message
@@ -603,6 +645,18 @@ def _word_to_phonemes(word: str, depth: int = 0) -> str:
                 and w[i + 3] not in 'aeiouy':
             out.append('ɜː')
             i += 3
+            continue
+        # 'wor' + consonant -> wɜː (worship, worth, worse, worst)
+        if w.startswith('wor', i) and i + 3 < len(w) \
+                and w[i + 3] not in 'aeiouy':
+            out.append('wɜː')
+            i += 3
+            continue
+        # 's' + 'u' + vowel -> ʒu (casual, visual, usual-family)
+        if w[i] == 's' and i + 2 < len(w) and w[i + 1] == 'u' \
+                and w[i + 2] in 'aeio' and i > 0:
+            out.append('ʒu')
+            i += 2
             continue
         # 'gu' + vowel -> hard g, silent u (guard, guest, guide, guild)
         if w.startswith('gu', i) and i + 2 < len(w) \

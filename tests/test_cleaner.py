@@ -81,7 +81,15 @@ def test_g2p_orthography_rules():
             ('finger', 'fɪŋɡɚ'), ('singer', 'sɪŋɚ'),
             ('danger', 'deɪndʒɚ'), ('chemistry', 'kɛmɪstɹi'),
             ('chef', 'ʃɛf'), ('gift', 'ɡɪft'),
-            ('gentle', 'dʒɛntəl')]:
+            ('gentle', 'dʒɛntəl'),
+            # round 2: wor+C, x-, s+u+vowel, edge-anchored gn/mb, -ign
+            ('worship', 'wɜːʃɪp'), ('worth', 'wɜːθ'),
+            ('xylophone', 'zɪlɑːfoʊn'), ('casual', 'kæʒuæl'),
+            ('magnet', 'mæɡnɛt'), ('assign', 'æsaɪn'),
+            ('symbol', 'sɪmbɑːl'), ('climbing', 'klaɪmɪŋ'),
+            ('gnome', 'noʊm'), ('box', 'bɑːks'),
+            ('nineteen', 'naɪntiːn'), ('budget', 'bʌdʒɪt'),
+            ('somewhere', 'sʌmwɛɹ'), ('themselves', 'ðɛmsɛlvz')]:
         assert g(word) == want, f'{word}: {g(word)} != {want}'
 
 
