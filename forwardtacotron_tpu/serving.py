@@ -51,7 +51,8 @@ class TTSServer:
                  vocoder: str = 'griffinlim',
                  voc_checkpoint: Optional[str] = None,
                  max_batch: int = 8, max_wait_ms: float = 20.0,
-                 text_bucket: int = 16, mel_bucket: int = 256) -> None:
+                 text_bucket: int = 16, mel_bucket: int = 256,
+                 fused: bool = False, fused_max_t: int = 1024) -> None:
         from forwardtacotron_tpu.dsp.audio import DSP
         from forwardtacotron_tpu.text.cleaners import Cleaner
         from forwardtacotron_tpu.text.tokenizer import Tokenizer
@@ -71,6 +72,14 @@ class TTSServer:
         self.sample_rate = self.dsp.sample_rate
         self.batch_sizes: List[int] = []   # observability / tests
 
+        # fused=True (GAN vocoders only): text -> int16 PCM in ONE
+        # device program per batch — series, duration scaling, mel
+        # decode, and the vocoder all inside a single jit, removing
+        # two host round-trips per request group. The mel axis is
+        # fixed at `fused_max_t` frames; batches whose output would
+        # overflow it transparently fall back to the staged path.
+        self.fused = bool(fused)
+        self.fused_max_t = int(fused_max_t)
         self.voc_model = self.voc_variables = None
         self._voc_mu_law = False
         if vocoder == 'wavernn':
@@ -83,8 +92,15 @@ class TTSServer:
             from forwardtacotron_tpu.models.hifigan import load_hifigan
             self.voc_model, self.voc_variables = load_hifigan(
                 voc_checkpoint)
+        elif vocoder == 'melgan':
+            from forwardtacotron_tpu.models.melgan import load_melgan
+            self.voc_model, self.voc_variables = load_melgan(
+                voc_checkpoint)
         elif vocoder != 'griffinlim':
             raise ValueError(f'unknown vocoder: {vocoder}')
+        if self.fused and vocoder not in ('hifigan', 'melgan'):
+            raise ValueError('fused serving needs a feed-forward GAN '
+                             'vocoder (hifigan/melgan)')
 
         self._jit_cache: Dict[Any, Any] = {}
         self._q: 'queue.Queue[Optional[_Request]]' = queue.Queue()
@@ -179,10 +195,74 @@ class TTSServer:
                 if not r.future.done():
                     r.future.set_exception(e)
 
+    def _synthesize_batch_fused(self, reqs: List[_Request],
+                                ids: List[List[int]]
+                                ) -> Optional[List[np.ndarray]]:
+        """ONE device program: tokens -> int16 PCM for the whole
+        group. Returns None when any output hits the fused mel cap
+        (the caller then reruns through the staged path)."""
+        import jax
+        import jax.numpy as jnp
+
+        model, variables = self.model, self.variables
+        voc_model, voc_variables = self.voc_model, self.voc_variables
+        B_real = len(ids)
+        B = 1 << (B_real - 1).bit_length() if B_real > 1 else 1
+        x_lens = np.ones((B,), np.int32)
+        x_lens[:B_real] = [len(i) for i in ids]
+        tx = _bucket(int(x_lens.max()), self.text_bucket,
+                     self.text_bucket)
+        x = np.zeros((B, tx), np.int32)
+        for i, seq in enumerate(ids):
+            x[i, :len(seq)] = seq
+        alphas = np.ones((B,), np.float32)
+        p_scale = np.ones((B,), np.float32)
+        e_scale = np.ones((B,), np.float32)
+        alphas[:B_real] = [r.alpha for r in reqs]
+        p_scale[:B_real] = [r.pitch_scale for r in reqs]
+        e_scale[:B_real] = [r.energy_scale for r in reqs]
+        max_t = self.fused_max_t
+
+        key = ('fused', model, voc_model, tx, B, max_t)
+
+        def build():
+            def fn(v, vv, x, xl, a, ps, es):
+                series = model.apply(v, x, method='predict_series',
+                                     x_len=xl)
+                dur = series['dur'] / a[:, None]
+                gen = model.apply(v, x, dur,
+                                  series['pitch'] * ps[:, None],
+                                  series['energy'] * es[:, None],
+                                  max_t,
+                                  method='generate_from_series',
+                                  x_len=xl)
+                wav = voc_model.apply(vv, gen['mel_post'])
+                pcm = (jnp.clip(wav, -1.0, 1.0)
+                       * 32767.0).astype(jnp.int16)
+                return pcm, gen['mel_len']
+            return jax.jit(fn)
+
+        run = self._jit(key, build)
+        pcm, mel_lens = run(variables, voc_variables, jnp.asarray(x),
+                            jnp.asarray(x_lens), jnp.asarray(alphas),
+                            jnp.asarray(p_scale), jnp.asarray(e_scale))
+        mel_lens = np.asarray(mel_lens)
+        if int(mel_lens[:B_real].max()) >= max_t:
+            return None                      # overflow: staged fallback
+        self.batch_sizes.append(B_real)
+        pcm = np.asarray(pcm)
+        hop = pcm.shape[1] // max_t
+        return [pcm[i, :int(mel_lens[i]) * hop] for i in range(B_real)]
+
     def _synthesize_batch(self, reqs: List[_Request],
                           ids: List[List[int]]) -> List[np.ndarray]:
         import jax
         import jax.numpy as jnp
+
+        if self.fused:
+            out = self._synthesize_batch_fused(reqs, ids)
+            if out is not None:
+                return out
 
         self.batch_sizes.append(len(reqs))
         model, variables = self.model, self.variables
@@ -255,6 +335,10 @@ class TTSServer:
             from forwardtacotron_tpu.models.hifigan import vocode_hifigan
             return [vocode_hifigan(self.voc_model, self.voc_variables,
                                    m, pcm16=True) for m in mels]
+        if self.vocoder == 'melgan':
+            from forwardtacotron_tpu.models.melgan import vocode_melgan
+            return [vocode_melgan(self.voc_model, self.voc_variables,
+                                  m, pcm16=True) for m in mels]
         out = []
         for m in mels:
             wav = np.asarray(self.dsp.griffinlim(m))

@@ -27,6 +27,12 @@ def main() -> None:
     parser.add_argument('--max_wait_ms', type=float, default=20.0,
                         help='dynamic batching: max time to wait for '
                              'more requests')
+    parser.add_argument('--fused', action='store_true',
+                        help='GAN vocoders: run text->PCM as ONE '
+                             'device program per batch (falls back to '
+                             'staged when the output exceeds '
+                             '--fused_max_t frames)')
+    parser.add_argument('--fused_max_t', type=int, default=1024)
     subparsers = parser.add_subparsers(dest='vocoder')
     subparsers.add_parser('griffinlim')
     wr = subparsers.add_parser('wavernn')
@@ -43,7 +49,8 @@ def main() -> None:
     server = TTSServer(
         args.checkpoint, vocoder=vocoder,
         voc_checkpoint=getattr(args, 'voc_checkpoint', None),
-        max_batch=args.max_batch, max_wait_ms=args.max_wait_ms)
+        max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+        fused=args.fused, fused_max_t=args.fused_max_t)
     # warm the compile caches so the first request is fast
     print('Warming up...')
     server.synthesize('Hello world.')

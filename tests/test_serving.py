@@ -121,6 +121,64 @@ def test_http_roundtrip(server):
         httpd.shutdown()
 
 
+@pytest.fixture(scope='module')
+def hifigan_ckpt(tts_ckpt, tmp_path_factory):
+    """Tiny generator-only .fjax whose hop matches the tts fixture's
+    dsp hop_length (64)."""
+    import jax.numpy as jnp
+    from forwardtacotron_tpu.models.hifigan import HiFiGANGenerator
+    from forwardtacotron_tpu.utils.checkpoints import save_checkpoint
+    cfg = {'resblock': '2', 'upsample_rates': [8, 4, 2],
+           'upsample_kernel_sizes': [16, 8, 4],
+           'upsample_initial_channel': 16,
+           'resblock_kernel_sizes': [3],
+           'resblock_dilation_sizes': [[1, 3]]}
+    model = HiFiGANGenerator.from_config(cfg)
+    variables = model.init(jax.random.PRNGKey(7), jnp.zeros((1, 8, 80)))
+    p = tmp_path_factory.mktemp('serving_voc') / 'hifigan.fjax'
+    save_checkpoint(variables, {'hifigan': {'model': cfg}}, p, step=1)
+    return str(p)
+
+
+def test_fused_serving_matches_staged(tts_ckpt, hifigan_ckpt):
+    """fused=True: one program tokens->PCM; audio equals the staged
+    hifigan path up to the vocoder's padding boundary effects, and
+    lengths are exact."""
+    from forwardtacotron_tpu.serving import TTSServer
+    text = 'The fused program speaks.'
+    with TTSServer(tts_ckpt, vocoder='hifigan',
+                   voc_checkpoint=hifigan_ckpt, max_wait_ms=5.0,
+                   mel_bucket=128, fused=True,
+                   fused_max_t=256) as fsrv:
+        fused_pcm = fsrv.synthesize(text, timeout=600)
+        assert fsrv.batch_sizes, 'fused path did not run'
+    with TTSServer(tts_ckpt, vocoder='hifigan',
+                   voc_checkpoint=hifigan_ckpt, max_wait_ms=5.0,
+                   mel_bucket=128) as ssrv:
+        staged_pcm = ssrv.synthesize(text, timeout=600)
+    assert fused_pcm.dtype == np.int16
+    assert fused_pcm.shape == staged_pcm.shape
+    # identical except within the conv receptive field of the pad
+    # boundary (staged pads to a mel bucket, fused to fused_max_t)
+    n = len(fused_pcm) - 64 * 40
+    if n > 0:
+        np.testing.assert_allclose(fused_pcm[:n].astype(np.float64),
+                                   staged_pcm[:n].astype(np.float64),
+                                   atol=2.0)
+
+
+def test_fused_overflow_falls_back(tts_ckpt, hifigan_ckpt):
+    """Outputs longer than fused_max_t frames transparently rerun
+    through the staged path."""
+    from forwardtacotron_tpu.serving import TTSServer
+    with TTSServer(tts_ckpt, vocoder='hifigan',
+                   voc_checkpoint=hifigan_ckpt, max_wait_ms=5.0,
+                   mel_bucket=128, fused=True, fused_max_t=32) as srv:
+        pcm = srv.synthesize('This output will not fit in thirty two '
+                             'frames of mel at all.', timeout=600)
+    assert len(pcm) > 32 * 64   # longer than the fused cap -> fallback
+
+
 def test_error_propagates_not_poisons(server):
     with pytest.raises(Exception):
         server.submit('').result(timeout=300)   # empty -> tokenizer []
