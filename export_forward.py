@@ -40,6 +40,10 @@ def main() -> None:
                              'vocoder is FUSED into the artifact, making '
                              'it a full text->wav program (outputs int16 '
                              'PCM; use ExportedTTS.synthesize)')
+    parser.add_argument('--voc_type', type=str, default='auto',
+                        choices=['auto', 'hifigan', 'melgan'],
+                        help='generator architecture of --voc_checkpoint '
+                             '(auto: sniffed from the file)')
     args = parser.parse_args()
 
     from forwardtacotron_tpu.utils.checkpoints import load_tts_checkpoint
@@ -54,8 +58,8 @@ def main() -> None:
     model, variables, config, step = load_tts_checkpoint(args.checkpoint)
     vocoder = None
     if args.voc_checkpoint:
-        from forwardtacotron_tpu.models.hifigan import load_hifigan
-        vocoder = load_hifigan(args.voc_checkpoint)
+        from forwardtacotron_tpu.models.hifigan import load_gan_vocoder
+        vocoder = load_gan_vocoder(args.voc_checkpoint, args.voc_type)
     save_exported_tts(model, variables, args.output, buckets=buckets,
                       platforms=platforms, vocoder=vocoder)
     voc_note = ' + fused vocoder' if vocoder else ''

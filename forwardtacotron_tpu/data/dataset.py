@@ -415,6 +415,16 @@ class GANVocCollator:
         for b in batch:
             mel, x = b['mel'], b['x']
             t = min(mel.shape[-1], len(x) // self.hop_length)
+            if t == 0:
+                continue  # unusable clip (no full frame); drop
+            if t <= win:
+                # clip shorter than one training window: repeat-pad so
+                # the stack below stays rectangular (short clips would
+                # otherwise crash training mid-epoch)
+                reps = -(-(win + 1) // t)
+                mel = np.tile(mel[:, :t], (1, reps))
+                x = np.tile(x[:t * self.hop_length], reps)
+                t = win + 1
             max_off = max(t - win - 1, 1)
             o = self.rng.randint(0, max_off)
             mels.append(mel[:, o:o + win])
@@ -427,6 +437,14 @@ class GANVocCollator:
             else:
                 audio = DSP.label_2_float(seg.astype(np.float32), bits)
             audios.append(audio)
+        if not mels:
+            raise ValueError('GANVocCollator: every clip in the batch '
+                             'was empty (no full mel frame)')
+        n_real = len(mels)
+        while len(mels) < len(batch):  # keep the batch shape jit-stable
+            i = len(mels) % n_real
+            mels.append(mels[i])
+            audios.append(audios[i])
         return {'mel': np.stack(mels).astype(np.float32)
                 .transpose(0, 2, 1),
                 'audio': np.stack(audios).astype(np.float32)}

@@ -327,6 +327,40 @@ def load_hifigan(path, config: Dict[str, Any] = None
     return model, variables
 
 
+def load_gan_vocoder(path, voc_type: str = 'auto',
+                     config: Dict[str, Any] = None):
+    """Load either GAN generator (HiFi-GAN or MelGAN) from any
+    supported checkpoint format.
+
+    `.fjax` files embed their config (generator_type) and dispatch
+    themselves. For torch files, `voc_type='auto'` sniffs the state
+    dict: HiFi-GAN checkpoints carry `conv_pre`/`ups.*` keys (official
+    layout), MelGAN hub files carry positional sequential keys or a
+    `model_g` wrapper. Pass voc_type explicitly to override."""
+    from pathlib import Path as _Path
+    path = _Path(path)
+    if voc_type not in ('auto', 'hifigan', 'melgan'):
+        raise ValueError(f'unknown voc_type: {voc_type}')
+    if path.suffix == '.fjax':
+        return load_hifigan(path, config)   # embedded config dispatches
+    if voc_type == 'auto':
+        import torch
+        ckpt = torch.load(path, map_location='cpu', weights_only=True)
+        if isinstance(ckpt, dict) and 'model_g' in ckpt:
+            voc_type = 'melgan'
+        else:
+            sd = ckpt.get('generator', ckpt) \
+                if isinstance(ckpt, dict) else ckpt
+            keys = list(getattr(sd, 'keys', list)())
+            hifi = any('conv_pre' in k or k.startswith('ups.')
+                       or '.ups.' in k or 'resblocks' in k for k in keys)
+            voc_type = 'hifigan' if hifi else 'melgan'
+    if voc_type == 'melgan':
+        from forwardtacotron_tpu.models.melgan import load_melgan
+        return load_melgan(path)
+    return load_hifigan(path, config)
+
+
 _JIT_CACHE: Dict[Any, Any] = {}
 
 

@@ -88,14 +88,15 @@ class TTSServer:
             self.voc_model, self.voc_variables, voc_config, _ = \
                 load_voc_checkpoint(voc_checkpoint)
             self._voc_mu_law = DSP.from_config(voc_config).mu_law
-        elif vocoder == 'hifigan':
-            from forwardtacotron_tpu.models.hifigan import load_hifigan
-            self.voc_model, self.voc_variables = load_hifigan(
-                voc_checkpoint)
-        elif vocoder == 'melgan':
-            from forwardtacotron_tpu.models.melgan import load_melgan
-            self.voc_model, self.voc_variables = load_melgan(
-                voc_checkpoint)
+        elif vocoder in ('hifigan', 'melgan'):
+            # load_gan_vocoder dispatches on the file (`.fjax` configs
+            # or torch state-dict sniffing), so a MelGAN `.fjax` from
+            # train_hifigan.py works under either subcommand; the
+            # vocode dispatch below keys on the loaded model type.
+            from forwardtacotron_tpu.models.hifigan import (
+                load_gan_vocoder)
+            self.voc_model, self.voc_variables = load_gan_vocoder(
+                voc_checkpoint, voc_type=vocoder)
         elif vocoder != 'griffinlim':
             raise ValueError(f'unknown vocoder: {vocoder}')
         if self.fused and vocoder not in ('hifigan', 'melgan'):
@@ -141,11 +142,23 @@ class TTSServer:
 
     # ----------------------------------------------------- batch loop
 
+    def _drain_closed(self) -> None:
+        """Fail any requests still queued behind the close sentinel so
+        no caller blocks forever on an orphaned Future."""
+        while True:
+            try:
+                req = self._q.get_nowait()
+            except queue.Empty:
+                return
+            if req is not None:
+                req.future.set_exception(RuntimeError('server closed'))
+
     def _loop(self) -> None:
         import time
         while True:
             req = self._q.get()
             if req is None:
+                self._drain_closed()
                 return
             batch = [req]
             deadline = time.monotonic() + self.max_wait_s
@@ -159,6 +172,7 @@ class TTSServer:
                     break
                 if nxt is None:
                     self._run_batch(batch)
+                    self._drain_closed()
                     return
                 batch.append(nxt)
             self._run_batch(batch)
@@ -331,14 +345,13 @@ class TTSServer:
                                 padded, mu_law=self._voc_mu_law,
                                 pcm16=True)
             return wavs[:n_real]
-        if self.vocoder == 'hifigan':
-            from forwardtacotron_tpu.models.hifigan import vocode_hifigan
-            return [vocode_hifigan(self.voc_model, self.voc_variables,
-                                   m, pcm16=True) for m in mels]
-        if self.vocoder == 'melgan':
-            from forwardtacotron_tpu.models.melgan import vocode_melgan
-            return [vocode_melgan(self.voc_model, self.voc_variables,
-                                  m, pcm16=True) for m in mels]
+        if self.vocoder in ('hifigan', 'melgan'):
+            # dispatch on the LOADED generator type (a .fjax file may
+            # carry either architecture regardless of the subcommand)
+            from forwardtacotron_tpu.train.hifigan_trainer import (
+                vocode_generator)
+            return [vocode_generator(self.voc_model, self.voc_variables,
+                                     m, pcm16=True) for m in mels]
         out = []
         for m in mels:
             wav = np.asarray(self.dsp.griffinlim(m))

@@ -15,193 +15,165 @@ import re
 _LEXICON = {
     'a': 'ə', 'an': 'æn', 'the': 'ðə', 'of': 'ʌv', 'to': 'tuː',
     'and': 'ænd', 'in': 'ɪn', 'is': 'ɪz', 'it': 'ɪt', 'you': 'juː',
-    'that': 'ðæt', 'he': 'hiː', 'was': 'wʌz', 'for': 'fɔːɹ',
-    'are': 'ɑːɹ', 'as': 'æz', 'with': 'wɪð', 'his': 'hɪz',
-    'they': 'ðeɪ', 'i': 'aɪ', 'be': 'biː', 'at': 'æt', 'one': 'wʌn',
-    'have': 'hæv', 'this': 'ðɪs', 'from': 'fɹʌm', 'or': 'ɔːɹ',
-    'had': 'hæd', 'by': 'baɪ', 'word': 'wɜːd', 'but': 'bʌt',
-    'not': 'nɑːt', 'what': 'wʌt', 'all': 'ɔːl', 'were': 'wɜː',
-    'we': 'wiː', 'when': 'wɛn', 'your': 'jʊɹ', 'can': 'kæn',
+    'that': 'ðæt', 'he': 'hiː', 'was': 'wʌz', 'for': 'fɔːɹ', 'are': 'ɑːɹ',
+    'as': 'æz', 'with': 'wɪð', 'his': 'hɪz', 'they': 'ðeɪ', 'i': 'aɪ',
+    'be': 'biː', 'at': 'æt', 'one': 'wʌn', 'have': 'hæv', 'this': 'ðɪs',
+    'from': 'fɹʌm', 'or': 'ɔːɹ', 'had': 'hæd', 'by': 'baɪ', 'word': 'wɜːd',
+    'but': 'bʌt', 'not': 'nɑːt', 'what': 'wʌt', 'all': 'ɔːl',
+    'were': 'wɜː', 'we': 'wiː', 'when': 'wɛn', 'your': 'jʊɹ', 'can': 'kæn',
     'said': 'sɛd', 'there': 'ðɛɹ', 'use': 'juːs', 'each': 'iːtʃ',
     'which': 'wɪtʃ', 'she': 'ʃiː', 'do': 'duː', 'how': 'haʊ',
-    'their': 'ðɛɹ', 'if': 'ɪf', 'will': 'wɪl', 'up': 'ʌp',
-    'other': 'ʌðɚ', 'about': 'əbaʊt', 'out': 'aʊt', 'many': 'mɛni',
-    'then': 'ðɛn', 'them': 'ðɛm', 'these': 'ðiːz', 'so': 'soʊ',
-    'some': 'sʌm', 'her': 'hɜː', 'would': 'wʊd', 'make': 'meɪk',
-    'like': 'laɪk', 'him': 'hɪm', 'into': 'ɪntuː', 'time': 'taɪm',
-    'has': 'hæz', 'look': 'lʊk', 'two': 'tuː', 'more': 'mɔːɹ',
-    'go': 'ɡoʊ', 'see': 'siː', 'no': 'noʊ', 'way': 'weɪ',
-    'could': 'kʊd', 'my': 'maɪ', 'than': 'ðæn', 'first': 'fɜːst',
-    'been': 'bɪn', 'who': 'huː', 'its': 'ɪts', 'now': 'naʊ',
-    'people': 'piːpəl', 'over': 'oʊvɚ', 'did': 'dɪd',
-    'down': 'daʊn', 'only': 'oʊnli', 'little': 'lɪɾəl',
-    'very': 'vɛɹi', 'after': 'æftɚ', 'where': 'wɛɹ', 'most': 'moʊst',
-    'through': 'θɹuː', 'before': 'bɪfɔːɹ', 'our': 'aʊɚ',
-    'good': 'ɡʊd', 'me': 'miː', 'give': 'ɡɪv', 'does': 'dʌz',
-    'here': 'hɪɹ', 'hello': 'həloʊ', 'world': 'wɜːld',
-    'again': 'əɡɛn', 'any': 'ɛni', 'because': 'bɪkʌz',
+    'their': 'ðɛɹ', 'if': 'ɪf', 'will': 'wɪl', 'up': 'ʌp', 'other': 'ʌðɚ',
+    'about': 'əbaʊt', 'out': 'aʊt', 'many': 'mɛni', 'then': 'ðɛn',
+    'them': 'ðɛm', 'these': 'ðiːz', 'so': 'soʊ', 'some': 'sʌm',
+    'her': 'hɜː', 'would': 'wʊd', 'make': 'meɪk', 'like': 'laɪk',
+    'him': 'hɪm', 'into': 'ɪntuː', 'time': 'taɪm', 'has': 'hæz',
+    'look': 'lʊk', 'two': 'tuː', 'more': 'mɔːɹ', 'go': 'ɡoʊ', 'see': 'siː',
+    'no': 'noʊ', 'way': 'weɪ', 'could': 'kʊd', 'my': 'maɪ', 'than': 'ðæn',
+    'first': 'fɜːst', 'been': 'bɪn', 'who': 'huː', 'its': 'ɪts',
+    'now': 'naʊ', 'people': 'piːpəl', 'over': 'oʊvɚ', 'did': 'dɪd',
+    'down': 'daʊn', 'only': 'oʊnli', 'little': 'lɪɾəl', 'very': 'vɛɹi',
+    'after': 'æftɚ', 'where': 'wɛɹ', 'most': 'moʊst', 'through': 'θɹuː',
+    'before': 'bɪfɔːɹ', 'our': 'aʊɚ', 'good': 'ɡʊd', 'me': 'miː',
+    'give': 'ɡɪv', 'does': 'dʌz', 'here': 'hɪɹ', 'hello': 'həloʊ',
+    'world': 'wɜːld', 'again': 'əɡɛn', 'any': 'ɛni', 'because': 'bɪkʌz',
     'say': 'seɪ', 'says': 'sɛz', 'once': 'wʌns', 'water': 'wɔːɾɚ',
-    'were': 'wɜː', 'work': 'wɜːk', 'know': 'noʊ', 'should': 'ʃʊd',
-    'something': 'sʌmθɪŋ', 'eye': 'aɪ', 'eyes': 'aɪz',
-    'great': 'ɡɹeɪt', 'own': 'oʊn', 'thought': 'θɔːt',
-    'laugh': 'læf', 'enough': 'ɪnʌf', 'though': 'ðoʊ',
+    'work': 'wɜːk', 'know': 'noʊ', 'should': 'ʃʊd', 'something': 'sʌmθɪŋ',
+    'eye': 'aɪ', 'eyes': 'aɪz', 'great': 'ɡɹeɪt', 'own': 'oʊn',
+    'thought': 'θɔːt', 'laugh': 'læf', 'enough': 'ɪnʌf', 'though': 'ðoʊ',
     'speech': 'spiːtʃ', 'mister': 'mɪstɚ', 'doctor': 'dɑːktɚ',
-    'was': 'wʌz', 'what': 'wʌt', 'who': 'huː', 'why': 'waɪ',
-    'woman': 'wʊmən', 'women': 'wɪmɪn', 'man': 'mæn', 'men': 'mɛn',
-    'one': 'wʌn', 'two': 'tuː', 'three': 'θɹiː', 'four': 'fɔːɹ',
-    'five': 'faɪv', 'six': 'sɪks', 'seven': 'sɛvən', 'eight': 'eɪt',
-    'nine': 'naɪn', 'ten': 'tɛn', 'hundred': 'hʌndɹəd',
-    'thousand': 'θaʊzənd', 'million': 'mɪljən',
-    'first': 'fɜːst', 'second': 'sɛkənd', 'third': 'θɜːd',
-    'new': 'nuː', 'old': 'oʊld', 'right': 'ɹaɪt', 'left': 'lɛft',
-    'long': 'lɔːŋ', 'little': 'lɪɾəl', 'big': 'bɪɡ', 'high': 'haɪ',
-    'small': 'smɔːl', 'large': 'lɑːɹdʒ', 'next': 'nɛkst',
-    'early': 'ɜːli', 'young': 'jʌŋ', 'important': 'ɪmpɔːɹtənt',
-    'few': 'fjuː', 'public': 'pʌblɪk', 'bad': 'bæd', 'same': 'seɪm',
-    'able': 'eɪbəl', 'night': 'naɪt', 'day': 'deɪ', 'year': 'jɪɹ',
-    'years': 'jɪɹz', 'week': 'wiːk', 'month': 'mʌnθ', 'hour': 'aʊɚ',
-    'house': 'haʊs', 'world': 'wɜːld', 'school': 'skuːl',
+    'why': 'waɪ', 'woman': 'wʊmən', 'women': 'wɪmɪn', 'man': 'mæn',
+    'men': 'mɛn', 'three': 'θɹiː', 'four': 'fɔːɹ', 'five': 'faɪv',
+    'six': 'sɪks', 'seven': 'sɛvən', 'eight': 'eɪt', 'nine': 'naɪn',
+    'ten': 'tɛn', 'hundred': 'hʌndɹəd', 'thousand': 'θaʊzənd',
+    'million': 'mɪljən', 'second': 'sɛkənd', 'third': 'θɜːd', 'new': 'nuː',
+    'old': 'oʊld', 'right': 'ɹaɪt', 'left': 'lɛft', 'long': 'lɔːŋ',
+    'big': 'bɪɡ', 'high': 'haɪ', 'small': 'smɔːl', 'large': 'lɑːɹdʒ',
+    'next': 'nɛkst', 'early': 'ɜːli', 'young': 'jʌŋ',
+    'important': 'ɪmpɔːɹtənt', 'few': 'fjuː', 'public': 'pʌblɪk',
+    'bad': 'bæd', 'same': 'seɪm', 'able': 'eɪbəl', 'night': 'naɪt',
+    'day': 'deɪ', 'year': 'jɪɹ', 'years': 'jɪɹz', 'week': 'wiːk',
+    'month': 'mʌnθ', 'hour': 'aʊɚ', 'house': 'haʊs', 'school': 'skuːl',
     'state': 'steɪt', 'family': 'fæmɪli', 'student': 'stuːdənt',
     'group': 'ɡɹuːp', 'country': 'kʌntɹi', 'problem': 'pɹɑːbləm',
     'hand': 'hænd', 'part': 'pɑːɹt', 'place': 'pleɪs', 'case': 'keɪs',
     'system': 'sɪstəm', 'program': 'pɹoʊɡɹæm', 'question': 'kwɛstʃən',
     'government': 'ɡʌvɚnmənt', 'number': 'nʌmbɚ', 'point': 'pɔɪnt',
-    'home': 'hoʊm', 'water': 'wɔːɾɚ', 'room': 'ɹuːm',
-    'mother': 'mʌðɚ', 'father': 'fɑːðɚ', 'money': 'mʌni',
-    'story': 'stɔːɹi', 'fact': 'fækt', 'month': 'mʌnθ', 'lot': 'lɑːt',
-    'study': 'stʌdi', 'book': 'bʊk', 'word': 'wɜːd', 'words': 'wɜːdz',
-    'business': 'bɪznəs', 'issue': 'ɪʃuː', 'side': 'saɪd',
-    'kind': 'kaɪnd', 'head': 'hɛd', 'service': 'sɜːvɪs',
-    'friend': 'fɹɛnd', 'power': 'paʊɚ', 'game': 'ɡeɪm',
-    'line': 'laɪn', 'end': 'ɛnd', 'member': 'mɛmbɚ', 'law': 'lɔː',
-    'car': 'kɑːɹ', 'city': 'sɪɾi', 'community': 'kəmjuːnɪɾi',
+    'home': 'hoʊm', 'room': 'ɹuːm', 'mother': 'mʌðɚ', 'father': 'fɑːðɚ',
+    'money': 'mʌni', 'story': 'stɔːɹi', 'fact': 'fækt', 'lot': 'lɑːt',
+    'study': 'stʌdi', 'book': 'bʊk', 'words': 'wɜːdz',
+    'business': 'bɪznəs', 'issue': 'ɪʃuː', 'side': 'saɪd', 'kind': 'kaɪnd',
+    'head': 'hɛd', 'service': 'sɜːvɪs', 'friend': 'fɹɛnd', 'power': 'paʊɚ',
+    'game': 'ɡeɪm', 'line': 'laɪn', 'end': 'ɛnd', 'member': 'mɛmbɚ',
+    'law': 'lɔː', 'car': 'kɑːɹ', 'city': 'sɪɾi', 'community': 'kəmjuːnɪɾi',
     'name': 'neɪm', 'president': 'pɹɛzɪdənt', 'team': 'tiːm',
     'minute': 'mɪnɪt', 'idea': 'aɪdiːə', 'body': 'bɑːdi',
     'information': 'ɪnfɚmeɪʃən', 'back': 'bæk', 'face': 'feɪs',
-    'others': 'ʌðɚz', 'level': 'lɛvəl', 'office': 'ɔːfɪs',
-    'door': 'dɔːɹ', 'health': 'hɛlθ', 'person': 'pɜːsən',
-    'art': 'ɑːɹt', 'war': 'wɔːɹ', 'history': 'hɪstɚɹi',
-    'party': 'pɑːɹɾi', 'result': 'ɹɪzʌlt', 'change': 'tʃeɪndʒ',
-    'morning': 'mɔːɹnɪŋ', 'reason': 'ɹiːzən', 'research': 'ɹiːsɜːtʃ',
-    'girl': 'ɡɜːl', 'boy': 'bɔɪ', 'guy': 'ɡaɪ', 'moment': 'moʊmənt',
-    'air': 'ɛɹ', 'teacher': 'tiːtʃɚ', 'force': 'fɔːɹs',
-    'education': 'ɛdʒukeɪʃən', 'foot': 'fʊt', 'feet': 'fiːt',
-    'music': 'mjuːzɪk', 'sound': 'saʊnd', 'voice': 'vɔɪs',
-    'language': 'læŋɡwɪdʒ', 'said': 'sɛd', 'says': 'sɛz',
-    'come': 'kʌm', 'comes': 'kʌmz', 'came': 'keɪm', 'get': 'ɡɛt',
-    'gets': 'ɡɛts', 'got': 'ɡɑːt', 'made': 'meɪd', 'makes': 'meɪks',
-    'going': 'ɡoʊɪŋ', 'goes': 'ɡoʊz', 'went': 'wɛnt', 'gone': 'ɡɔːn',
-    'take': 'teɪk', 'takes': 'teɪks', 'took': 'tʊk', 'taken': 'teɪkən',
-    'find': 'faɪnd', 'found': 'faʊnd', 'give': 'ɡɪv', 'gave': 'ɡeɪv',
-    'tell': 'tɛl', 'told': 'toʊld', 'become': 'bɪkʌm',
-    'became': 'bɪkeɪm', 'show': 'ʃoʊ', 'leave': 'liːv',
-    'feel': 'fiːl', 'felt': 'fɛlt', 'put': 'pʊt', 'mean': 'miːn',
-    'keep': 'kiːp', 'kept': 'kɛpt', 'let': 'lɛt', 'begin': 'bɪɡɪn',
-    'began': 'bɪɡæn', 'seem': 'siːm', 'help': 'hɛlp', 'talk': 'tɔːk',
-    'turn': 'tɜːn', 'start': 'stɑːɹt', 'might': 'maɪt',
-    'move': 'muːv', 'live': 'lɪv', 'believe': 'bɪliːv',
+    'others': 'ʌðɚz', 'level': 'lɛvəl', 'office': 'ɔːfɪs', 'door': 'dɔːɹ',
+    'health': 'hɛlθ', 'person': 'pɜːsən', 'art': 'ɑːɹt', 'war': 'wɔːɹ',
+    'history': 'hɪstɚɹi', 'party': 'pɑːɹɾi', 'result': 'ɹɪzʌlt',
+    'change': 'tʃeɪndʒ', 'morning': 'mɔːɹnɪŋ', 'reason': 'ɹiːzən',
+    'research': 'ɹiːsɜːtʃ', 'girl': 'ɡɜːl', 'boy': 'bɔɪ', 'guy': 'ɡaɪ',
+    'moment': 'moʊmənt', 'air': 'ɛɹ', 'teacher': 'tiːtʃɚ',
+    'force': 'fɔːɹs', 'education': 'ɛdʒukeɪʃən', 'foot': 'fʊt',
+    'feet': 'fiːt', 'music': 'mjuːzɪk', 'sound': 'saʊnd', 'voice': 'vɔɪs',
+    'language': 'læŋɡwɪdʒ', 'come': 'kʌm', 'comes': 'kʌmz', 'came': 'keɪm',
+    'get': 'ɡɛt', 'gets': 'ɡɛts', 'got': 'ɡɑːt', 'made': 'meɪd',
+    'makes': 'meɪks', 'going': 'ɡoʊɪŋ', 'goes': 'ɡoʊz', 'went': 'wɛnt',
+    'gone': 'ɡɔːn', 'take': 'teɪk', 'takes': 'teɪks', 'took': 'tʊk',
+    'taken': 'teɪkən', 'find': 'faɪnd', 'found': 'faʊnd', 'gave': 'ɡeɪv',
+    'tell': 'tɛl', 'told': 'toʊld', 'become': 'bɪkʌm', 'became': 'bɪkeɪm',
+    'show': 'ʃoʊ', 'leave': 'liːv', 'feel': 'fiːl', 'felt': 'fɛlt',
+    'put': 'pʊt', 'mean': 'miːn', 'keep': 'kiːp', 'kept': 'kɛpt',
+    'let': 'lɛt', 'begin': 'bɪɡɪn', 'began': 'bɪɡæn', 'seem': 'siːm',
+    'help': 'hɛlp', 'talk': 'tɔːk', 'turn': 'tɜːn', 'start': 'stɑːɹt',
+    'might': 'maɪt', 'move': 'muːv', 'live': 'lɪv', 'believe': 'bɪliːv',
     'hold': 'hoʊld', 'bring': 'bɹɪŋ', 'brought': 'bɹɔːt',
-    'happen': 'hæpən', 'must': 'mʌst', 'write': 'ɹaɪt',
-    'wrote': 'ɹoʊt', 'written': 'ɹɪtən', 'provide': 'pɹəvaɪd',
-    'sit': 'sɪt', 'sat': 'sæt', 'stand': 'stænd', 'stood': 'stʊd',
-    'lose': 'luːz', 'lost': 'lɔːst', 'pay': 'peɪ', 'paid': 'peɪd',
-    'meet': 'miːt', 'met': 'mɛt', 'include': 'ɪnkluːd',
-    'continue': 'kəntɪnjuː', 'set': 'sɛt', 'learn': 'lɜːn',
-    'understand': 'ʌndɚstænd', 'watch': 'wɑːtʃ', 'follow': 'fɑːloʊ',
-    'stop': 'stɑːp', 'create': 'kɹiːeɪt', 'speak': 'spiːk',
-    'spoke': 'spoʊk', 'read': 'ɹiːd', 'allow': 'əlaʊ', 'add': 'æd',
-    'spend': 'spɛnd', 'grow': 'ɡɹoʊ', 'open': 'oʊpən',
+    'happen': 'hæpən', 'must': 'mʌst', 'write': 'ɹaɪt', 'wrote': 'ɹoʊt',
+    'written': 'ɹɪtən', 'provide': 'pɹəvaɪd', 'sit': 'sɪt', 'sat': 'sæt',
+    'stand': 'stænd', 'stood': 'stʊd', 'lose': 'luːz', 'lost': 'lɔːst',
+    'pay': 'peɪ', 'paid': 'peɪd', 'meet': 'miːt', 'met': 'mɛt',
+    'include': 'ɪnkluːd', 'continue': 'kəntɪnjuː', 'set': 'sɛt',
+    'learn': 'lɜːn', 'understand': 'ʌndɚstænd', 'watch': 'wɑːtʃ',
+    'follow': 'fɑːloʊ', 'stop': 'stɑːp', 'create': 'kɹiːeɪt',
+    'speak': 'spiːk', 'spoke': 'spoʊk', 'read': 'ɹiːd', 'allow': 'əlaʊ',
+    'add': 'æd', 'spend': 'spɛnd', 'grow': 'ɡɹoʊ', 'open': 'oʊpən',
     'walk': 'wɔːk', 'win': 'wɪn', 'won': 'wʌn', 'offer': 'ɔːfɚ',
     'remember': 'ɹɪmɛmbɚ', 'love': 'lʌv', 'consider': 'kənsɪdɚ',
-    'appear': 'əpɪɹ', 'buy': 'baɪ', 'bought': 'bɔːt',
-    'wait': 'weɪt', 'serve': 'sɜːv', 'die': 'daɪ', 'died': 'daɪd',
-    'send': 'sɛnd', 'sent': 'sɛnt', 'expect': 'ɪkspɛkt',
-    'build': 'bɪld', 'built': 'bɪlt', 'stay': 'steɪ', 'fall': 'fɔːl',
-    'fell': 'fɛl', 'cut': 'kʌt', 'reach': 'ɹiːtʃ', 'kill': 'kɪl',
-    'remain': 'ɹɪmeɪn', 'dog': 'dɔːɡ', 'cat': 'kæt', 'bird': 'bɜːd',
-    'heart': 'hɑːɹt', 'earth': 'ɜːθ', 'heard': 'hɜːd', 'learn': 'lɜːn',
-    'early': 'ɜːli', 'sure': 'ʃʊɹ', 'sugar': 'ʃʊɡɚ', 'machine': 'məʃiːn',
+    'appear': 'əpɪɹ', 'buy': 'baɪ', 'bought': 'bɔːt', 'wait': 'weɪt',
+    'serve': 'sɜːv', 'die': 'daɪ', 'died': 'daɪd', 'send': 'sɛnd',
+    'sent': 'sɛnt', 'expect': 'ɪkspɛkt', 'build': 'bɪld', 'built': 'bɪlt',
+    'stay': 'steɪ', 'fall': 'fɔːl', 'fell': 'fɛl', 'cut': 'kʌt',
+    'reach': 'ɹiːtʃ', 'kill': 'kɪl', 'remain': 'ɹɪmeɪn', 'dog': 'dɔːɡ',
+    'cat': 'kæt', 'bird': 'bɜːd', 'heart': 'hɑːɹt', 'earth': 'ɜːθ',
+    'heard': 'hɜːd', 'sure': 'ʃʊɹ', 'sugar': 'ʃʊɡɚ', 'machine': 'məʃiːn',
     'special': 'spɛʃəl', 'social': 'soʊʃəl', 'ocean': 'oʊʃən',
     'usual': 'juːʒuəl', 'measure': 'mɛʒɚ', 'pleasure': 'plɛʒɚ',
     'treasure': 'tɹɛʒɚ', 'vision': 'vɪʒən', 'version': 'vɜːʒən',
     'television': 'tɛlɪvɪʒən', 'beautiful': 'bjuːɾɪfəl', 'busy': 'bɪzi',
-    'minute': 'mɪnɪt', 'island': 'aɪlənd', 'answer': 'ænsɚ',
-    'often': 'ɔːfən', 'listen': 'lɪsən', 'iron': 'aɪɚn',
-    'colonel': 'kɜːnəl', 'choir': 'kwaɪɚ', 'heir': 'ɛɹ',
-    'honest': 'ɑːnɪst', 'honor': 'ɑːnɚ', 'ghost': 'ɡoʊst',
-    # -- extended lexicon: frequent words the rule engine mispronounces --
-    'today': 'tədeɪ', 'tomorrow': 'təmɑːɹoʊ', 'yesterday': 'jɛstɚdeɪ',
-    'always': 'ɔːlweɪz', 'already': 'ɔːlɹɛdi', 'almost': 'ɔːlmoʊst',
-    'also': 'ɔːlsoʊ', 'although': 'ɔːlðoʊ', 'together': 'təɡɛðɚ',
-    'another': 'ənʌðɚ', 'anything': 'ɛniθɪŋ', 'everything': 'ɛvɹiθɪŋ',
-    'nothing': 'nʌθɪŋ', 'everyone': 'ɛvɹiwʌn', 'anyone': 'ɛniwʌn',
-    'someone': 'sʌmwʌn', 'somebody': 'sʌmbɑːdi', 'nobody': 'noʊbɑːdi',
-    'every': 'ɛvɹi', 'never': 'nɛvɚ', 'ever': 'ɛvɚ', 'however': 'haʊɛvɚ',
-    'between': 'bɪtwiːn', 'against': 'əɡɛnst', 'during': 'dʊɹɪŋ',
-    'without': 'wɪðaʊt', 'within': 'wɪðɪn', 'around': 'əɹaʊnd',
-    'across': 'əkɹɔːs', 'behind': 'bɪhaɪnd', 'toward': 'tɔːɹd',
-    'towards': 'tɔːɹdz', 'above': 'əbʌv', 'below': 'bɪloʊ',
-    'under': 'ʌndɚ', 'until': 'ʌntɪl', 'since': 'sɪns',
-    'while': 'waɪl', 'along': 'əlɔːŋ', 'among': 'əmʌŋ',
-    'away': 'əweɪ', 'ago': 'əɡoʊ', 'else': 'ɛls', 'per': 'pɜː',
-    'both': 'boʊθ', 'neither': 'niːðɚ', 'either': 'aɪðɚ',
-    'several': 'sɛvɹəl', 'certain': 'sɜːtən', 'whole': 'hoʊl',
-    'real': 'ɹiːl', 'really': 'ɹɪli', 'maybe': 'meɪbi',
-    'perhaps': 'pɚhæps', 'quite': 'kwaɪt', 'rather': 'ɹæðɚ',
-    'instead': 'ɪnstɛd', 'please': 'pliːz', 'thank': 'θæŋk',
-    'thanks': 'θæŋks', 'sorry': 'sɑːɹi', 'okay': 'oʊkeɪ',
+    'island': 'aɪlənd', 'answer': 'ænsɚ', 'often': 'ɔːfən',
+    'listen': 'lɪsən', 'iron': 'aɪɚn', 'colonel': 'kɜːnəl',
+    'choir': 'kwaɪɚ', 'heir': 'ɛɹ', 'honest': 'ɑːnɪst', 'honor': 'ɑːnɚ',
+    'ghost': 'ɡoʊst', 'today': 'tədeɪ', 'tomorrow': 'təmɑːɹoʊ',
+    'yesterday': 'jɛstɚdeɪ', 'always': 'ɔːlweɪz', 'already': 'ɔːlɹɛdi',
+    'almost': 'ɔːlmoʊst', 'also': 'ɔːlsoʊ', 'although': 'ɔːlðoʊ',
+    'together': 'təɡɛðɚ', 'another': 'ənʌðɚ', 'anything': 'ɛniθɪŋ',
+    'everything': 'ɛvɹiθɪŋ', 'nothing': 'nʌθɪŋ', 'everyone': 'ɛvɹiwʌn',
+    'anyone': 'ɛniwʌn', 'someone': 'sʌmwʌn', 'somebody': 'sʌmbɑːdi',
+    'nobody': 'noʊbɑːdi', 'every': 'ɛvɹi', 'never': 'nɛvɚ', 'ever': 'ɛvɚ',
+    'however': 'haʊɛvɚ', 'between': 'bɪtwiːn', 'against': 'əɡɛnst',
+    'during': 'dʊɹɪŋ', 'without': 'wɪðaʊt', 'within': 'wɪðɪn',
+    'around': 'əɹaʊnd', 'across': 'əkɹɔːs', 'behind': 'bɪhaɪnd',
+    'toward': 'tɔːɹd', 'towards': 'tɔːɹdz', 'above': 'əbʌv',
+    'below': 'bɪloʊ', 'under': 'ʌndɚ', 'until': 'ʌntɪl', 'since': 'sɪns',
+    'while': 'waɪl', 'along': 'əlɔːŋ', 'among': 'əmʌŋ', 'away': 'əweɪ',
+    'ago': 'əɡoʊ', 'else': 'ɛls', 'per': 'pɜː', 'both': 'boʊθ',
+    'neither': 'niːðɚ', 'either': 'aɪðɚ', 'several': 'sɛvɹəl',
+    'certain': 'sɜːtən', 'whole': 'hoʊl', 'real': 'ɹiːl', 'really': 'ɹɪli',
+    'maybe': 'meɪbi', 'perhaps': 'pɚhæps', 'quite': 'kwaɪt',
+    'rather': 'ɹæðɚ', 'instead': 'ɪnstɛd', 'please': 'pliːz',
+    'thank': 'θæŋk', 'thanks': 'θæŋks', 'sorry': 'sɑːɹi', 'okay': 'oʊkeɪ',
     'yes': 'jɛs', 'yeah': 'jɛə', 'oh': 'oʊ', 'well': 'wɛl',
     'just': 'dʒʌst', 'even': 'iːvən', 'still': 'stɪl', 'too': 'tuː',
-    'very': 'vɛɹi', 'much': 'mʌtʃ', 'such': 'sʌtʃ', 'own': 'oʊn',
-    'being': 'biːɪŋ', 'having': 'hævɪŋ', 'doing': 'duːɪŋ',
-    'done': 'dʌn', 'seen': 'siːn', 'saw': 'sɔː', 'knew': 'nuː',
-    'known': 'noʊn', 'thinks': 'θɪŋks', 'think': 'θɪŋk',
+    'much': 'mʌtʃ', 'such': 'sʌtʃ', 'being': 'biːɪŋ', 'having': 'hævɪŋ',
+    'doing': 'duːɪŋ', 'done': 'dʌn', 'seen': 'siːn', 'saw': 'sɔː',
+    'knew': 'nuː', 'known': 'noʊn', 'thinks': 'θɪŋks', 'think': 'θɪŋk',
     'want': 'wɑːnt', 'wants': 'wɑːnts', 'wanted': 'wɑːntɪd',
     'need': 'niːd', 'call': 'kɔːl', 'called': 'kɔːld', 'try': 'tɹaɪ',
     'tried': 'tɹaɪd', 'ask': 'æsk', 'asked': 'æskt', 'used': 'juːzd',
     'using': 'juːzɪŋ', 'user': 'juːzɚ', 'users': 'juːzɚz',
-    'says': 'sɛz', 'saying': 'seɪɪŋ', 'heart': 'hɑːɹt',
-    'dead': 'dɛd', 'death': 'dɛθ', 'bread': 'bɹɛd', 'ready': 'ɹɛdi',
-    'weather': 'wɛðɚ', 'whether': 'wɛðɚ', 'heavy': 'hɛvi',
-    'instead': 'ɪnstɛd', 'breakfast': 'bɹɛkfəst', 'sweat': 'swɛt',
-    'spread': 'spɹɛd', 'threat': 'θɹɛt', 'wealth': 'wɛlθ',
-    'meant': 'mɛnt', 'breath': 'bɹɛθ', 'weapon': 'wɛpən',
-    'pleasant': 'plɛzənt', 'jealous': 'dʒɛləs', 'leather': 'lɛðɚ',
-    'feather': 'fɛðɚ', 'steady': 'stɛdi', 'ahead': 'əhɛd',
-    'break': 'bɹeɪk', 'steak': 'steɪk', 'heard': 'hɜːd',
-    'love': 'lʌv', 'glove': 'ɡlʌv', 'above': 'əbʌv', 'dove': 'dʌv',
-    'none': 'nʌn', 'nonsense': 'nɑːnsɛns', 'month': 'mʌnθ',
+    'saying': 'seɪɪŋ', 'dead': 'dɛd', 'death': 'dɛθ', 'bread': 'bɹɛd',
+    'ready': 'ɹɛdi', 'weather': 'wɛðɚ', 'whether': 'wɛðɚ', 'heavy': 'hɛvi',
+    'breakfast': 'bɹɛkfəst', 'sweat': 'swɛt', 'spread': 'spɹɛd',
+    'threat': 'θɹɛt', 'wealth': 'wɛlθ', 'meant': 'mɛnt', 'breath': 'bɹɛθ',
+    'weapon': 'wɛpən', 'pleasant': 'plɛzənt', 'jealous': 'dʒɛləs',
+    'leather': 'lɛðɚ', 'feather': 'fɛðɚ', 'steady': 'stɛdi',
+    'ahead': 'əhɛd', 'break': 'bɹeɪk', 'steak': 'steɪk', 'glove': 'ɡlʌv',
+    'dove': 'dʌv', 'none': 'nʌn', 'nonsense': 'nɑːnsɛns',
     'months': 'mʌnθs', 'front': 'fɹʌnt', 'son': 'sʌn', 'ton': 'tʌn',
-    'among': 'əmʌŋ', 'monkey': 'mʌŋki', 'onion': 'ʌnjən',
-    'nothing': 'nʌθɪŋ', 'brother': 'bɹʌðɚ', 'cover': 'kʌvɚ',
-    'color': 'kʌlɚ', 'colour': 'kʌlɚ', 'company': 'kʌmpəni',
-    'country': 'kʌntɹi', 'couple': 'kʌpəl', 'cousin': 'kʌzən',
+    'monkey': 'mʌŋki', 'onion': 'ʌnjən', 'brother': 'bɹʌðɚ',
+    'cover': 'kʌvɚ', 'color': 'kʌlɚ', 'colour': 'kʌlɚ',
+    'company': 'kʌmpəni', 'couple': 'kʌpəl', 'cousin': 'kʌzən',
     'double': 'dʌbəl', 'trouble': 'tɹʌbəl', 'touch': 'tʌtʃ',
-    'tough': 'tʌf', 'rough': 'ɹʌf', 'young': 'jʌŋ', 'blood': 'blʌd',
-    'flood': 'flʌd', 'other': 'ʌðɚ', 'others': 'ʌðɚz',
-    'mouth': 'maʊθ', 'south': 'saʊθ', 'north': 'nɔːɹθ',
-    'course': 'kɔːɹs', 'court': 'kɔːɹt', 'four': 'fɔːɹ',
-    'door': 'dɔːɹ', 'floor': 'flɔːɹ', 'poor': 'pʊɹ', 'tour': 'tʊɹ',
-    'your': 'jʊɹ', 'hours': 'aʊɚz', 'journey': 'dʒɜːni',
-    'group': 'ɡɹuːp', 'soup': 'suːp', 'through': 'θɹuː',
-    'throughout': 'θɹuːaʊt', 'you': 'juː', 'youth': 'juːθ',
-    'move': 'muːv', 'prove': 'pɹuːv', 'lose': 'luːz', 'whose': 'huːz',
-    'shoe': 'ʃuː', 'shoes': 'ʃuːz', 'truth': 'tɹuːθ', 'fruit': 'fɹuːt',
-    'juice': 'dʒuːs', 'beauty': 'bjuːɾi', 'view': 'vjuː',
-    'friend': 'fɹɛnd', 'friends': 'fɹɛndz', 'field': 'fiːld',
-    'piece': 'piːs', 'believe': 'bɪliːv', 'chief': 'tʃiːf',
-    'brief': 'bɹiːf', 'receive': 'ɹɪsiːv', 'ceiling': 'siːlɪŋ',
-    'either': 'aɪðɚ', 'height': 'haɪt', 'neighbor': 'neɪbɚ',
-    'weight': 'weɪt', 'weigh': 'weɪ', 'great': 'ɡɹeɪt',
-    'wear': 'wɛɹ', 'bear': 'bɛɹ', 'pear': 'pɛɹ', 'tear': 'tɛɹ',
-    'swear': 'swɛɹ', 'heart': 'hɑːɹt', 'near': 'nɪɹ', 'year': 'jɪɹ',
+    'tough': 'tʌf', 'rough': 'ɹʌf', 'blood': 'blʌd', 'flood': 'flʌd',
+    'mouth': 'maʊθ', 'south': 'saʊθ', 'north': 'nɔːɹθ', 'course': 'kɔːɹs',
+    'court': 'kɔːɹt', 'floor': 'flɔːɹ', 'poor': 'pʊɹ', 'tour': 'tʊɹ',
+    'hours': 'aʊɚz', 'journey': 'dʒɜːni', 'soup': 'suːp',
+    'throughout': 'θɹuːaʊt', 'youth': 'juːθ', 'prove': 'pɹuːv',
+    'whose': 'huːz', 'shoe': 'ʃuː', 'shoes': 'ʃuːz', 'truth': 'tɹuːθ',
+    'fruit': 'fɹuːt', 'juice': 'dʒuːs', 'beauty': 'bjuːɾi', 'view': 'vjuː',
+    'friends': 'fɹɛndz', 'field': 'fiːld', 'piece': 'piːs',
+    'chief': 'tʃiːf', 'brief': 'bɹiːf', 'receive': 'ɹɪsiːv',
+    'ceiling': 'siːlɪŋ', 'height': 'haɪt', 'neighbor': 'neɪbɚ',
+    'weight': 'weɪt', 'weigh': 'weɪ', 'wear': 'wɛɹ', 'bear': 'bɛɹ',
+    'pear': 'pɛɹ', 'tear': 'tɛɹ', 'swear': 'swɛɹ', 'near': 'nɪɹ',
     'hear': 'hɪɹ', 'clear': 'klɪɹ', 'dear': 'dɪɹ', 'fear': 'fɪɹ',
-    'idea': 'aɪdiːə', 'area': 'ɛɹiə', 'theater': 'θiːəɾɚ',
-    'science': 'saɪəns', 'quiet': 'kwaɪət', 'society': 'səsaɪəɾi',
-    'variety': 'vəɹaɪəɾi', 'anxiety': 'æŋzaɪəɾi', 'diet': 'daɪət',
-    'lion': 'laɪən', 'giant': 'dʒaɪənt', 'bias': 'baɪəs',
-    'via': 'vaɪə', 'violin': 'vaɪəlɪn', 'violence': 'vaɪələns',
-    'period': 'pɪɹiəd', 'serious': 'sɪɹiəs', 'experience': 'ɪkspɪɹiəns',
+    'area': 'ɛɹiə', 'theater': 'θiːəɾɚ', 'science': 'saɪəns',
+    'quiet': 'kwaɪət', 'society': 'səsaɪəɾi', 'variety': 'vəɹaɪəɾi',
+    'anxiety': 'æŋzaɪəɾi', 'diet': 'daɪət', 'lion': 'laɪən',
+    'giant': 'dʒaɪənt', 'bias': 'baɪəs', 'via': 'vaɪə',
+    'violin': 'vaɪəlɪn', 'violence': 'vaɪələns', 'period': 'pɪɹiəd',
+    'serious': 'sɪɹiəs', 'experience': 'ɪkspɪɹiəns',
     'material': 'mətɪɹiəl', 'radio': 'ɹeɪdioʊ', 'video': 'vɪdioʊ',
     'audio': 'ɔːdioʊ', 'studio': 'stuːdioʊ', 'media': 'miːdiə',
     'immediately': 'ɪmiːdiətli', 'obvious': 'ɑːbviəs',
@@ -214,36 +186,31 @@ _LEXICON = {
     'commercial': 'kəmɜːʃəl', 'essential': 'ɪsɛnʃəl',
     'potential': 'pətɛnʃəl', 'professional': 'pɹəfɛʃənəl',
     'international': 'ɪntɚnæʃənəl', 'national': 'næʃənəl',
-    'personal': 'pɜːsənəl', 'general': 'dʒɛnɚɹəl', 'several': 'sɛvɹəl',
-    'natural': 'nætʃɚɹəl', 'cultural': 'kʌltʃɚɹəl', 'central': 'sɛntɹəl',
+    'personal': 'pɜːsənəl', 'general': 'dʒɛnɚɹəl', 'natural': 'nætʃɚɹəl',
+    'cultural': 'kʌltʃɚɹəl', 'central': 'sɛntɹəl',
     'political': 'pəlɪɾɪkəl', 'physical': 'fɪzɪkəl', 'typical': 'tɪpɪkəl',
     'critical': 'kɹɪɾɪkəl', 'practical': 'pɹæktɪkəl',
-    'technical': 'tɛknɪkəl', 'chemical': 'kɛmɪkəl',
-    'medical': 'mɛdɪkəl', 'musical': 'mjuːzɪkəl', 'local': 'loʊkəl',
-    'total': 'toʊɾəl', 'final': 'faɪnəl', 'model': 'mɑːdəl',
-    'level': 'lɛvəl', 'legal': 'liːɡəl', 'global': 'ɡloʊbəl',
-    'digital': 'dɪdʒɪɾəl', 'capital': 'kæpɪɾəl', 'hospital': 'hɑːspɪɾəl',
-    'animal': 'ænɪməl', 'normal': 'nɔːɹməl', 'formal': 'fɔːɹməl',
-    'signal': 'sɪɡnəl', 'channel': 'tʃænəl', 'control': 'kəntɹoʊl',
-    'machine': 'məʃiːn', 'magazine': 'mæɡəziːn', 'routine': 'ɹuːtiːn',
+    'technical': 'tɛknɪkəl', 'chemical': 'kɛmɪkəl', 'medical': 'mɛdɪkəl',
+    'musical': 'mjuːzɪkəl', 'local': 'loʊkəl', 'total': 'toʊɾəl',
+    'final': 'faɪnəl', 'model': 'mɑːdəl', 'legal': 'liːɡəl',
+    'global': 'ɡloʊbəl', 'digital': 'dɪdʒɪɾəl', 'capital': 'kæpɪɾəl',
+    'hospital': 'hɑːspɪɾəl', 'animal': 'ænɪməl', 'normal': 'nɔːɹməl',
+    'formal': 'fɔːɹməl', 'signal': 'sɪɡnəl', 'channel': 'tʃænəl',
+    'control': 'kəntɹoʊl', 'magazine': 'mæɡəziːn', 'routine': 'ɹuːtiːn',
     'engine': 'ɛndʒɪn', 'examine': 'ɪɡzæmɪn', 'determine': 'dɪtɜːmɪn',
     'imagine': 'ɪmædʒɪn', 'medicine': 'mɛdɪsɪn', 'genuine': 'dʒɛnjuɪn',
     'define': 'dɪfaɪn', 'design': 'dɪzaɪn', 'sign': 'saɪn',
     'signed': 'saɪnd', 'campaign': 'kæmpeɪn', 'foreign': 'fɔːɹɪn',
     'recipe': 'ɹɛsɪpi', 'cafe': 'kæfeɪ', 'karate': 'kəɹɑːɾi',
     'coyote': 'kaɪoʊɾi', 'epitome': 'ɪpɪɾəmi', 'apostrophe': 'əpɑːstɹəfi',
-    'catastrophe': 'kətæstɹəfi', 'simile': 'sɪmɪli',
-    'committee': 'kəmɪɾi', 'coffee': 'kɔːfi', 'toffee': 'tɔːfi',
-    'people': 'piːpəl', 'purple': 'pɜːpəl', 'simple': 'sɪmpəl',
-    'example': 'ɪɡzæmpəl', 'possible': 'pɑːsɪbəl',
+    'catastrophe': 'kətæstɹəfi', 'simile': 'sɪmɪli', 'committee': 'kəmɪɾi',
+    'coffee': 'kɔːfi', 'toffee': 'tɔːfi', 'purple': 'pɜːpəl',
+    'simple': 'sɪmpəl', 'example': 'ɪɡzæmpəl', 'possible': 'pɑːsɪbəl',
     'impossible': 'ɪmpɑːsɪbəl', 'available': 'əveɪləbəl',
-    'probably': 'pɹɑːbəbli', 'problem': 'pɹɑːbləm',
-    'question': 'kwɛstʃən', 'suggestion': 'səɡdʒɛstʃən',
+    'probably': 'pɹɑːbəbli', 'suggestion': 'səɡdʒɛstʃən',
     'mountain': 'maʊntən', 'fountain': 'faʊntən', 'captain': 'kæptən',
-    'certain': 'sɜːtən', 'curtain': 'kɜːtən', 'britain': 'bɹɪtən',
-    'bargain': 'bɑːɹɡən', 'villain': 'vɪlən', 'again': 'əɡɛn',
-    'against': 'əɡɛnst', 'mind': 'maɪnd', 'find': 'faɪnd',
-    'kind': 'kaɪnd', 'blind': 'blaɪnd', 'behind': 'bɪhaɪnd',
+    'curtain': 'kɜːtən', 'britain': 'bɹɪtən', 'bargain': 'bɑːɹɡən',
+    'villain': 'vɪlən', 'mind': 'maɪnd', 'blind': 'blaɪnd',
     'child': 'tʃaɪld', 'children': 'tʃɪldɹən', 'wild': 'waɪld',
     'mild': 'maɪld', 'climb': 'klaɪm', 'comb': 'koʊm', 'tomb': 'tuːm',
     'womb': 'wuːm', 'bomb': 'bɑːm', 'thumb': 'θʌm', 'dumb': 'dʌm',
@@ -251,195 +218,154 @@ _LEXICON = {
     'subtle': 'sʌɾəl', 'castle': 'kæsəl', 'whistle': 'wɪsəl',
     'wrestle': 'ɹɛsəl', 'muscle': 'mʌsəl', 'scene': 'siːn',
     'scent': 'sɛnt', 'scissors': 'sɪzɚz', 'psychology': 'saɪkɑːlədʒi',
-    'receipt': 'ɹɪsiːt', 'aisle': 'aɪl', 'isle': 'aɪl',
-    'salmon': 'sæmən', 'half': 'hæf', 'calf': 'kæf', 'talk': 'tɔːk',
-    'walk': 'wɔːk', 'chalk': 'tʃɔːk', 'folk': 'foʊk', 'yolk': 'joʊk',
-    'calm': 'kɑːm', 'palm': 'pɑːm', 'could': 'kʊd', 'should': 'ʃʊd',
-    'would': 'wʊd', 'wolf': 'wʊlf', 'wolves': 'wʊlvz',
-    'woman': 'wʊmən', 'push': 'pʊʃ', 'pull': 'pʊl', 'full': 'fʊl',
-    'bull': 'bʊl', 'bush': 'bʊʃ', 'put': 'pʊt', 'sugar': 'ʃʊɡɚ',
-    'butcher': 'bʊtʃɚ', 'cushion': 'kʊʃən', 'during': 'dʊɹɪŋ',
-    'secure': 'sɪkjʊɹ', 'pure': 'pjʊɹ', 'cure': 'kjʊɹ',
-    'europe': 'jʊɹəp', 'jury': 'dʒʊɹi', 'fury': 'fjʊɹi',
-    'one': 'wʌn', 'once': 'wʌns', 'only': 'oʊnli', 'gone': 'ɡɔːn',
-    'done': 'dʌn', 'stone': 'stoʊn', 'phone': 'foʊn', 'bone': 'boʊn',
-    'alone': 'əloʊn', 'money': 'mʌni', 'honey': 'hʌni',
-    'monday': 'mʌndeɪ', 'tuesday': 'tuːzdeɪ', 'wednesday': 'wɛnzdeɪ',
-    'thursday': 'θɜːzdeɪ', 'friday': 'fɹaɪdeɪ', 'saturday': 'sæɾɚdeɪ',
-    'sunday': 'sʌndeɪ', 'january': 'dʒænjuɛɹi', 'february': 'fɛbɹuɛɹi',
-    'march': 'mɑːɹtʃ', 'april': 'eɪpɹəl', 'may': 'meɪ', 'june': 'dʒuːn',
-    'july': 'dʒulaɪ', 'august': 'ɔːɡəst', 'september': 'sɛptɛmbɚ',
-    'october': 'ɑːktoʊbɚ', 'november': 'noʊvɛmbɚ',
-    'december': 'dɪsɛmbɚ', 'america': 'əmɛɹɪkə',
+    'receipt': 'ɹɪsiːt', 'aisle': 'aɪl', 'isle': 'aɪl', 'salmon': 'sæmən',
+    'half': 'hæf', 'calf': 'kæf', 'chalk': 'tʃɔːk', 'folk': 'foʊk',
+    'yolk': 'joʊk', 'calm': 'kɑːm', 'palm': 'pɑːm', 'wolf': 'wʊlf',
+    'wolves': 'wʊlvz', 'push': 'pʊʃ', 'pull': 'pʊl', 'full': 'fʊl',
+    'bull': 'bʊl', 'bush': 'bʊʃ', 'butcher': 'bʊtʃɚ', 'cushion': 'kʊʃən',
+    'secure': 'sɪkjʊɹ', 'pure': 'pjʊɹ', 'cure': 'kjʊɹ', 'europe': 'jʊɹəp',
+    'jury': 'dʒʊɹi', 'fury': 'fjʊɹi', 'stone': 'stoʊn', 'phone': 'foʊn',
+    'bone': 'boʊn', 'alone': 'əloʊn', 'honey': 'hʌni', 'monday': 'mʌndeɪ',
+    'tuesday': 'tuːzdeɪ', 'wednesday': 'wɛnzdeɪ', 'thursday': 'θɜːzdeɪ',
+    'friday': 'fɹaɪdeɪ', 'saturday': 'sæɾɚdeɪ', 'sunday': 'sʌndeɪ',
+    'january': 'dʒænjuɛɹi', 'february': 'fɛbɹuɛɹi', 'march': 'mɑːɹtʃ',
+    'april': 'eɪpɹəl', 'may': 'meɪ', 'june': 'dʒuːn', 'july': 'dʒulaɪ',
+    'august': 'ɔːɡəst', 'september': 'sɛptɛmbɚ', 'october': 'ɑːktoʊbɚ',
+    'november': 'noʊvɛmbɚ', 'december': 'dɪsɛmbɚ', 'america': 'əmɛɹɪkə',
     'american': 'əmɛɹɪkən', 'english': 'ɪŋɡlɪʃ', 'england': 'ɪŋɡlənd',
-    'europe': 'jʊɹəp', 'european': 'jʊɹəpiːən', 'china': 'tʃaɪnə',
-    'chinese': 'tʃaɪniːz', 'japan': 'dʒəpæn', 'japanese': 'dʒæpəniːz',
-    'france': 'fɹæns', 'french': 'fɹɛntʃ', 'german': 'dʒɜːmən',
-    'germany': 'dʒɜːməni', 'india': 'ɪndiə', 'russia': 'ɹʌʃə',
-    'australia': 'ɔːstɹeɪljə', 'canada': 'kænədə', 'africa': 'æfɹɪkə',
-    'mexico': 'mɛksɪkoʊ', 'london': 'lʌndən', 'paris': 'pɛɹɪs',
-    'computer': 'kəmpjuːɾɚ', 'internet': 'ɪntɚnɛt',
-    'website': 'wɛbsaɪt', 'email': 'iːmeɪl', 'online': 'ɔːnlaɪn',
-    'software': 'sɔːftwɛɹ', 'technology': 'tɛknɑːlədʒi',
-    'phone': 'foʊn', 'telephone': 'tɛlɪfoʊn', 'camera': 'kæmɹə',
-    'picture': 'pɪktʃɚ', 'image': 'ɪmɪdʒ', 'movie': 'muːvi',
-    'movies': 'muːviz', 'series': 'sɪɹiz', 'species': 'spiːʃiz',
-    'item': 'aɪɾəm', 'items': 'aɪɾəmz', 'even': 'iːvən',
+    'european': 'jʊɹəpiːən', 'china': 'tʃaɪnə', 'chinese': 'tʃaɪniːz',
+    'japan': 'dʒəpæn', 'japanese': 'dʒæpəniːz', 'france': 'fɹæns',
+    'french': 'fɹɛntʃ', 'german': 'dʒɜːmən', 'germany': 'dʒɜːməni',
+    'india': 'ɪndiə', 'russia': 'ɹʌʃə', 'australia': 'ɔːstɹeɪljə',
+    'canada': 'kænədə', 'africa': 'æfɹɪkə', 'mexico': 'mɛksɪkoʊ',
+    'london': 'lʌndən', 'paris': 'pɛɹɪs', 'computer': 'kəmpjuːɾɚ',
+    'internet': 'ɪntɚnɛt', 'website': 'wɛbsaɪt', 'email': 'iːmeɪl',
+    'online': 'ɔːnlaɪn', 'software': 'sɔːftwɛɹ',
+    'technology': 'tɛknɑːlədʒi', 'telephone': 'tɛlɪfoʊn',
+    'camera': 'kæmɹə', 'picture': 'pɪktʃɚ', 'image': 'ɪmɪdʒ',
+    'movie': 'muːvi', 'movies': 'muːviz', 'series': 'sɪɹiz',
+    'species': 'spiːʃiz', 'item': 'aɪɾəm', 'items': 'aɪɾəmz',
     'evening': 'iːvnɪŋ', 'event': 'ɪvɛnt', 'events': 'ɪvɛnts',
-    'open': 'oʊpən', 'over': 'oʊvɚ', 'ocean': 'oʊʃən',
-    'only': 'oʊnli', 'moment': 'moʊmənt', 'process': 'pɹɑːsɛs',
-    'project': 'pɹɑːdʒɛkt', 'product': 'pɹɑːdʌkt', 'record': 'ɹɛkɚd',
-    'report': 'ɹɪpɔːɹt', 'second': 'sɛkənd', 'minutes': 'mɪnɪts',
-    'according': 'əkɔːɹdɪŋ', 'company': 'kʌmpəni',
-    'development': 'dɪvɛləpmənt', 'different': 'dɪfɹənt',
-    'difference': 'dɪfɹəns', 'interest': 'ɪntɹəst',
-    'interesting': 'ɪntɹəstɪŋ', 'important': 'ɪmpɔːɹtənt',
-    'environment': 'ɪnvaɪɹənmənt', 'experience': 'ɪkspɪɹiəns',
-    'economy': 'ɪkɑːnəmi', 'economic': 'ɛkənɑːmɪk',
-    'industry': 'ɪndəstɹi', 'military': 'mɪlɪtɛɹi',
-    'library': 'laɪbɹɛɹi', 'necessary': 'nɛsəsɛɹi',
+    'process': 'pɹɑːsɛs', 'project': 'pɹɑːdʒɛkt', 'product': 'pɹɑːdʌkt',
+    'record': 'ɹɛkɚd', 'report': 'ɹɪpɔːɹt', 'minutes': 'mɪnɪts',
+    'according': 'əkɔːɹdɪŋ', 'development': 'dɪvɛləpmənt',
+    'different': 'dɪfɹənt', 'difference': 'dɪfɹəns', 'interest': 'ɪntɹəst',
+    'interesting': 'ɪntɹəstɪŋ', 'environment': 'ɪnvaɪɹənmənt',
+    'economy': 'ɪkɑːnəmi', 'economic': 'ɛkənɑːmɪk', 'industry': 'ɪndəstɹi',
+    'military': 'mɪlɪtɛɹi', 'library': 'laɪbɹɛɹi', 'necessary': 'nɛsəsɛɹi',
     'dictionary': 'dɪkʃənɛɹi', 'secretary': 'sɛkɹətɛɹi',
-    'february': 'fɛbɹuɛɹi', 'category': 'kæɾəɡɔːɹi',
-    'actually': 'æktʃuəli', 'usually': 'juːʒuəli',
+    'category': 'kæɾəɡɔːɹi', 'actually': 'æktʃuəli', 'usually': 'juːʒuəli',
     'finally': 'faɪnəli', 'certainly': 'sɜːtənli',
-    'probably': 'pɹɑːbəbli', 'definitely': 'dɛfɪnətli',
-    'absolutely': 'æbsəluːtli', 'exactly': 'ɪɡzæktli',
-    'directly': 'dɚɹɛktli', 'recently': 'ɹiːsəntli',
-    'currently': 'kɜːɹəntli', 'suddenly': 'sʌdənli',
-    'quickly': 'kwɪkli', 'slowly': 'sloʊli', 'easily': 'iːzɪli',
-    'simply': 'sɪmpli', 'nearly': 'nɪɹli', 'clearly': 'klɪɹli',
-    'basically': 'beɪsɪkli', 'literally': 'lɪɾɚɹəli',
-    # 'ow' = /aʊ/ exceptions to the oʊ rule
-    'brown': 'bɹaʊn', 'town': 'taʊn', 'crowd': 'kɹaʊd', 'cow': 'kaʊ',
-    'owl': 'aʊl', 'tower': 'taʊɚ', 'flower': 'flaʊɚ', 'shower': 'ʃaʊɚ',
-    'towel': 'taʊəl', 'vowel': 'vaʊəl', 'brow': 'bɹaʊ',
-    'eyebrow': 'aɪbɹaʊ', 'drown': 'dɹaʊn', 'frown': 'fɹaʊn',
-    'gown': 'ɡaʊn', 'clown': 'klaʊn', 'crown': 'kɹaʊn', 'plow': 'plaʊ',
-    'howl': 'haʊl', 'growl': 'ɡɹaʊl', 'prowl': 'pɹaʊl',
-    'coward': 'kaʊɚd', 'powder': 'paʊdɚ', 'chowder': 'tʃaʊdɚ',
-    'browse': 'bɹaʊz', 'browser': 'bɹaʊzɚ', 'drowsy': 'dɹaʊzi',
-    # open-syllable long vowels the degeminated rules miss
-    'lazy': 'leɪzi', 'crazy': 'kɹeɪzi', 'baby': 'beɪbi',
-    'lady': 'leɪdi', 'tiny': 'taɪni', 'shiny': 'ʃaɪni',
+    'definitely': 'dɛfɪnətli', 'absolutely': 'æbsəluːtli',
+    'exactly': 'ɪɡzæktli', 'directly': 'dɚɹɛktli', 'recently': 'ɹiːsəntli',
+    'currently': 'kɜːɹəntli', 'suddenly': 'sʌdənli', 'quickly': 'kwɪkli',
+    'slowly': 'sloʊli', 'easily': 'iːzɪli', 'simply': 'sɪmpli',
+    'nearly': 'nɪɹli', 'clearly': 'klɪɹli', 'basically': 'beɪsɪkli',
+    'literally': 'lɪɾɚɹəli', 'brown': 'bɹaʊn', 'town': 'taʊn',
+    'crowd': 'kɹaʊd', 'cow': 'kaʊ', 'owl': 'aʊl', 'tower': 'taʊɚ',
+    'flower': 'flaʊɚ', 'shower': 'ʃaʊɚ', 'towel': 'taʊəl',
+    'vowel': 'vaʊəl', 'brow': 'bɹaʊ', 'eyebrow': 'aɪbɹaʊ',
+    'drown': 'dɹaʊn', 'frown': 'fɹaʊn', 'gown': 'ɡaʊn', 'clown': 'klaʊn',
+    'crown': 'kɹaʊn', 'plow': 'plaʊ', 'howl': 'haʊl', 'growl': 'ɡɹaʊl',
+    'prowl': 'pɹaʊl', 'coward': 'kaʊɚd', 'powder': 'paʊdɚ',
+    'chowder': 'tʃaʊdɚ', 'browse': 'bɹaʊz', 'browser': 'bɹaʊzɚ',
+    'drowsy': 'dɹaʊzi', 'lazy': 'leɪzi', 'crazy': 'kɹeɪzi',
+    'baby': 'beɪbi', 'lady': 'leɪdi', 'tiny': 'taɪni', 'shiny': 'ʃaɪni',
     'paper': 'peɪpɚ', 'later': 'leɪɾɚ', 'maker': 'meɪkɚ',
     'basic': 'beɪsɪk', 'basis': 'beɪsɪs', 'data': 'deɪɾə',
     'label': 'leɪbəl', 'table': 'teɪbəl', 'cable': 'keɪbəl',
     'favor': 'feɪvɚ', 'flavor': 'fleɪvɚ', 'major': 'meɪdʒɚ',
-    'navy': 'neɪvi', 'gravy': 'ɡɹeɪvi', 'wavy': 'weɪvi',
-    'tidy': 'taɪdi', 'silent': 'saɪlənt', 'pilot': 'paɪlət',
-    'item': 'aɪɾəm', 'siren': 'saɪɹən', 'virus': 'vaɪɹəs',
-    'minor': 'maɪnɚ', 'final': 'faɪnəl', 'spider': 'spaɪdɚ',
+    'navy': 'neɪvi', 'gravy': 'ɡɹeɪvi', 'wavy': 'weɪvi', 'tidy': 'taɪdi',
+    'silent': 'saɪlənt', 'pilot': 'paɪlət', 'siren': 'saɪɹən',
+    'virus': 'vaɪɹəs', 'minor': 'maɪnɚ', 'spider': 'spaɪdɚ',
     'cider': 'saɪdɚ', 'tiger': 'taɪɡɚ', 'rival': 'ɹaɪvəl',
     'bonus': 'boʊnəs', 'focus': 'foʊkəs', 'photo': 'foʊɾoʊ',
-    'solo': 'soʊloʊ', 'logo': 'loʊɡoʊ', 'hero': 'hɪɹoʊ',
-    'zero': 'zɪɹoʊ', 'robot': 'ɹoʊbɑːt', 'motor': 'moʊɾɚ',
-    'soda': 'soʊdə', 'sofa': 'soʊfə', 'moment': 'moʊmənt',
-    'local': 'loʊkəl', 'vocal': 'voʊkəl', 'broken': 'bɹoʊkən',
-    'frozen': 'fɹoʊzən', 'chosen': 'tʃoʊzən', 'spoken': 'spoʊkən',
-    'human': 'hjuːmən', 'humor': 'hjuːmɚ', 'music': 'mjuːzɪk',
-    'duty': 'duːɾi', 'tuna': 'tuːnə', 'ruby': 'ɹuːbi',
+    'solo': 'soʊloʊ', 'logo': 'loʊɡoʊ', 'hero': 'hɪɹoʊ', 'zero': 'zɪɹoʊ',
+    'robot': 'ɹoʊbɑːt', 'motor': 'moʊɾɚ', 'soda': 'soʊdə', 'sofa': 'soʊfə',
+    'vocal': 'voʊkəl', 'broken': 'bɹoʊkən', 'frozen': 'fɹoʊzən',
+    'chosen': 'tʃoʊzən', 'spoken': 'spoʊkən', 'human': 'hjuːmən',
+    'humor': 'hjuːmɚ', 'duty': 'duːɾi', 'tuna': 'tuːnə', 'ruby': 'ɹuːbi',
     'super': 'suːpɚ', 'duper': 'duːpɚ', 'tulip': 'tuːlɪp',
     'pupil': 'pjuːpəl', 'unit': 'juːnɪt', 'united': 'juːnaɪɾɪd',
     'uniform': 'juːnɪfɔːɹm', 'universe': 'juːnɪvɜːs',
-    'university': 'juːnɪvɜːsɪɾi',
-    # greek/latin 'ch' = /k/ and french 'ch' = /ʃ/
-    'stomach': 'stʌmək', 'chemistry': 'kɛmɪstɹi', 'chemical': 'kɛmɪkəl',
-    'chorus': 'kɔːɹəs', 'character': 'kɛɹəktɚ', 'christmas': 'kɹɪsməs',
-    'ache': 'eɪk', 'echo': 'ɛkoʊ', 'anchor': 'æŋkɚ',
-    'orchestra': 'ɔːɹkɪstɹə', 'mechanic': 'məkænɪk',
-    'mechanical': 'məkænɪkəl', 'architect': 'ɑːɹkɪtɛkt',
-    'chaos': 'keɪɑːs', 'chrome': 'kɹoʊm', 'chronic': 'kɹɑːnɪk',
-    'scheme': 'skiːm', 'stomachs': 'stʌməks', 'chef': 'ʃɛf',
-    'chute': 'ʃuːt', 'brochure': 'bɹoʊʃʊɹ', 'chicago': 'ʃɪkɑːɡoʊ',
-    'michigan': 'mɪʃɪɡən', 'mustache': 'mʌstæʃ', 'chevron': 'ʃɛvɹɑːn',
-    # french endings and other borrowings
-    'bureau': 'bjʊɹoʊ', 'restaurant': 'ɹɛstɹɑːnt',
-    'sergeant': 'sɑːɹdʒənt', 'lieutenant': 'luːtɛnənt',
-    'yacht': 'jɑːt', 'debris': 'dəbɹiː', 'queue': 'kjuː',
-    'cheque': 'tʃɛk', 'mortgage': 'mɔːɹɡɪdʒ', 'ballet': 'bæleɪ',
-    'buffet': 'bəfeɪ', 'bouquet': 'buːkeɪ', 'genre': 'ʒɑːnɹə',
-    'garage': 'ɡəɹɑːʒ', 'massage': 'məsɑːʒ', 'mirage': 'məɹɑːʒ',
-    'collage': 'kəlɑːʒ', 'beige': 'beɪʒ', 'regime': 'ɹəʒiːm',
-    'prestige': 'pɹɛstiːʒ', 'cliche': 'kliːʃeɪ', 'cafe': 'kæfeɪ',
+    'university': 'juːnɪvɜːsɪɾi', 'stomach': 'stʌmək',
+    'chemistry': 'kɛmɪstɹi', 'chorus': 'kɔːɹəs', 'character': 'kɛɹəktɚ',
+    'christmas': 'kɹɪsməs', 'ache': 'eɪk', 'echo': 'ɛkoʊ',
+    'anchor': 'æŋkɚ', 'orchestra': 'ɔːɹkɪstɹə', 'mechanic': 'məkænɪk',
+    'mechanical': 'məkænɪkəl', 'architect': 'ɑːɹkɪtɛkt', 'chaos': 'keɪɑːs',
+    'chrome': 'kɹoʊm', 'chronic': 'kɹɑːnɪk', 'scheme': 'skiːm',
+    'stomachs': 'stʌməks', 'chef': 'ʃɛf', 'chute': 'ʃuːt',
+    'brochure': 'bɹoʊʃʊɹ', 'chicago': 'ʃɪkɑːɡoʊ', 'michigan': 'mɪʃɪɡən',
+    'mustache': 'mʌstæʃ', 'chevron': 'ʃɛvɹɑːn', 'bureau': 'bjʊɹoʊ',
+    'restaurant': 'ɹɛstɹɑːnt', 'sergeant': 'sɑːɹdʒənt',
+    'lieutenant': 'luːtɛnənt', 'yacht': 'jɑːt', 'debris': 'dəbɹiː',
+    'queue': 'kjuː', 'cheque': 'tʃɛk', 'mortgage': 'mɔːɹɡɪdʒ',
+    'ballet': 'bæleɪ', 'buffet': 'bəfeɪ', 'bouquet': 'buːkeɪ',
+    'genre': 'ʒɑːnɹə', 'garage': 'ɡəɹɑːʒ', 'massage': 'məsɑːʒ',
+    'mirage': 'məɹɑːʒ', 'collage': 'kəlɑːʒ', 'beige': 'beɪʒ',
+    'regime': 'ɹəʒiːm', 'prestige': 'pɹɛstiːʒ', 'cliche': 'kliːʃeɪ',
     'jeopardy': 'dʒɛpɚdi', 'leopard': 'lɛpɚd', 'leotard': 'liːətɑːɹd',
-    # -nger: hard g, soft g, or plain ŋ is lexical
     'finger': 'fɪŋɡɚ', 'anger': 'æŋɡɚ', 'hunger': 'hʌŋɡɚ',
     'angry': 'æŋɡɹi', 'hungry': 'hʌŋɡɹi', 'longer': 'lɔːŋɡɚ',
-    'stronger': 'stɹɔːŋɡɚ', 'younger': 'jʌŋɡɚ',
-    'danger': 'deɪndʒɚ', 'stranger': 'stɹeɪndʒɚ', 'manger': 'meɪndʒɚ',
+    'stronger': 'stɹɔːŋɡɚ', 'younger': 'jʌŋɡɚ', 'danger': 'deɪndʒɚ',
+    'stranger': 'stɹeɪndʒɚ', 'manger': 'meɪndʒɚ',
     'dangerous': 'deɪndʒɚɹəs', 'passenger': 'pæsɪndʒɚ',
     'messenger': 'mɛsɪndʒɚ', 'singer': 'sɪŋɚ', 'ringer': 'ɹɪŋɚ',
-    'hanger': 'hæŋɚ',
-    # soft ge- words the hard-'ge' guard misses
-    'gentle': 'dʒɛntəl', 'gentleman': 'dʒɛntəlmən',
+    'hanger': 'hæŋɚ', 'gentle': 'dʒɛntəl', 'gentleman': 'dʒɛntəlmən',
     'genius': 'dʒiːniəs', 'gene': 'dʒiːn', 'generation': 'dʒɛnɚɹeɪʃən',
     'generous': 'dʒɛnɚɹəs', 'gesture': 'dʒɛstʃɚ', 'gem': 'dʒɛm',
-    # hard gi- words the soft-g rule misses
     'gift': 'ɡɪft', 'gifts': 'ɡɪfts', 'geese': 'ɡiːs', 'gear': 'ɡɪɹ',
     'giggle': 'ɡɪɡəl', 'gill': 'ɡɪl', 'gig': 'ɡɪɡ', 'geyser': 'ɡaɪzɚ',
-    # assorted irregulars surfaced by frequency probing
     'oven': 'ʌvən', 'shove': 'ʃʌv', 'wash': 'wɑːʃ', 'wasp': 'wɑːsp',
-    'watt': 'wɑːt', 'swap': 'swɑːp', 'swan': 'swɑːn',
-    'pour': 'pɔːɹ', 'source': 'sɔːɹs', 'court': 'kɔːɹt',
-    'fourth': 'fɔːɹθ', 'mourn': 'mɔːɹn', 'beard': 'bɪɹd',
-    'laughter': 'læftɚ', 'draught': 'dɹæft', 'occasion': 'əkeɪʒən',
-    'occasionally': 'əkeɪʒənəli', 'pressure': 'pɹɛʃɚ',
-    'assure': 'əʃʊɹ', 'insure': 'ɪnʃʊɹ', 'ensure': 'ɪnʃʊɹ',
-    'century': 'sɛntʃɚɹi', 'centuries': 'sɛntʃɚɹiz',
+    'watt': 'wɑːt', 'swap': 'swɑːp', 'swan': 'swɑːn', 'pour': 'pɔːɹ',
+    'source': 'sɔːɹs', 'fourth': 'fɔːɹθ', 'mourn': 'mɔːɹn',
+    'beard': 'bɪɹd', 'laughter': 'læftɚ', 'draught': 'dɹæft',
+    'occasion': 'əkeɪʒən', 'occasionally': 'əkeɪʒənəli',
+    'pressure': 'pɹɛʃɚ', 'assure': 'əʃʊɹ', 'insure': 'ɪnʃʊɹ',
+    'ensure': 'ɪnʃʊɹ', 'century': 'sɛntʃɚɹi', 'centuries': 'sɛntʃɚɹiz',
     'penguin': 'pɛŋɡwɪn', 'pretty': 'pɹɪɾi', 'southern': 'sʌðɚn',
-    'puss': 'pʊs', 'pudding': 'pʊdɪŋ', 'bosom': 'bʊzəm',
-    'threw': 'θɹuː', 'sew': 'soʊ', 'sewn': 'soʊn', 'euro': 'jʊɹoʊ',
-    'fierce': 'fɪɹs', 'pierce': 'pɪɹs', 'giraffe': 'dʒɚɹæf',
-    'ginger': 'dʒɪndʒɚ', 'exhibit': 'ɪɡzɪbɪt',
-    'exhibition': 'ɛksɪbɪʃən', 'position': 'pəzɪʃən',
-    'positions': 'pəzɪʃənz', 'possession': 'pəzɛʃən',
-    'dessert': 'dɪzɜːt', 'desert': 'dɛzɚt', 'resort': 'ɹɪzɔːɹt',
-    'reserve': 'ɹɪzɜːv', 'resemble': 'ɹɪzɛmbəl', 'resume': 'ɹɪzuːm',
-    'observe': 'əbzɜːv', 'deserve': 'dɪzɜːv', 'present': 'pɹɛzənt',
-    'presents': 'pɹɛzənts', 'presentation': 'pɹɛzənteɪʃən',
-    'visit': 'vɪzɪt', 'visitor': 'vɪzɪɾɚ', 'positive': 'pɑːzɪɾɪv',
-    'cousin': 'kʌzən', 'raisin': 'ɹeɪzən', 'poison': 'pɔɪzən',
-    'prison': 'pɹɪzən', 'season': 'siːzən', 'reason': 'ɹiːzən',
-    'thousand': 'θaʊzənd', 'husband': 'hʌzbənd', 'closet': 'klɑːzɪt',
-    'deposit': 'dɪpɑːzɪt', 'opposite': 'ɑːpəzɪt',
+    'puss': 'pʊs', 'pudding': 'pʊdɪŋ', 'bosom': 'bʊzəm', 'threw': 'θɹuː',
+    'sew': 'soʊ', 'sewn': 'soʊn', 'euro': 'jʊɹoʊ', 'fierce': 'fɪɹs',
+    'pierce': 'pɪɹs', 'giraffe': 'dʒɚɹæf', 'ginger': 'dʒɪndʒɚ',
+    'exhibit': 'ɪɡzɪbɪt', 'exhibition': 'ɛksɪbɪʃən', 'position': 'pəzɪʃən',
+    'positions': 'pəzɪʃənz', 'possession': 'pəzɛʃən', 'dessert': 'dɪzɜːt',
+    'desert': 'dɛzɚt', 'resort': 'ɹɪzɔːɹt', 'reserve': 'ɹɪzɜːv',
+    'resemble': 'ɹɪzɛmbəl', 'resume': 'ɹɪzuːm', 'observe': 'əbzɜːv',
+    'deserve': 'dɪzɜːv', 'present': 'pɹɛzənt', 'presents': 'pɹɛzənts',
+    'presentation': 'pɹɛzənteɪʃən', 'visit': 'vɪzɪt', 'visitor': 'vɪzɪɾɚ',
+    'positive': 'pɑːzɪɾɪv', 'raisin': 'ɹeɪzən', 'poison': 'pɔɪzən',
+    'prison': 'pɹɪzən', 'season': 'siːzən', 'husband': 'hʌzbənd',
+    'closet': 'klɑːzɪt', 'deposit': 'dɪpɑːzɪt', 'opposite': 'ɑːpəzɪt',
     'tongue': 'tʌŋ', 'unique': 'juːniːk', 'antique': 'æntiːk',
     'technique': 'tɛkniːk', 'rhythm': 'ɹɪðəm', 'rhyme': 'ɹaɪm',
-    'aware': 'əwɛɹ', 'beware': 'bɪwɛɹ', 'awake': 'əweɪk',
-    'away': 'əweɪ', 'await': 'əweɪt', 'award': 'əwɔːɹd',
-    # number words (heavily exercised by the number verbalizer)
-    'eleven': 'ɪlɛvən', 'twelve': 'twɛlv', 'thirteen': 'θɜːtiːn',
-    'fourteen': 'fɔːɹtiːn', 'fifteen': 'fɪftiːn',
-    'sixteen': 'sɪkstiːn', 'seventeen': 'sɛvəntiːn',
-    'eighteen': 'eɪtiːn', 'nineteen': 'naɪntiːn',
-    'twenty': 'twɛnti', 'thirty': 'θɜːɾi', 'forty': 'fɔːɹɾi',
-    'fifty': 'fɪfti', 'sixty': 'sɪksti', 'seventy': 'sɛvənti',
-    'eighty': 'eɪɾi', 'ninety': 'naɪnti', 'billion': 'bɪljən',
-    'trillion': 'tɹɪljən', 'zeroth': 'zɪɹoʊθ', 'ninth': 'naɪnθ',
-    'twelfth': 'twɛlfθ', 'fifth': 'fɪfθ', 'eighth': 'eɪtθ',
-    # compounds and pronouns the splitter can't decompose
-    'somewhere': 'sʌmwɛɹ', 'anywhere': 'ɛniwɛɹ',
-    'everywhere': 'ɛvɹiwɛɹ', 'nowhere': 'noʊwɛɹ',
-    'anybody': 'ɛnibɑːdi', 'everybody': 'ɛvɹibɑːdi',
-    'myself': 'maɪsɛlf', 'yourself': 'jɚsɛlf', 'himself': 'hɪmsɛlf',
-    'herself': 'hɚsɛlf', 'itself': 'ɪtsɛlf',
+    'aware': 'əwɛɹ', 'beware': 'bɪwɛɹ', 'awake': 'əweɪk', 'await': 'əweɪt',
+    'award': 'əwɔːɹd', 'eleven': 'ɪlɛvən', 'twelve': 'twɛlv',
+    'thirteen': 'θɜːtiːn', 'fourteen': 'fɔːɹtiːn', 'fifteen': 'fɪftiːn',
+    'sixteen': 'sɪkstiːn', 'seventeen': 'sɛvəntiːn', 'eighteen': 'eɪtiːn',
+    'nineteen': 'naɪntiːn', 'twenty': 'twɛnti', 'thirty': 'θɜːɾi',
+    'forty': 'fɔːɹɾi', 'fifty': 'fɪfti', 'sixty': 'sɪksti',
+    'seventy': 'sɛvənti', 'eighty': 'eɪɾi', 'ninety': 'naɪnti',
+    'billion': 'bɪljən', 'trillion': 'tɹɪljən', 'zeroth': 'zɪɹoʊθ',
+    'ninth': 'naɪnθ', 'twelfth': 'twɛlfθ', 'fifth': 'fɪfθ',
+    'eighth': 'eɪtθ', 'somewhere': 'sʌmwɛɹ', 'anywhere': 'ɛniwɛɹ',
+    'everywhere': 'ɛvɹiwɛɹ', 'nowhere': 'noʊwɛɹ', 'anybody': 'ɛnibɑːdi',
+    'everybody': 'ɛvɹibɑːdi', 'myself': 'maɪsɛlf', 'yourself': 'jɚsɛlf',
+    'himself': 'hɪmsɛlf', 'herself': 'hɚsɛlf', 'itself': 'ɪtsɛlf',
     'ourselves': 'aʊɚsɛlvz', 'yourselves': 'jɚsɛlvz',
-    'themselves': 'ðɛmsɛlvz', 'therefore': 'ðɛɹfɔːɹ',
-    'cannot': 'kænɑːt', 'upstairs': 'ʌpstɛɹz',
-    'downstairs': 'daʊnstɛɹz', 'meanwhile': 'miːnwaɪl',
-    'moreover': 'mɔːɹoʊvɚ', 'otherwise': 'ʌðɚwaɪz',
-    'worthwhile': 'wɜːθwaɪl', 'elsewhere': 'ɛlswɛɹ',
-    # latinate endings and oddballs from the second probing round
-    'budget': 'bʌdʒɪt', 'gadget': 'ɡædʒɪt', 'widget': 'wɪdʒɪt',
-    'knowledge': 'nɑːlɪdʒ', 'college': 'kɑːlɪdʒ',
+    'themselves': 'ðɛmsɛlvz', 'therefore': 'ðɛɹfɔːɹ', 'cannot': 'kænɑːt',
+    'upstairs': 'ʌpstɛɹz', 'downstairs': 'daʊnstɛɹz',
+    'meanwhile': 'miːnwaɪl', 'moreover': 'mɔːɹoʊvɚ',
+    'otherwise': 'ʌðɚwaɪz', 'worthwhile': 'wɜːθwaɪl',
+    'elsewhere': 'ɛlswɛɹ', 'budget': 'bʌdʒɪt', 'gadget': 'ɡædʒɪt',
+    'widget': 'wɪdʒɪt', 'knowledge': 'nɑːlɪdʒ', 'college': 'kɑːlɪdʒ',
     'clothes': 'kloʊðz', 'vegetable': 'vɛdʒtəbəl',
     'vegetables': 'vɛdʒtəbəlz', 'chocolate': 'tʃɔːklət',
     'explosion': 'ɪksploʊʒən', 'confusion': 'kənfjuːʒən',
     'conclusion': 'kənkluːʒən', 'illusion': 'ɪluːʒən',
-    'insurance': 'ɪnʃʊɹəns', 'holy': 'hoʊli', 'whole': 'hoʊl',
-    'wholly': 'hoʊli', 'target': 'tɑːɹɡɪt', 'forget': 'fɚɡɛt',
-    'forgot': 'fɚɡɑːt', 'forgotten': 'fɚɡɑːtən',
-    'worn': 'wɔːɹn', 'sworn': 'swɔːɹn', 'sword': 'sɔːɹd',
-    'resign': 'ɹɪzaɪn', 'signal': 'sɪɡnəl',
+    'insurance': 'ɪnʃʊɹəns', 'holy': 'hoʊli', 'wholly': 'hoʊli',
+    'target': 'tɑːɹɡɪt', 'forget': 'fɚɡɛt', 'forgot': 'fɚɡɑːt',
+    'forgotten': 'fɚɡɑːtən', 'worn': 'wɔːɹn', 'sworn': 'swɔːɹn',
+    'sword': 'sɔːɹd', 'resign': 'ɹɪzaɪn',
 }
 
 # Longest-match context-free digraph/letter rules (en-us flavored).

@@ -39,6 +39,8 @@ def main() -> None:
     wr.add_argument('--voc_checkpoint', type=str, required=True)
     hg = subparsers.add_parser('hifigan')
     hg.add_argument('--voc_checkpoint', type=str, required=True)
+    mg = subparsers.add_parser('melgan')
+    mg.add_argument('--voc_checkpoint', type=str, required=True)
     args = parser.parse_args()
     vocoder = args.vocoder or 'griffinlim'
 

@@ -102,3 +102,20 @@ def test_g2p_output_stays_in_symbol_inventory():
     out = g(text.lower())
     unknown = [c for c in out if c not in phonemes]
     assert not unknown, f'chars outside inventory: {unknown!r}'
+
+
+def test_lexicon_has_no_duplicate_keys():
+    """A duplicate key in the _LEXICON literal silently shadows the
+    earlier entry (Python keeps the last) — assert the literal's key
+    count matches the runtime dict so conflicting edits surface."""
+    import ast
+    import inspect
+
+    from forwardtacotron_tpu.text import g2p
+    tree = ast.parse(inspect.getsource(g2p))
+    literal_keys = None
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Dict) and len(node.keys) > 100:
+            literal_keys = [ast.literal_eval(k) for k in node.keys]
+    assert literal_keys is not None
+    assert len(literal_keys) == len(set(literal_keys)) == len(g2p._LEXICON)

@@ -126,3 +126,31 @@ def test_prefetcher_preserves_order_and_propagates_errors():
         for x in Prefetcher(gen(), depth=1):
             out.append(x)
     assert out == [1, 2]
+
+
+def test_gan_voc_collator_short_clips_padded():
+    """Clips shorter than one training window are repeat-padded (not
+    crashed on) and empty clips are dropped with the batch shape kept
+    rectangular (advisor finding: np.stack ValueError mid-epoch)."""
+    import numpy as np
+    from forwardtacotron_tpu.data.dataset import GANVocCollator
+
+    hop, seg = 64, 512          # win = 8 frames
+    coll = GANVocCollator(hop_length=hop, seg_len=seg, voc_mode='RAW',
+                          bits=9, mu_law=True,
+                          rng=np.random.RandomState(0))
+    rng = np.random.RandomState(1)
+
+    def item(frames):
+        return {'mel': rng.randn(80, frames).astype(np.float32),
+                'x': rng.randint(0, 512, size=(frames * hop,))}
+
+    batch = [item(3), item(40), item(8), item(0)]
+    out = coll(batch)
+    assert out['mel'].shape == (4, 8, 80)
+    assert out['audio'].shape == (4, seg)
+    assert np.isfinite(out['audio']).all()
+
+    import pytest
+    with pytest.raises(ValueError):
+        coll([item(0), item(0)])

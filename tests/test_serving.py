@@ -185,3 +185,21 @@ def test_error_propagates_not_poisons(server):
     # server still serves afterwards
     pcm = server.synthesize('Still alive.', timeout=300)
     assert len(pcm) > 0
+
+
+def test_close_fails_requests_queued_behind_sentinel(tts_ckpt):
+    """Requests still in the queue when close() lands must fail their
+    Futures (RuntimeError) instead of hanging callers forever."""
+    from forwardtacotron_tpu.serving import TTSServer, _Request
+    srv = TTSServer(tts_ckpt, vocoder='griffinlim', max_batch=4,
+                    max_wait_ms=200.0, mel_bucket=128)
+    f1 = srv.submit('Hello world.')
+    srv._closed = True
+    srv._q.put(None)                      # close sentinel
+    orphan = _Request('Too late.', 1.0, 1.0, 1.0)
+    srv._q.put(orphan)                    # queued BEHIND the sentinel
+    srv._worker.join(timeout=300)
+    assert not srv._worker.is_alive()
+    assert isinstance(f1.result(timeout=300), np.ndarray)
+    with pytest.raises(RuntimeError, match='server closed'):
+        orphan.future.result(timeout=5)
