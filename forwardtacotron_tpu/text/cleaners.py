@@ -127,15 +127,17 @@ def to_phonemes(text: str, lang: str) -> str:
     (reference: utils/text/cleaners.py:56-67)."""
     if espeak_available():
         pieces = re.split(f'([{re.escape(_PUNCTUATION_MARKS)}])', text)
-        out = []
+        result = ''
         for piece in pieces:
             if not piece:
                 continue
             if piece in _PUNCTUATION_MARKS:
-                out.append(piece)
+                result += piece  # attach to the preceding chunk,
+                #                  as phonemizer's preserve_punctuation
             elif piece.strip():
-                out.append(_espeak_phonemize_chunk(piece.strip(), lang))
-        result = ' '.join(out).strip()
+                result += (' ' if result else '') \
+                    + _espeak_phonemize_chunk(piece.strip(), lang)
+        result = result.strip()
     else:
         from forwardtacotron_tpu.text.g2p import rule_based_g2p
         result = rule_based_g2p(text)
