@@ -7,6 +7,19 @@ jitted ForwardTacotron serving path (series prediction + length
 regulation + decoder + postnet) on a static bucket sized for a long
 utterance, and report RTF = wall_time / generated_audio_seconds.
 
+Measurement methodology (see docs/benchmarks.md): on the tunnel this
+image runs through, identical repeated executions can be memoized by
+the relay and `block_until_ready` does not reliably block. Every timed
+loop here therefore (a) VARIES its inputs per iteration, and (b)
+forces execution with a real host fetch: either `np.asarray` of the
+result, or a fetched scalar checksum that data-depends on the full
+output. Two numbers are reported per path where it matters:
+  - serial: per-call wall including one host round-trip per call
+    (median) — the end-to-end latency a caller sees;
+  - chained: N calls where call i's input data-depends on call i-1's
+    checksum, one fetch at the end — per-call device+queue time with
+    the per-call round-trip amortized (the throughput bound).
+
 Prints ONE JSON line:
   {"metric": "batch1_mel_rtf", "value": <rtf>, "unit": "rtf",
    "vs_baseline": <target 0.005 / rtf>, "extra": {...}}
@@ -18,6 +31,33 @@ import os
 import time
 
 import numpy as np
+
+
+def _serial_median(call, inputs) -> float:
+    """Median per-call wall time of `call(inp)` over varying inputs,
+    fetching each result to host (np.asarray)."""
+    ts = []
+    for inp in inputs:
+        t0 = time.perf_counter()
+        np.asarray(call(inp))
+        ts.append(time.perf_counter() - t0)
+    return sorted(ts)[len(ts) // 2]
+
+
+def _pipelined_time(call, inputs) -> float:
+    """Per-call time with host round-trips amortized: dispatch every
+    (varying-input) call first, then fetch EVERY result — nothing is
+    memoizable (inputs differ) and nothing can be elided (all outputs
+    are fetched). Executions serialize on the chip, so total/N bounds
+    per-call device+queue time. (A carried data dependency would also
+    force ordering, but measured on this tunnel a dependent dispatch
+    stalls ~170 ms/call in the relay, so independent dispatch + full
+    fetch is the sound amortized methodology here.)"""
+    t0 = time.perf_counter()
+    outs = [call(inp) for inp in inputs]
+    for o in outs:
+        np.asarray(o)
+    return (time.perf_counter() - t0) / len(inputs)
 
 
 def main() -> None:
@@ -32,8 +72,8 @@ def main() -> None:
     model = ForwardTacotron.from_config(config)
 
     Tx, mel_bucket = 128, 768
-    x = jnp.asarray(
-        np.random.RandomState(0).randint(1, 60, size=(1, Tx)), jnp.int32)
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randint(1, 60, size=(1, Tx)), jnp.int32)
     x_len = jnp.asarray([120])
 
     cpu = jax.local_devices(backend='cpu')[0]
@@ -48,46 +88,51 @@ def main() -> None:
         series = model.apply(variables, x, method='predict_series',
                              x_len=x_len)
         dur = jnp.where(jnp.arange(Tx)[None] < x_len[:, None], 6.0, 0.0)
-        return model.apply(variables, x, dur, series['pitch'],
-                           series['energy'], mel_bucket,
-                           method='generate_from_series', x_len=x_len)
+        out = model.apply(variables, x, dur, series['pitch'],
+                          series['energy'], mel_bucket,
+                          method='generate_from_series', x_len=x_len)
+        return jnp.sum(out['mel_post']), out
 
     gen = jax.jit(gen)
-    out = jax.block_until_ready(gen(variables, x, x_len))  # compile
+    n_iter = 24
+    xs = [jnp.asarray(rs.randint(1, 60, size=(1, Tx)), jnp.int32)
+          for _ in range(n_iter)]
+    cs, out = gen(variables, x, x_len)  # compile
+    np.asarray(cs)
     mel_len = int(out['mel_len'][0])
 
-    # dispatch through the axon tunnel adds ~20% run-to-run noise:
-    # take the best of three measurement rounds
-    n_iter = 30
-    dt = float('inf')
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(n_iter):
-            out = gen(variables, x, x_len)
-        jax.block_until_ready(out['mel_post'])
-        dt = min(dt, (time.perf_counter() - t0) / n_iter)
+    # serial: per-call wall incl. one scalar fetch round-trip per call
+    # — the headline (what a caller of the serving path experiences)
+    dt = _serial_median(lambda xi: gen(variables, xi, x_len)[0], xs)
+    # pipelined: device+queue bound, round-trips amortized
+    dt_piped = _pipelined_time(
+        lambda xi: gen(variables, xi, x_len)[0], xs)
 
     audio_seconds = mel_len * hop / sr
     rtf = dt / audio_seconds
 
     # secondary: batched serving throughput (mel frames / sec / chip)
-    B = 32
-    xb = jnp.tile(x, (B, 1))
+    B, nb = 32, 8
+    xbs = [jnp.asarray(rs.randint(1, 60, size=(B, Tx)), jnp.int32)
+           for _ in range(nb)]
     xlb = jnp.tile(x_len, (B,))
-    outb = jax.block_until_ready(gen(variables, xb, xlb))
-    t0 = time.perf_counter()
-    for _ in range(10):
-        outb = gen(variables, xb, xlb)
-    jax.block_until_ready(outb['mel_post'])
-    dtb = (time.perf_counter() - t0) / 10
+    np.asarray(gen(variables, xbs[0], xlb)[0])  # compile
+    dtb = _pipelined_time(lambda xi: gen(variables, xi, xlb)[0], xbs)
     frames_per_sec = B * mel_len / dtb
 
     extra = {
         'batch1_latency_ms': round(dt * 1000, 3),
+        'batch1_latency_pipelined_ms': round(dt_piped * 1000, 3),
+        'batch1_rtf_pipelined': round(dt_piped / audio_seconds, 6),
         'mel_frames': mel_len,
         'audio_seconds': round(audio_seconds, 2),
         'batched32_mel_frames_per_sec': int(frames_per_sec),
         'device': str(jax.devices()[0]),
+        'methodology': 'varying inputs per call; execution forced via '
+                       'fetched checksums that data-depend on the full '
+                       'output; headline = serial median wall incl. one '
+                       'fetch per call; pipelined = all dispatched then '
+                       'every result fetched (amortized round-trips)',
         'reference_note': 'reference ~0.04 s/utterance on RTX 2080 '
                           '(README.md:15); target rtf < 0.005',
     }
@@ -132,15 +177,20 @@ def _bench_training(config, model, variables) -> dict:
     B, Tx, Tm = 32, 128, 768
     dur = np.zeros((B, Tx), np.float32)
     dur[:] = Tm // Tx
-    batch = {
-        'x': jnp.asarray(rng.randint(1, 60, (B, Tx)), jnp.int32),
-        'x_len': jnp.asarray([Tx] * B, jnp.int32),
-        'mel': jnp.asarray(rng.randn(B, Tm, 80).astype(np.float32)),
-        'mel_len': jnp.asarray([Tm] * B, jnp.int32),
-        'dur': jnp.asarray(dur),
-        'pitch': jnp.asarray(rng.randn(B, Tx).astype(np.float32)),
-        'energy': jnp.asarray(rng.randn(B, Tx).astype(np.float32)),
-    }
+
+    def make_batch():
+        return {
+            'x': jnp.asarray(rng.randint(1, 60, (B, Tx)), jnp.int32),
+            'x_len': jnp.asarray([Tx] * B, jnp.int32),
+            'mel': jnp.asarray(rng.randn(B, Tm, 80).astype(np.float32)),
+            'mel_len': jnp.asarray([Tm] * B, jnp.int32),
+            'dur': jnp.asarray(dur),
+            'pitch': jnp.asarray(rng.randn(B, Tx).astype(np.float32)),
+            'energy': jnp.asarray(rng.randn(B, Tx).astype(np.float32)),
+        }
+
+    n = 10
+    batches = [make_batch() for _ in range(n)]
     key = jax.random.PRNGKey(0)
     state0 = tc.TrainState(
         params=variables['params'],
@@ -155,14 +205,16 @@ def _bench_training(config, model, variables) -> dict:
                                                       cfg))
         # two warmup calls: the first output state's dtypes differ from
         # optimizer.init's (weak types), causing exactly one retrace
-        state, m = step_fn(state0, batch, key)
-        state, m = step_fn(state, batch, key)
-        jax.block_until_ready(m['loss'])
+        state, m = step_fn(state0, batches[0], key)
+        state, m = step_fn(state, batches[1], key)
+        np.asarray(m['loss'])
+        # batches vary per step and the state chains through every call,
+        # so the sequence is non-memoizable; one loss fetch at the end
+        # bounds per-step device time.
         t0 = time.perf_counter()
-        n = 10
-        for _ in range(n):
-            state, m = step_fn(state, batch, key)
-        jax.block_until_ready(m['loss'])
+        for i in range(n):
+            state, m = step_fn(state, batches[i], key)
+        np.asarray(m['loss'])
         dt = (time.perf_counter() - t0) / n
         out[f'train{name}_steps_per_sec'] = round(1.0 / dt, 2)
         out[f'train{name}_mel_frames_per_sec'] = int(B * Tm / dt)
@@ -191,18 +243,19 @@ def _bench_fastpitch(config) -> dict:
     def gen(v, x, xl):
         series = model.apply(v, x, method='predict_series', x_len=xl)
         dur = jnp.where(jnp.arange(Tx)[None] < xl[:, None], 6.0, 0.0)
-        return model.apply(v, x, dur, series['pitch'], series['energy'],
-                           mel_bucket, method='generate_from_series',
-                           x_len=xl)
+        out = model.apply(v, x, dur, series['pitch'], series['energy'],
+                          mel_bucket, method='generate_from_series',
+                          x_len=xl)
+        return jnp.sum(out['mel_post']), out
 
     gen = jax.jit(gen)
-    out = jax.block_until_ready(gen(variables, x, x_len))
+    cs, out = gen(variables, x, x_len)
+    np.asarray(cs)
     mel_len = int(out['mel_len'][0])
-    t0 = time.perf_counter()
-    for _ in range(50):
-        out = gen(variables, x, x_len)
-    jax.block_until_ready(out['mel_post'])
-    dt = (time.perf_counter() - t0) / 50
+    rs = np.random.RandomState(1)
+    xs = [jnp.asarray(rs.randint(1, 60, size=(1, Tx)), jnp.int32)
+          for _ in range(24)]
+    dt = _serial_median(lambda xi: gen(variables, xi, x_len)[0], xs)
     return {'fastpitch_batch1_latency_ms': round(dt * 1000, 3),
             'fastpitch_batch1_rtf': round(dt / (mel_len * hop / sr), 6)}
 
@@ -290,15 +343,14 @@ def _bench_wavernn(config) -> dict:
     B, T = mels_f.shape[0], mels_f.shape[1]
 
     out = {}
-    scan = jax.jit(lambda v, m, a, k: model.apply(v, m, a, k,
-                                                  method='sample_scan'))
-    key = jax.random.PRNGKey(0)
-    r = jax.block_until_ready(scan(variables, mels_f, aux_f, key))
-    t0 = time.perf_counter()
-    for _ in range(5):
-        r = scan(variables, mels_f, aux_f, key)
-    jax.block_until_ready(r)
-    dt = (time.perf_counter() - t0) / 5
+    # checksum output + per-call varying PRNG key: non-memoizable, and
+    # the fetched scalar data-depends on every sample
+    scan = jax.jit(lambda v, m, a, k: jnp.sum(
+        model.apply(v, m, a, k, method='sample_scan')))
+    keys = list(jax.random.split(jax.random.PRNGKey(0), 6))
+    np.asarray(scan(variables, mels_f, aux_f, keys[5]))  # compile
+    dt = _serial_median(
+        lambda k: scan(variables, mels_f, aux_f, k), keys[:5])
     out['wavernn_scan_khz'] = round(B * T / dt / 1000, 1)
     out['wavernn_fold_lanes'] = B
 
@@ -327,14 +379,16 @@ def _bench_wavernn(config) -> dict:
         from forwardtacotron_tpu.models.wavernn import vocode
         mel_2d = np.asarray(mel[0])          # (T, n_mels)
         _ = vocode(model, variables, mel_2d, pcm16=True)
-        dt_v = float('inf')
+        ts_v = []
         for i in range(5):
             t0 = time.perf_counter()
             _ = vocode(model, variables, mel_2d, seed=i, pcm16=True)
-            dt_v = min(dt_v, time.perf_counter() - t0)
+            ts_v.append(time.perf_counter() - t0)
+        dt_v = sorted(ts_v)[len(ts_v) // 2]
         wave_s = (mel_2d.shape[0] - 1) * model.hop_length \
             / model.sample_rate
         out['vocoder_rtf'] = round(dt_v / wave_s, 5)
+        out['vocoder_rtf_best'] = round(min(ts_v) / wave_s, 5)
 
         # streaming: time to FIRST audio chunk (stream_wav emits fold
         # groups incrementally) vs the full one-shot vocoding above
