@@ -104,7 +104,7 @@ _LEXICON = {
     'serve': 'sɜːv', 'die': 'daɪ', 'died': 'daɪd', 'send': 'sɛnd',
     'sent': 'sɛnt', 'expect': 'ɪkspɛkt', 'build': 'bɪld', 'built': 'bɪlt',
     'stay': 'steɪ', 'fall': 'fɔːl', 'fell': 'fɛl', 'cut': 'kʌt',
-    'reach': 'ɹiːtʃ', 'kill': 'kɪl', 'remain': 'ɹɪmeɪn', 'dog': 'dɔːɡ',
+    'reach': 'ɹiːtʃ', 'kill': 'kɪl', 'remain': 'ɹɪmeɪn', 'dog': 'dɑːɡ',
     'cat': 'kæt', 'bird': 'bɜːd', 'heart': 'hɑːɹt', 'earth': 'ɜːθ',
     'heard': 'hɜːd', 'sure': 'ʃʊɹ', 'sugar': 'ʃʊɡɚ', 'machine': 'məʃiːn',
     'special': 'spɛʃəl', 'social': 'soʊʃəl', 'ocean': 'oʊʃən',
@@ -151,7 +151,7 @@ _LEXICON = {
     'ahead': 'əhɛd', 'break': 'bɹeɪk', 'steak': 'steɪk', 'glove': 'ɡlʌv',
     'dove': 'dʌv', 'none': 'nʌn', 'nonsense': 'nɑːnsɛns',
     'months': 'mʌnθs', 'front': 'fɹʌnt', 'son': 'sʌn', 'ton': 'tʌn',
-    'monkey': 'mʌŋki', 'onion': 'ʌnjən', 'brother': 'bɹʌðɚ',
+    'monkey': 'mʌŋki', 'onion': 'ʌnjən', 'union': 'juːnjən', 'orange': 'ɔːɹɪndʒ', 'elephant': 'ɛlɪfənt', 'brother': 'bɹʌðɚ',
     'cover': 'kʌvɚ', 'color': 'kʌlɚ', 'colour': 'kʌlɚ',
     'company': 'kʌmpəni', 'couple': 'kʌpəl', 'cousin': 'kʌzən',
     'double': 'dʌbəl', 'trouble': 'tɹʌbəl', 'touch': 'tʌtʃ',
@@ -383,6 +383,7 @@ _RULES = [
     ('xh', 'ɡz'),
     ('ee', 'iː'), ('ea', 'iː'), ('oo', 'uː'), ('ou', 'aʊ'),
     ('ow', 'oʊ'), ('oi', 'ɔɪ'), ('oy', 'ɔɪ'), ('ay', 'eɪ'),
+    ('air', 'ɛɹ'),
     ('ai', 'eɪ'), ('au', 'ɔː'), ('aw', 'ɔː'), ('ew', 'juː'),
     ('oa', 'oʊ'), ('ie', 'iː'), ('ei', 'eɪ'), ('ey', 'eɪ'),
     ('eu', 'uː'),
@@ -470,11 +471,15 @@ def _try_morphology(w: str):
             return stem(s + 'e') + 'ɪŋ'  # open syllable: making
         return stem(s) + 'ɪŋ'
     for suf, ipa_suf in [('ness', 'nəs'), ('ment', 'mənt'),
-                         ('ful', 'fəl'), ('less', 'ləs'), ('ly', 'li')]:
+                         ('ful', 'fəl'), ('less', 'ləs'), ('ly', 'li'),
+                         ('est', 'ɪst')]:
         if w.endswith(suf) and len(w) > len(suf) + 2:
-            ipa = stem(w[:-len(suf)])
+            s = w[:-len(suf)]
+            ipa = stem(s)
             if ipa and ipa[-1] == ipa_suf[0] and ipa_suf[0] in 'lnm':
                 ipa = ipa[:-1]  # fully -> fʌli, not fʌlli
+            if s.endswith('i') and ipa.endswith('ɪ'):
+                ipa = ipa[:-1] + 'i'  # happiness: y->i stem stays i
             return ipa + ipa_suf
     return None
 
@@ -510,6 +515,19 @@ def _word_to_phonemes(word: str, depth: int = 0) -> str:
         suffix, w = 'ɡ', w[:-3]        # league, tongue, vague
     elif len(w) >= 4 and w.endswith('que'):
         suffix, w = 'k', w[:-3]        # unique, antique, technique
+    elif len(w) >= 3 and w.endswith('ue'):
+        # blue/true/clue -> uː (yod dropped after coronals/liquids);
+        # cue/hue/argue -> juː
+        suffix = 'uː' if w[-3] in 'lrtdsnz' else 'juː'
+        w = w[:-2]
+    elif len(w) >= 4 and w.endswith('dge'):
+        suffix, w = 'dʒ', w[:-3]       # judge, bridge, edge, badge
+    elif len(w) >= 4 and w.endswith('ose') and len(w) <= 5:
+        suffix, w = 'oʊz', w[:-3]      # nose, rose, those, chose
+    elif len(w) >= 5 and w.endswith('eese'):
+        suffix, w = 'iːz', w[:-4]      # cheese (geese is lexicon)
+    elif len(w) >= 5 and w.endswith('oise'):
+        suffix, w = 'ɔɪz', w[:-4]      # noise
     elif len(w) >= 3 and w.endswith('mn'):
         suffix, w = 'm', w[:-2]        # autumn, column, hymn, damn
     elif len(w) >= 3 and w.endswith('mb'):
@@ -531,6 +549,11 @@ def _word_to_phonemes(word: str, depth: int = 0) -> str:
         suffix, w = 'ɪdʒ', w[:-3]  # village, message
     elif len(w) >= 5 and w.endswith('ous'):
         suffix, w = 'əs', w[:-3]   # famous, nervous
+    elif len(w) >= 5 and w.endswith('en') and w[-3] not in 'aeiouy':
+        suffix, w = 'ən', w[:-2]   # garden, kitchen, happen (reduced);
+        #                            ten/men/when stay ɛn (short words)
+    elif len(w) >= 6 and w.endswith('et') and w[-3] not in 'aeiouy':
+        suffix, w = 'ɪt', w[:-2]   # jacket, market, planet (reduced)
     elif len(w) >= 3 and w.endswith('le') and w[-3] not in 'aeiou':
         suffix, w = 'əl', w[:-2]
     elif len(w) >= 3 and w.endswith('ce'):
@@ -602,7 +625,12 @@ def _word_to_phonemes(word: str, depth: int = 0) -> str:
             i += 1
             continue
         if w[i] == 'y' and (i == len(w) - 1 or w[i + 1] not in 'aeiou'):
-            out.append('i' if i == len(w) - 1 else 'ɪ')
+            if i == len(w) - 1:
+                # monosyllables stress the final y: fly/sky/try -> aɪ;
+                # polysyllables reduce it: happy/city -> i
+                out.append('i' if _has_vowel(w[:i]) else 'aɪ')
+            else:
+                out.append('ɪ')
             i += 1
             continue
         for pattern, ipa in _RULES:

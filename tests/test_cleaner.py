@@ -53,7 +53,7 @@ def test_g2p_morphology():
             ('cities', 'sɪɾiz'), ('boxes', 'bɑːksɪz'),
             ('walking', 'wɔːkɪŋ'), ('stopped', 'stɑːpt'),
             ('running', 'ɹʌnɪŋ'), ('kindness', 'kaɪndnəs'),
-            ('fully', 'fʌli'), ('dogs', 'dɔːɡz'), ('cats', 'kæts'),
+            ('fully', 'fʌli'), ('dogs', 'dɑːɡz'), ('cats', 'kæts'),
             ('nature', 'neɪtʃɚ'), ('village', 'vɪlɪdʒ'),
             ('famous', 'fæməs'), ('station', 'steɪʃən'),
             ('needed', 'niːdɪd'), ('apple', 'æpəl'), ('happy', 'hæpi')]:
@@ -85,7 +85,7 @@ def test_g2p_orthography_rules():
             # round 2: wor+C, x-, s+u+vowel, edge-anchored gn/mb, -ign
             ('worship', 'wɜːʃɪp'), ('worth', 'wɜːθ'),
             ('xylophone', 'zɪlɑːfoʊn'), ('casual', 'kæʒuæl'),
-            ('magnet', 'mæɡnɛt'), ('assign', 'æsaɪn'),
+            ('magnet', 'mæɡnɪt'), ('assign', 'æsaɪn'),
             ('symbol', 'sɪmbɑːl'), ('climbing', 'klaɪmɪŋ'),
             ('gnome', 'noʊm'), ('box', 'bɑːks'),
             ('nineteen', 'naɪntiːn'), ('budget', 'bʌdʒɪt'),
@@ -119,3 +119,17 @@ def test_lexicon_has_no_duplicate_keys():
             literal_keys = [ast.literal_eval(k) for k in node.keys]
     assert literal_keys is not None
     assert len(literal_keys) == len(set(literal_keys)) == len(g2p._LEXICON)
+
+
+def test_g2p_golden_list_ratchet():
+    """Tracked G2P quality metric (tools/eval_g2p.py over the committed
+    golden list) — a ratchet, not a pin: improvements should raise
+    these floors (current: word_acc 0.99, PER 0.002; see docs/g2p.md)."""
+    import sys
+    sys.path.insert(0, 'tools')
+    from eval_g2p import DEFAULT_GOLDEN, evaluate, load_golden
+    out = evaluate(load_golden(DEFAULT_GOLDEN))
+    assert out['overall']['n'] >= 200
+    assert out['overall']['word_acc'] >= 0.97, out['overall']
+    assert out['overall']['per'] <= 0.008, out['overall']
+    assert out['oov']['word_acc'] >= 0.95, out['oov']
