@@ -20,11 +20,17 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 from concurrent.futures import Future
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional
 
 import numpy as np
+
+
+class ServerOverloaded(RuntimeError):
+    """Raised by submit() when the request queue is at max_queue —
+    callers (e.g. the HTTP front) should shed load (503)."""
 
 
 @dataclass
@@ -34,6 +40,7 @@ class _Request:
     pitch_scale: float
     energy_scale: float
     future: Future = field(default_factory=Future)
+    deadline: Optional[float] = None   # time.monotonic() cutoff
 
 
 def _bucket(n: int, multiple: int, minimum: int) -> int:
@@ -52,7 +59,9 @@ class TTSServer:
                  voc_checkpoint: Optional[str] = None,
                  max_batch: int = 8, max_wait_ms: float = 20.0,
                  text_bucket: int = 16, mel_bucket: int = 256,
-                 fused: bool = False, fused_max_t: int = 1024) -> None:
+                 fused: bool = False, fused_max_t: int = 1024,
+                 max_queue: int = 64,
+                 request_timeout_s: Optional[float] = 60.0) -> None:
         from forwardtacotron_tpu.dsp.audio import DSP
         from forwardtacotron_tpu.text.cleaners import Cleaner
         from forwardtacotron_tpu.text.tokenizer import Tokenizer
@@ -71,6 +80,12 @@ class TTSServer:
         self.mel_bucket = mel_bucket
         self.sample_rate = self.dsp.sample_rate
         self.batch_sizes: List[int] = []   # observability / tests
+        # backpressure: bound on requests waiting in the queue;
+        # submit() sheds load with ServerOverloaded beyond it
+        self.max_queue = int(max_queue)
+        # per-request deadline: requests still unstarted past it fail
+        # with TimeoutError instead of occupying device batches
+        self.request_timeout_s = request_timeout_s
 
         # fused=True (GAN vocoders only): text -> int16 PCM in ONE
         # device program per batch — series, duration scaling, mel
@@ -114,11 +129,19 @@ class TTSServer:
     def submit(self, text: str, alpha: float = 1.0,
                pitch_scale: float = 1.0,
                energy_scale: float = 1.0) -> Future:
-        """Enqueue a request; the Future resolves to int16 PCM."""
+        """Enqueue a request; the Future resolves to int16 PCM.
+
+        Raises ServerOverloaded when the queue is at max_queue (load
+        shedding — map to HTTP 503)."""
         if self._closed:
             raise RuntimeError('server is closed')
+        if self._q.qsize() >= self.max_queue:
+            raise ServerOverloaded(
+                f'request queue full ({self.max_queue})')
+        deadline = None if self.request_timeout_s is None \
+            else time.monotonic() + self.request_timeout_s
         req = _Request(text, float(alpha), float(pitch_scale),
-                       float(energy_scale))
+                       float(energy_scale), deadline=deadline)
         self._q.put(req)
         return req.future
 
@@ -185,6 +208,18 @@ class TTSServer:
         return fn
 
     def _run_batch(self, reqs: List[_Request]) -> None:
+        # expire requests whose deadline passed while queued, so a
+        # backlog can't keep burning device time on abandoned work
+        now = time.monotonic()
+        live = []
+        for r in reqs:
+            if r.deadline is not None and now > r.deadline:
+                r.future.set_exception(
+                    TimeoutError('request deadline exceeded before '
+                                 'synthesis started'))
+            else:
+                live.append(r)
+        reqs = live
         # validate per-request so one bad input can't poison the batch
         valid, ids = [], []
         for r in reqs:
@@ -406,13 +441,18 @@ def make_http_server(server: TTSServer, host: str = '127.0.0.1',
                 n = int(self.headers.get('Content-Length', 0))
                 payload = json.loads(self.rfile.read(n) or b'{}')
                 text = payload['text']
+                # bound the wait slightly past the server's own
+                # deadline so a wedged batch can't hold the socket
+                timeout = None if server.request_timeout_s is None \
+                    else server.request_timeout_s + 10.0
                 pcm = server.synthesize(
                     text,
                     alpha=float(payload.get('alpha', 1.0)),
                     pitch_scale=float(payload.get(
                         'pitch_scale', payload.get('amp', 1.0))),
                     energy_scale=float(payload.get('energy_scale',
-                                                   1.0)))
+                                                   1.0)),
+                    timeout=timeout)
                 body = wav_bytes(pcm, server.sample_rate)
                 self.send_response(200)
                 self.send_header('Content-Type', 'audio/wav')
@@ -421,6 +461,13 @@ def make_http_server(server: TTSServer, host: str = '127.0.0.1',
                 self.wfile.write(body)
             except KeyError:
                 self.send_error(400, 'missing "text"')
+            except ServerOverloaded:
+                self.send_response(503, 'overloaded')
+                self.send_header('Retry-After', '1')
+                self.send_header('Content-Length', '0')
+                self.end_headers()
+            except TimeoutError:
+                self.send_error(504, 'request deadline exceeded')
             except Exception as e:  # pragma: no cover - defensive
                 self.send_error(500, f'{type(e).__name__}: {e}')
 

@@ -33,6 +33,12 @@ def main() -> None:
                              'staged when the output exceeds '
                              '--fused_max_t frames)')
     parser.add_argument('--fused_max_t', type=int, default=1024)
+    parser.add_argument('--max_queue', type=int, default=64,
+                        help='backpressure: queued requests beyond this '
+                             'are rejected with HTTP 503')
+    parser.add_argument('--request_timeout', type=float, default=60.0,
+                        help='per-request deadline in seconds (504 when '
+                             'exceeded); <=0 disables')
     subparsers = parser.add_subparsers(dest='vocoder')
     subparsers.add_parser('griffinlim')
     wr = subparsers.add_parser('wavernn')
@@ -52,7 +58,10 @@ def main() -> None:
         args.checkpoint, vocoder=vocoder,
         voc_checkpoint=getattr(args, 'voc_checkpoint', None),
         max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
-        fused=args.fused, fused_max_t=args.fused_max_t)
+        fused=args.fused, fused_max_t=args.fused_max_t,
+        max_queue=args.max_queue,
+        request_timeout_s=(args.request_timeout
+                           if args.request_timeout > 0 else None))
     # warm the compile caches so the first request is fast
     print('Warming up...')
     server.synthesize('Hello world.')

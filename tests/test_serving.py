@@ -203,3 +203,88 @@ def test_close_fails_requests_queued_behind_sentinel(tts_ckpt):
     assert isinstance(f1.result(timeout=300), np.ndarray)
     with pytest.raises(RuntimeError, match='server closed'):
         orphan.future.result(timeout=5)
+
+
+def test_overload_sheds_with_503_exception(tts_ckpt):
+    """Beyond max_queue, submit() raises ServerOverloaded (the HTTP
+    front maps it to 503) instead of growing the queue unboundedly."""
+    from forwardtacotron_tpu.serving import ServerOverloaded, TTSServer
+    srv = TTSServer(tts_ckpt, vocoder='griffinlim', max_batch=2,
+                    max_wait_ms=50.0, mel_bucket=128, max_queue=3)
+    # stall the batcher so submissions pile up deterministically
+    orig = srv._run_batch
+    gate = threading.Event()
+
+    def slow(batch):
+        gate.wait(timeout=60)
+        orig(batch)
+    srv._run_batch = slow
+
+    futures = [srv.submit('Hello one.'), srv.submit('Hello two.')]
+    with pytest.raises(ServerOverloaded):
+        for i in range(64):   # the worker may drain 1-2 into a batch
+            futures.append(srv.submit(f'Overflow {i}.'))
+    gate.set()
+    for f in futures:
+        assert isinstance(f.result(timeout=300), np.ndarray)
+    srv.close()
+
+
+def test_expired_requests_fail_fast(tts_ckpt):
+    from forwardtacotron_tpu.serving import TTSServer
+    srv = TTSServer(tts_ckpt, vocoder='griffinlim', max_batch=2,
+                    max_wait_ms=10.0, mel_bucket=128,
+                    request_timeout_s=0.2)
+    orig = srv._run_batch
+    gate = threading.Event()
+
+    def slow(batch):
+        gate.wait(timeout=60)
+        orig(batch)
+    srv._run_batch = slow
+    f = srv.submit('Hello world.')
+    time.sleep(0.5)           # deadline passes while queued
+    gate.set()
+    with pytest.raises(TimeoutError):
+        f.result(timeout=300)
+    srv.close()
+
+
+def test_concurrent_load_no_starvation(server):
+    """N threads x M requests: every future resolves, p95 latency is
+    bounded, and dynamic batching actually grouped requests."""
+    n_threads, n_per = 4, 3
+    latencies, results, errors = [], [], []
+    lock = threading.Lock()
+
+    def worker(tid):
+        for i in range(n_per):
+            t0 = time.monotonic()
+            try:
+                pcm = server.synthesize(f'Load test {tid} {i}.',
+                                        timeout=300)
+                dt = time.monotonic() - t0
+                with lock:
+                    results.append(pcm)
+                    latencies.append(dt)
+            except Exception as e:  # pragma: no cover
+                with lock:
+                    errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(t,))
+               for t in range(n_threads)]
+    t0 = time.monotonic()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert not errors, errors
+    assert len(results) == n_threads * n_per
+    assert all(isinstance(r, np.ndarray) and len(r) > 0
+               for r in results)
+    lat = sorted(latencies)
+    p95 = lat[int(0.95 * (len(lat) - 1))]
+    # CPU tiny model: generous wall bound, but it must not approach
+    # the serial sum (starvation would show up as ~N*single latency)
+    assert p95 < 60.0, f'p95 {p95:.1f}s'
+    assert max(server.batch_sizes) >= 2, 'batching never grouped'
