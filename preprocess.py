@@ -95,24 +95,40 @@ def process_all(paths: Paths, dsp: DSP, cleaner: Cleaner,
 
     def bounded_loaded():
         """Sliding-window prefetch (Executor.map would eagerly submit —
-        and decode — every file at once)."""
+        and decode — every file at once). A file that fails to decode
+        is skipped with a log line, like the featurize guard below —
+        one corrupt wav must not kill a whole preprocessing run."""
         from collections import deque
         window = max(2 * n_workers, 2)
         pending = deque()
         it = iter(wav_files)
+
+        def drain(p, fut):
+            try:
+                return p, fut.result()
+            except Exception as e:
+                print(f'\nFailed to load {p}: {e}')
+                return None
+
         with cf.ThreadPoolExecutor(max_workers=max(n_workers, 1)) as pool:
             for path in it:
                 pending.append((path, pool.submit(load, path)))
                 if len(pending) >= window:
-                    p, fut = pending.popleft()
-                    yield p, fut.result()
+                    item = drain(*pending.popleft())
+                    if item is not None:
+                        yield item
             while pending:
-                p, fut = pending.popleft()
-                yield p, fut.result()
+                item = drain(*pending.popleft())
+                if item is not None:
+                    yield item
 
     dataset, cleaned_texts = [], []
     for i, (path, y) in enumerate(bounded_loaded(), 1):
         wav_id = path.stem
+        if len(y) < dsp.hop_length:   # empty/all-silence after trims
+            print(f'\nSkipping {path}: too short after trimming '
+                  f'({len(y)} samples)')
+            continue
         try:
             mel, quant, pitch = featurize(dsp, y)
         except Exception as e:  # corrupt file: skip, keep going
