@@ -76,7 +76,7 @@ def _to_jnp(batch: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
 class TacoTrainer:
 
     def __init__(self, paths: Paths, dsp, config: Dict[str, Any],
-                 writer=None) -> None:
+                 writer=None, mesh=None) -> None:
         self.paths = paths
         self.dsp = dsp
         self.config = config
@@ -86,6 +86,23 @@ class TacoTrainer:
         from forwardtacotron_tpu.utils.profiling import (
             StepTraceController)
         self._tracer = StepTraceController()
+        # multi-device: shard batches over 'data', wide weights over
+        # 'model' (GSPMD; parallel/mesh.py). None = single device.
+        self.mesh = mesh
+        if self.mesh is None and len(jax.devices()) > 1:
+            from forwardtacotron_tpu.parallel.mesh import mesh_from_config
+            self.mesh = mesh_from_config(config)
+
+    def _shard_state(self, state: tc.TrainState) -> tc.TrainState:
+        from forwardtacotron_tpu.parallel import mesh as pmesh
+        return jax.device_put(state, pmesh.state_shardings(self.mesh, state))
+
+    def _shard_batch(self, batch: Dict[str, Any]) -> Dict[str, Any]:
+        if self.mesh is None:
+            return batch
+        from forwardtacotron_tpu.parallel.distributed import (
+            host_local_batch_to_global)
+        return host_local_batch_to_global(self.mesh, batch)
 
     @property
     def writer(self):
@@ -125,6 +142,8 @@ class TacoTrainer:
                     params=variables['params'],
                     batch_stats=variables.get('batch_stats', {}),
                     opt_state=opt_state, step=jnp.asarray(0, jnp.int32))
+            if self.mesh is not None:
+                state = self._shard_state(state)
             state = self.train_session(model, optimizer, state, session,
                                        rng)
         return state
@@ -153,7 +172,7 @@ class TacoTrainer:
             for i, batch in enumerate(Prefetcher(session.train_set), 1):
                 start = time.time()
                 step_rng = jax.random.fold_in(rng, int(state.step))
-                jbatch = _to_jnp(batch)
+                jbatch = self._shard_batch(_to_jnp(batch))
                 state, (metrics, att) = train_step(state, jbatch, step_rng)
                 step = int(state.step)
                 self._tracer.tick(step)

@@ -90,7 +90,7 @@ def _to_jnp(batch: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
 class VocTrainer:
 
     def __init__(self, paths: Paths, dsp, config: Dict[str, Any],
-                 writer=None) -> None:
+                 writer=None, mesh=None) -> None:
         self.paths = paths
         self.dsp = dsp
         self.config = config
@@ -98,6 +98,12 @@ class VocTrainer:
         self._writer = writer
         from forwardtacotron_tpu.utils.profiling import StepTraceController
         self._tracer = StepTraceController()
+        # multi-device: shard batches over 'data', wide weights over
+        # 'model' (GSPMD; parallel/mesh.py). None = single device.
+        self.mesh = mesh
+        if self.mesh is None and len(jax.devices()) > 1:
+            from forwardtacotron_tpu.parallel.mesh import mesh_from_config
+            self.mesh = mesh_from_config(config)
         self.top_k_models: List[Tuple] = []
         path_top_k = paths.voc_top_k / 'top_k.pkl'
         if os.path.exists(path_top_k):
@@ -142,9 +148,22 @@ class VocTrainer:
                     batch_stats=variables.get('batch_stats', {}),
                     opt_state=optimizer.init(variables['params']),
                     step=jnp.asarray(0, jnp.int32))
+            if self.mesh is not None:
+                state = self._shard_state(state)
             state = self.train_session(model, optimizer, state, session,
                                        train_gta)
         return state
+
+    def _shard_state(self, state: tc.TrainState) -> tc.TrainState:
+        from forwardtacotron_tpu.parallel import mesh as pmesh
+        return jax.device_put(state, pmesh.state_shardings(self.mesh, state))
+
+    def _shard_batch(self, batch: Dict[str, Any]) -> Dict[str, Any]:
+        if self.mesh is None:
+            return batch
+        from forwardtacotron_tpu.parallel.distributed import (
+            host_local_batch_to_global)
+        return host_local_batch_to_global(self.mesh, batch)
 
     def train_session(self, model, optimizer, state, session,
                       train_gta: bool) -> tc.TrainState:
@@ -169,7 +188,8 @@ class VocTrainer:
         for e in range(1, epochs + 1):
             for i, batch in enumerate(Prefetcher(session.train_set), 1):
                 start = time.time()
-                state, metrics = train_step(state, _to_jnp(batch))
+                state, metrics = train_step(state,
+                                            self._shard_batch(_to_jnp(batch)))
                 step = int(state.step)
                 self._tracer.tick(step)
                 loss = float(metrics['loss'])

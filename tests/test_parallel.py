@@ -128,6 +128,108 @@ def test_maybe_initialize_noop_without_config(monkeypatch):
     assert maybe_initialize(None) is False
 
 
+def test_sharded_taco_train_step_matches_single_device():
+    """The teacher's train step under a (4, 2) mesh matches one device:
+    the LSA decoder scan, BN stats, and dropout rngs are all
+    sharding-invariant under GSPMD."""
+    from forwardtacotron_tpu.models.tacotron import Tacotron
+    from forwardtacotron_tpu.parallel import mesh as pmesh
+    from forwardtacotron_tpu.train import common as tc
+    from forwardtacotron_tpu.train.taco_trainer import build_taco_train_step
+
+    model = Tacotron(num_chars=30, n_mels=8, embed_dims=16,
+                     encoder_dims=128, decoder_dims=256, postnet_dims=8,
+                     encoder_k=2, lstm_dims=32, postnet_k=2,
+                     num_highways=1, dropout=0.0, stop_threshold=-11.0)
+    optimizer = tc.make_optimizer(1.0, lr=1e-3)
+    rng = jax.random.PRNGKey(0)
+    r = 2
+    rngs = np.random.RandomState(0)
+    B, Tx, Tm = 8, 5, 8
+    batch = {
+        'x': jnp.asarray(rngs.randint(1, 29, (B, Tx)), jnp.int32),
+        'mel': jnp.asarray(rngs.randn(B, Tm, 8).astype(np.float32)),
+        'mel_len': jnp.asarray([Tm] * B, jnp.int32),
+    }
+    variables = model.init({'params': rng, 'dropout': rng},
+                           batch['x'], batch['mel'], r, train=True,
+                           rng=rng)
+
+    def fresh_state():
+        return tc.TrainState(
+            params=jax.tree.map(jnp.array, variables['params']),
+            batch_stats=jax.tree.map(
+                jnp.array, variables.get('batch_stats', {})),
+            opt_state=optimizer.init(variables['params']),
+            step=jnp.asarray(0, jnp.int32))
+
+    step_fn = build_taco_train_step(model, optimizer, r)
+    s1, (m1, att1) = step_fn(fresh_state(), batch, rng)
+
+    mesh = pmesh.make_mesh(n_data=4, n_model=2)
+    state2 = jax.device_put(fresh_state(),
+                            pmesh.state_shardings(mesh, fresh_state()))
+    batch2 = jax.device_put(batch, pmesh.batch_shardings(mesh, batch))
+    s2, (m2, att2) = step_fn(state2, batch2, rng)
+
+    np.testing.assert_allclose(float(m1['loss']), float(m2['loss']),
+                               rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(att1), np.asarray(att2),
+                               atol=1e-5)
+    # atol: Adam's eps-normalized update amplifies GSPMD reduction-order
+    # float differences (~1e-7 in grads) to ~3e-5 in params
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_sharded_voc_train_step_matches_single_device():
+    """The WaveRNN CE train step under a data-parallel mesh matches the
+    single-device result (upsample convs + GRU scans under GSPMD)."""
+    from forwardtacotron_tpu.models.wavernn import WaveRNN
+    from forwardtacotron_tpu.parallel import mesh as pmesh
+    from forwardtacotron_tpu.train import common as tc
+    from forwardtacotron_tpu.train.voc_trainer import build_voc_train_step
+
+    model = WaveRNN(rnn_dims=16, fc_dims=12, bits=6, pad=2,
+                    upsample_factors=(4, 4), feat_dims=8,
+                    compute_dims=8, res_out_dims=8, res_blocks=1,
+                    hop_length=16, sample_rate=22050, mode='RAW')
+    optimizer = tc.make_optimizer(1.0, lr=1e-3)
+    rngs = np.random.RandomState(0)
+    B, frames, hop = 8, 4, 16
+    seq_len = frames * hop
+    batch = {
+        'x': jnp.asarray(rngs.rand(B, seq_len).astype(np.float32)),
+        'mel': jnp.asarray(
+            rngs.randn(B, frames + 2 * model.pad, 8).astype(np.float32)),
+        'y': jnp.asarray(rngs.randint(0, 2 ** 6, (B, seq_len)), jnp.int32),
+    }
+    variables = model.init(jax.random.PRNGKey(0), batch['x'], batch['mel'],
+                           train=True)
+
+    def fresh_state():
+        return tc.TrainState(
+            params=jax.tree.map(jnp.array, variables['params']),
+            batch_stats=jax.tree.map(
+                jnp.array, variables.get('batch_stats', {})),
+            opt_state=optimizer.init(variables['params']),
+            step=jnp.asarray(0, jnp.int32))
+
+    step_fn = build_voc_train_step(model, optimizer, 'RAW')
+    s1, m1 = step_fn(fresh_state(), batch)
+
+    mesh = pmesh.make_mesh(n_data=4, n_model=2)
+    state2 = jax.device_put(fresh_state(),
+                            pmesh.state_shardings(mesh, fresh_state()))
+    batch2 = jax.device_put(batch, pmesh.batch_shardings(mesh, batch))
+    s2, m2 = step_fn(state2, batch2)
+
+    np.testing.assert_allclose(float(m1['loss']), float(m2['loss']),
+                               rtol=2e-4)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
 def test_sharded_gan_train_step():
     """The adversarial HiFi-GAN step executes under a ('data','model')
     mesh with both param trees sharded and the batch split over
