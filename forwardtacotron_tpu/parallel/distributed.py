@@ -33,9 +33,20 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def maybe_initialize(config: Dict[str, Any] = None) -> bool:
     """Initialize jax.distributed when a multi-host run is configured.
-    Returns True if the distributed runtime is (already) up."""
-    if jax.process_count() > 1:
-        return True
+    Returns True if the distributed runtime is (already) up.
+
+    Must not touch the XLA backend before jax.distributed.initialize
+    (jax.process_count() would initialize it and make initialize()
+    illegal), so the already-up check inspects the distributed client
+    directly.
+    """
+    try:
+        from jax._src import distributed as _dist
+        if getattr(_dist.global_state, 'client', None) is not None:
+            return True
+    except ImportError:  # private-module layout changed: fall through
+        if jax.process_count() > 1:
+            return True
     cfg = (config or {}).get('tpu', {})
     want = bool(cfg.get('multihost')) \
         or os.environ.get('JAX_COORDINATOR_ADDRESS') \

@@ -57,6 +57,10 @@ def main() -> None:
     from forwardtacotron_tpu.utils.paths import Paths
 
     config = read_config(args.config)
+    # multi-host runs (TPU pods / DCN): bring up the distributed
+    # runtime before any device use so jax.devices() spans the pod
+    from forwardtacotron_tpu.parallel.distributed import maybe_initialize
+    maybe_initialize(config)
     dsp = DSP.from_config(config)
     paths = Paths(config['data_path'], config['voc_model_id'],
                   config['tts_model_id'])
