@@ -119,7 +119,9 @@ def state_shardings(mesh: Mesh, state) -> Any:
         params=p_sh,
         batch_stats=replicated_shardings(mesh, state.batch_stats),
         opt_state=opt_shardings(mesh, state.opt_state, p_sh),
-        step=NamedSharding(mesh, P()))
+        step=NamedSharding(mesh, P()),
+        # EMA weights mirror the param shardings (same tree)
+        ema_params=None if state.ema_params is None else p_sh)
 
 
 def gan_state_shardings(mesh: Mesh, state) -> Any:

@@ -66,10 +66,29 @@ class TrainState:
     batch_stats: Any
     opt_state: Any
     step: jnp.ndarray
+    # Exponential moving average of params (beyond-reference; enabled by
+    # training.ema_decay > 0). None = not tracked.
+    ema_params: Any = None
 
     @property
     def variables(self) -> Dict[str, Any]:
         return {'params': self.params, 'batch_stats': self.batch_stats}
+
+    @property
+    def save_variables(self) -> Dict[str, Any]:
+        """Checkpoint payload: raw params + BN stats (+ EMA weights
+        when tracked, stored under 'ema_params')."""
+        v = {'params': self.params, 'batch_stats': self.batch_stats}
+        if self.ema_params is not None:
+            v['ema_params'] = self.ema_params
+        return v
+
+    @property
+    def eval_variables(self) -> Dict[str, Any]:
+        """Weights for eval/synthesis: the EMA ones when tracked (the
+        smoothed weights are the ones meant to be served), else raw."""
+        params = self.params if self.ema_params is None else self.ema_params
+        return {'params': params, 'batch_stats': self.batch_stats}
 
 
 def half_dtype(train_cfg: Dict[str, Any]):
@@ -121,15 +140,25 @@ def set_learning_rate(opt_state, lr: float):
 
 
 def init_train_state(model, optimizer, example_batch, rng,
-                     step: int = 0, init_kwargs: Optional[Dict] = None
-                     ) -> TrainState:
+                     step: int = 0, init_kwargs: Optional[Dict] = None,
+                     with_ema: bool = False) -> TrainState:
     variables = model.init({'params': rng, 'dropout': rng}, example_batch,
                            **(init_kwargs or {}))
     params = variables['params']
     batch_stats = variables.get('batch_stats', {})
     opt_state = optimizer.init(params)
+    # EMA seeds as a COPY of params: aliasing the same buffers would
+    # make the donated train step see one buffer donated twice
+    ema = jax.tree.map(jnp.array, params) if with_ema else None
     return TrainState(params=params, batch_stats=batch_stats,
-                      opt_state=opt_state, step=jnp.asarray(step, jnp.int32))
+                      opt_state=opt_state, step=jnp.asarray(step, jnp.int32),
+                      ema_params=ema)
+
+
+def ema_update(ema, params, decay: float):
+    """ema <- decay * ema + (1 - decay) * params, leafwise."""
+    return jax.tree.map(lambda e, p: decay * e + (1.0 - decay) * p,
+                        ema, params)
 
 
 def forward_loss(pred: Dict[str, jnp.ndarray], batch: Dict[str, jnp.ndarray],
@@ -159,6 +188,7 @@ def build_forward_train_step(model, optimizer,
     """
     pitch_zoneout = float(train_cfg.get('pitch_zoneout', 0.0))
     energy_zoneout = float(train_cfg.get('energy_zoneout', 0.0))
+    ema_decay = float(train_cfg.get('ema_decay', 0.0) or 0.0)
     half = half_dtype(train_cfg)
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
@@ -200,9 +230,12 @@ def build_forward_train_step(model, optimizer,
         updates, new_opt_state = optimizer.update(grads, state.opt_state,
                                                   state.params)
         new_params = optax.apply_updates(state.params, updates)
+        new_ema = state.ema_params
+        if ema_decay > 0 and state.ema_params is not None:
+            new_ema = ema_update(state.ema_params, new_params, ema_decay)
         new_state = TrainState(params=new_params, batch_stats=new_stats,
                                opt_state=new_opt_state,
-                               step=state.step + 1)
+                               step=state.step + 1, ema_params=new_ema)
         metrics['grad_norm'] = optax.global_norm(grads)
         return new_state, metrics
 

@@ -106,7 +106,9 @@ class ForwardTrainer:
                     is not None else next(iter(train_set))
                 state = tc.init_train_state(
                     model, optimizer, _batch_to_device(example), rng,
-                    init_kwargs={'train': True})
+                    init_kwargs={'train': True},
+                    with_ema=float(self.train_cfg.get('ema_decay', 0)
+                                   or 0) > 0)
             if self.mesh is not None:
                 state = self._shard_state(state)
             state = self.train_session(model, optimizer, state, session, rng)
@@ -177,7 +179,7 @@ class ForwardTrainer:
 
                 if step % self.train_cfg['checkpoint_every'] == 0:
                     save_checkpoint(
-                        state.variables, self.config,
+                        state.save_variables, self.config,
                         self.paths.forward_checkpoints /
                         f'forward_step{k}k.fjax',
                         opt_state=state.opt_state, step=step)
@@ -212,7 +214,7 @@ class ForwardTrainer:
                                        val_out['pitch_loss'], step)
                 self.writer.add_scalar('Energy_Loss/val',
                                        val_out['energy_loss'], step)
-                save_checkpoint(state.variables, self.config,
+                save_checkpoint(state.save_variables, self.config,
                                 self.paths.forward_checkpoints /
                                 'latest_model.fjax',
                                 opt_state=state.opt_state, step=step)
@@ -224,7 +226,7 @@ class ForwardTrainer:
                         self.paths.forward_top_k,
                         k=int(self.train_cfg.get('keep_top_k', 3)),
                         prefix='forward')
-                self._top_k.update(val_out['mel_loss'], state.variables,
+                self._top_k.update(val_out['mel_loss'], state.save_variables,
                                    self.config, state.opt_state, step)
                 m_loss_avg.reset()
                 duration_avg.reset()
@@ -233,7 +235,7 @@ class ForwardTrainer:
                 continue
             break  # max_step reached
 
-        save_checkpoint(state.variables, self.config,
+        save_checkpoint(state.save_variables, self.config,
                         self.paths.forward_checkpoints / 'latest_model.fjax',
                         opt_state=state.opt_state, step=int(state.step))
         return state
@@ -243,7 +245,9 @@ class ForwardTrainer:
                   'energy_loss': 0.0}
         n = 0
         for batch in val_set:
-            metrics = self._eval_step(state.variables,
+            # EMA weights when tracked — the served weights are the
+            # ones that should gate top-k checkpoint selection
+            metrics = self._eval_step(state.eval_variables,
                                       _batch_to_device(batch))
             totals['mel_loss'] += float(metrics['mel_loss'])
             totals['dur_loss'] += float(metrics['dur_loss'])
@@ -257,7 +261,7 @@ class ForwardTrainer:
                        session: tc.TTSSession) -> None:
         batch = _batch_to_device(session.val_sample)
         step = int(state.step)
-        pred = model.apply(state.variables, batch, train=False)
+        pred = model.apply(state.eval_variables, batch, train=False)
         m1_hat = np.asarray(pred['mel'])[0, :600]
         m2_hat = np.asarray(pred['mel_post'])[0, :600]
         m_target = np.asarray(batch['mel'])[0, :600]
@@ -288,7 +292,8 @@ class ForwardTrainer:
         x_len = int(batch['x_len'][0])
         x = batch['x'][0:1]
         max_t = int(batch['mel'].shape[1])
-        gen = model.apply(state.variables, x, max_t, method='generate',
+        gen = model.apply(state.eval_variables, x, max_t,
+                          method='generate',
                           x_len=batch['x_len'][0:1])
         gen_len = int(gen['mel_len'][0])
         m2_gen = np.asarray(gen['mel_post'])[0, :max(gen_len, 1)]

@@ -27,20 +27,35 @@ from forwardtacotron_tpu.utils.files import parse_schedule
 from forwardtacotron_tpu.utils.paths import Paths
 
 
-def build_taco_train_step(model, optimizer, r: int) -> Callable:
+def build_taco_train_step(model, optimizer, r: int,
+                          train_cfg: Dict[str, Any] = None) -> Callable:
+    half = tc.half_dtype(train_cfg or {})
+
     def train_step(state: tc.TrainState, batch: Dict[str, jnp.ndarray],
                    rng: jax.Array) -> Tuple[tc.TrainState, Dict]:
         dec_rng, dropout_rng = jax.random.split(rng)
 
         def loss_fn(params):
+            # bf16 compute when training.precision is 'bf16': params and
+            # the teacher-forced mel cast at the boundary, f32 masters,
+            # BN stats, and losses (same recipe as common.py:178-196)
+            p = tc.cast_half(params, half) if half else params
+            mel_in = batch['mel'].astype(half) if half else batch['mel']
             (m1, m2, att), mutated = model.apply(
-                {'params': params, 'batch_stats': state.batch_stats},
-                batch['x'], batch['mel'], r, train=True, rng=dec_rng,
+                {'params': p, 'batch_stats': state.batch_stats},
+                batch['x'], mel_in, r, train=True, rng=dec_rng,
                 mutable=['batch_stats'], rngs={'dropout': dropout_rng})
+            if half:
+                m1, m2, att = (m1.astype(jnp.float32),
+                               m2.astype(jnp.float32),
+                               att.astype(jnp.float32))
             m1_loss = jnp.mean(jnp.abs(m1 - batch['mel']))
             m2_loss = jnp.mean(jnp.abs(m2 - batch['mel']))
             loss = m1_loss + m2_loss
-            return loss, (att, mutated['batch_stats'],
+            new_stats = mutated['batch_stats']
+            if half:
+                new_stats = tc.cast_full(new_stats, half)
+            return loss, (att, new_stats,
                           {'loss': loss, 'm1_loss': m1_loss,
                            'm2_loss': m2_loss})
 
@@ -163,7 +178,8 @@ class TacoTrainer:
 
         state = state.replace(
             opt_state=tc.set_learning_rate(state.opt_state, session.lr))
-        train_step = build_taco_train_step(model, optimizer, session.r)
+        train_step = build_taco_train_step(model, optimizer, session.r,
+                                           self.train_cfg)
         eval_step = build_taco_eval_step(model, session.r)
 
         loss_avg, duration_avg = tc.Averager(), tc.Averager()

@@ -113,12 +113,14 @@ def init_tts_model(config: Dict[str, Any]):
     raise ValueError(f'Model type not supported: {model_type}')
 
 
-def load_tts_checkpoint(path: Union[str, Path]
+def load_tts_checkpoint(path: Union[str, Path], use_ema: bool = True
                         ) -> Tuple[Any, Dict[str, Any], Dict[str, Any], int]:
     """Universal TTS checkpoint loader -> (model, variables, config, step).
 
     Accepts this framework's `.fjax` pickles and reference torch `.pt`
-    checkpoints (converted via torch_compat).
+    checkpoints (converted via torch_compat). When the checkpoint
+    carries EMA weights (training.ema_decay > 0) they are served by
+    default — pass use_ema=False for the raw training weights.
     """
     path = Path(path)
     if path.suffix == '.pt':
@@ -144,6 +146,10 @@ def load_tts_checkpoint(path: Union[str, Path]
         config = payload['config']
         variables = payload['model']
         step = payload.get('step', 0)
+        ema = variables.pop('ema_params', None) if isinstance(
+            variables, dict) else None
+        if use_ema and ema is not None:
+            variables = dict(variables, params=ema)
     model = init_tts_model(config)
     return model, variables, config, step
 

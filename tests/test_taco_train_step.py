@@ -48,3 +48,51 @@ def test_taco_train_step_runs_and_improves():
     assert int(state.step) == 3
     # attention rows are distributions
     np.testing.assert_allclose(np.asarray(att).sum(-1), 1.0, rtol=1e-4)
+
+
+def test_taco_train_step_bf16():
+    """training.precision 'bf16' (common.py half_dtype recipe): compute
+    in bfloat16, f32 master params / BN stats / losses."""
+    from forwardtacotron_tpu.models.tacotron import Tacotron
+    from forwardtacotron_tpu.train import common as tc
+    from forwardtacotron_tpu.train.taco_trainer import build_taco_train_step
+
+    model = Tacotron(num_chars=30, n_mels=80, **CFG)
+    optimizer = tc.make_optimizer(1.0, lr=1e-3)
+    rng = jax.random.PRNGKey(0)
+    r = 2
+    rngs = np.random.RandomState(0)
+    B, Tx, Tm = 2, 5, 8
+    batch = {
+        'x': jnp.asarray(rngs.randint(1, 29, (B, Tx)), jnp.int32),
+        'mel': jnp.asarray(rngs.randn(B, Tm, 80).astype(np.float32)),
+    }
+    variables = model.init({'params': rng, 'dropout': rng},
+                           batch['x'], batch['mel'], r, train=True,
+                           rng=rng)
+
+    def mk_state():  # the jitted step donates its input buffers: copy
+        params = jax.tree.map(jnp.array, variables['params'])
+        stats = jax.tree.map(jnp.array, variables.get('batch_stats', {}))
+        return tc.TrainState(params=params, batch_stats=stats,
+                             opt_state=optimizer.init(params),
+                             step=jnp.asarray(0, jnp.int32))
+
+    f32_fn = build_taco_train_step(model, optimizer, r)
+    bf16_fn = build_taco_train_step(model, optimizer, r,
+                                    {'precision': 'bf16'})
+    _, (m32, _) = f32_fn(mk_state(), batch, rng)
+    state_h, (m16, att) = bf16_fn(mk_state(), batch, rng)
+    # same objective to bf16 tolerance; all state stays f32
+    assert np.isfinite(float(m16['loss']))
+    np.testing.assert_allclose(float(m16['loss']), float(m32['loss']),
+                               rtol=0.05)
+    assert att.dtype == jnp.float32
+    for leaf in jax.tree.leaves(state_h.params):
+        assert leaf.dtype == jnp.float32
+    for leaf in jax.tree.leaves(state_h.batch_stats):
+        assert leaf.dtype == jnp.float32
+    # a second step from updated state still runs (scan carry dtypes ok)
+    state_h2, (m2, _) = bf16_fn(state_h, batch, jax.random.fold_in(rng, 1))
+    assert np.isfinite(float(m2['loss']))
+    assert int(state_h2.step) == 2

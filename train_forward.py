@@ -98,11 +98,20 @@ def main() -> None:
         optimizer = tc.make_optimizer(train_cfg.get('clip_grad_norm'))
         opt_state = optimizer.init(payload['model']['params'])
         opt_state = restore_opt_state(payload, opt_state)
+        # resume EMA tracking: stored weights if present, else seed from
+        # the raw params when ema_decay was just turned on
+        ema = payload['model'].get('ema_params')
+        if ema is None and float(train_cfg.get('ema_decay', 0) or 0) > 0:
+            # seed from raw params — as a copy, so the donated train
+            # step never sees the same buffer twice
+            import numpy as np
+            ema = jax.tree.map(np.array, payload['model']['params'])
         state = tc.TrainState(
             params=payload['model']['params'],
             batch_stats=payload['model'].get('batch_stats', {}),
             opt_state=opt_state,
-            step=jax.numpy.asarray(payload['step'], jax.numpy.int32))
+            step=jax.numpy.asarray(payload['step'], jax.numpy.int32),
+            ema_params=ema)
         print(f'Restored model with step {payload["step"]}')
 
     trainer = ForwardTrainer(paths=paths, dsp=dsp, config=config)
