@@ -16,6 +16,12 @@ class Paths:
 
     def __init__(self, data_path: str, voc_id: str, tts_id: str,
                  base: str | Path | None = None) -> None:
+        if base is None:
+            # FTT_BASE relocates checkpoints/ and model_output/ (the
+            # dirs rooted at the repo by default) without touching the
+            # CLI surface — used by hermetic tests and deployments that
+            # keep the install dir read-only.
+            base = os.environ.get('FTT_BASE') or None
         self.base = Path(base).expanduser().resolve() if base is not None \
             else Path(__file__).parent.parent.parent.expanduser().resolve()
 

@@ -1,0 +1,221 @@
+"""Full-pipeline CLI integration test on a tiny synthetic corpus.
+
+Drives the REAL entry scripts end to end, in order, the way a user
+would (reference README.md:60-98 workflow):
+
+    wavs + metadata.csv
+      -> preprocess.py            (mel/quant/pitch npys + pkl indexes)
+      -> train_tacotron.py        (teacher steps + auto align features)
+      -> train_forward.py         (student steps, checkpoint)
+      -> gen_forward.py griffinlim (text -> wav)
+      -> train_wavernn.py         (vocoder steps on the same features)
+
+This is the "tiny synthetic end-to-end train smoke test" SURVEY.md §4
+calls for: every hand-off artifact (data layout utils/paths.py,
+alignment invariants, checkpoint discovery) is produced by one stage
+and consumed by the next, via subprocesses so the argparse surfaces
+and checkpoint-discovery defaults are exercised too. Checkpoints and
+model outputs are rooted at the tmpdir via FTT_BASE.
+"""
+import subprocess
+import sys
+import wave
+from pathlib import Path
+
+import numpy as np
+import yaml
+
+ROOT = Path(__file__).parent.parent
+
+TEXTS = [
+    'hello there world', 'a quick brown fox jumps over it',
+    'testing one two three', 'synthesized tiny data here',
+    'the teacher aligns phonemes', 'forward tacotron runs on tpu',
+    'pitch and energy values', 'wave rnn vocoder sample',
+]
+
+
+def _write_speechlike_wav(path: Path, sr: int, seconds: float,
+                          f0: float, seed: int) -> None:
+    """Harmonic tone with vibrato, noise floor, and fade envelope —
+    enough spectral/temporal structure for mel, F0, and VAD paths."""
+    rng = np.random.RandomState(seed)
+    t = np.arange(int(sr * seconds)) / sr
+    f_inst = f0 * (1.0 + 0.03 * np.sin(2 * np.pi * 5.0 * t))
+    phase = 2 * np.pi * np.cumsum(f_inst) / sr
+    y = np.zeros_like(t)
+    for k, amp in enumerate([1.0, 0.5, 0.3, 0.15], start=1):
+        y += amp * np.sin(k * phase)
+    # syllable-ish amplitude modulation + edge fades
+    y *= 0.6 + 0.4 * np.sin(2 * np.pi * 3.0 * t + rng.rand() * 6)
+    fade = min(2000, len(t) // 4)
+    env = np.ones_like(t)
+    env[:fade] = np.linspace(0, 1, fade)
+    env[-fade:] = np.linspace(1, 0, fade)
+    y = y * env * 0.5 + rng.randn(len(t)) * 1e-3
+    pcm = np.clip(y * 32767, -32768, 32767).astype('<i2')
+    with wave.open(str(path), 'wb') as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(sr)
+        f.writeframes(pcm.tobytes())
+
+
+def _tiny_config(tmp_path: Path) -> Path:
+    cfg = yaml.safe_load(open(ROOT / 'config.yaml'))
+    cfg['data_path'] = str(tmp_path / 'data')
+    cfg['preprocessing']['n_val'] = 2
+    cfg['tacotron']['model'] = {
+        'embed_dims': 16, 'encoder_dims': 128, 'decoder_dims': 256,
+        'postnet_dims': 8, 'encoder_k': 2, 'lstm_dims': 32,
+        'postnet_k': 2, 'num_highways': 1, 'dropout': 0.5,
+        'stop_threshold': -11.0,
+    }
+    cfg['tacotron']['training'].update(
+        schedule=['1, 1e-3, 4, 2'], checkpoint_every=10_000,
+        plot_every=10_000)
+    cfg['forward_tacotron']['model'] = {
+        'embed_dims': 16, 'series_embed_dims': 8,
+        'durpred_conv_dims': 8, 'durpred_rnn_dims': 4,
+        'durpred_dropout': 0.5,
+        'pitch_conv_dims': 8, 'pitch_rnn_dims': 4, 'pitch_dropout': 0.5,
+        'pitch_strength': 1.0,
+        'energy_conv_dims': 8, 'energy_rnn_dims': 4,
+        'energy_dropout': 0.5, 'energy_strength': 1.0,
+        'rnn_dims': 12, 'prenet_dims': 8, 'prenet_k': 2,
+        'prenet_dropout': 0.5, 'prenet_num_highways': 1,
+        'postnet_dims': 8, 'postnet_k': 2, 'postnet_num_highways': 1,
+        'postnet_dropout': 0.0,
+    }
+    cfg['forward_tacotron']['training'].update(
+        schedule=['1e-3, 4, 2'], checkpoint_every=10_000,
+        plot_every=10_000, filter_attention=False)
+    cfg['vocoder']['model'].update(
+        rnn_dims=32, fc_dims=32, compute_dims=16, res_out_dims=16,
+        res_blocks=1)
+    cfg['vocoder']['training'].update(
+        schedule=['1e-4, 2, 2'], checkpoint_every=10_000,
+        gen_samples_every=10_000)
+    path = tmp_path / 'config.yaml'
+    yaml.safe_dump(cfg, open(path, 'w'))
+    return path
+
+
+def _run(tmp_path: Path, script: str, *args: str):
+    env = {'PATH': '/usr/bin:/bin', 'JAX_PLATFORMS': 'cpu',
+           'PYTHONPATH': str(ROOT), 'HOME': '/tmp',
+           'FTT_BASE': str(tmp_path), 'MPLBACKEND': 'Agg'}
+    r = subprocess.run(
+        [sys.executable, str(ROOT / script), *args],
+        capture_output=True, text=True, env=env, cwd=str(tmp_path),
+        timeout=900)
+    assert r.returncode == 0, (
+        f'{script} {args} failed rc={r.returncode}\n'
+        f'--- stdout tail ---\n{r.stdout[-3000:]}\n'
+        f'--- stderr tail ---\n{r.stderr[-3000:]}')
+    return r
+
+
+def test_full_pipeline_cli(tmp_path):
+    sr = 22050
+    corpus = tmp_path / 'corpus'
+    wavs = corpus / 'wavs'
+    wavs.mkdir(parents=True)
+    with open(corpus / 'metadata.csv', 'w') as f:
+        for i, text in enumerate(TEXTS):
+            item = f'syn{i:03d}'
+            _write_speechlike_wav(wavs / f'{item}.wav', sr,
+                                  seconds=0.45 + 0.05 * i,
+                                  f0=110 + 15 * i, seed=i)
+            f.write(f'{item}|{text}|{text}\n')
+    config = _tiny_config(tmp_path)
+    data = tmp_path / 'data'
+
+    # 1. preprocess: wavs -> mel/quant/raw_pitch + pkl indexes
+    _run(tmp_path, 'preprocess.py', '--path', str(corpus),
+         '--config', str(config))
+    mel_files = sorted((data / 'mel').glob('*.npy'))
+    assert len(mel_files) == len(TEXTS)
+    assert len(list((data / 'quant').glob('*.npy'))) == len(TEXTS)
+    assert len(list((data / 'raw_pitch').glob('*.npy'))) == len(TEXTS)
+    for pkl in ('text_dict.pkl', 'train_dataset.pkl', 'val_dataset.pkl'):
+        assert (data / pkl).is_file()
+    mel0 = np.load(mel_files[0])
+    assert mel0.shape[0] == 80 and np.isfinite(mel0).all()
+
+    # 2. teacher: a few train steps, then automatic align features
+    _run(tmp_path, 'train_tacotron.py', '--config', str(config))
+    taco_ckpt = (tmp_path / 'checkpoints' / 'ljspeech_tts.tacotron'
+                 / 'latest_model.fjax')
+    assert taco_ckpt.is_file()
+    assert (data / 'att_score_dict.pkl').is_file()
+    for item in ('syn000', 'syn007'):
+        dur = np.load(data / 'alg' / f'{item}.npy')
+        mel = np.load(data / 'mel' / f'{item}.npy')
+        pitch = np.load(data / 'phon_pitch' / f'{item}.npy')
+        energy = np.load(data / 'phon_energy' / f'{item}.npy')
+        # the alignment invariant the student depends on
+        assert int(dur.sum()) == mel.shape[-1]
+        assert (dur >= 0).all()
+        assert pitch.shape == dur.shape == energy.shape
+        assert np.isfinite(pitch).all() and np.isfinite(energy).all()
+
+    # 3. student: consumes alg/phon_* from the teacher
+    _run(tmp_path, 'train_forward.py', '--config', str(config))
+    fwd_ckpt = (tmp_path / 'checkpoints' / 'ljspeech_tts.forward'
+                / 'latest_model.fjax')
+    assert fwd_ckpt.is_file()
+
+    # 4. inference: text -> mel -> griffinlim wav via checkpoint discovery
+    _run(tmp_path, 'gen_forward.py', '--config', str(config),
+         '--input_text', 'hello world', 'griffinlim')
+    outs = list((tmp_path / 'model_outputs').glob('*.wav'))
+    assert len(outs) == 1
+    with wave.open(str(outs[0]), 'rb') as f:
+        n = f.getnframes()
+        pcm = np.frombuffer(f.readframes(n), dtype='<i2')
+    assert n > 1000 and np.isfinite(pcm.astype(np.float32)).all()
+
+    # 5. vocoder trainer runs on the same preprocessed features
+    _run(tmp_path, 'train_wavernn.py', '--config', str(config))
+    voc_ckpt = (tmp_path / 'checkpoints' / 'ljspeech_voc.wavernn'
+                / 'latest_model.fjax')
+    assert voc_ckpt.is_file()
+
+    # 6. FastPitch student on the SAME teacher features — the
+    # config-driven tts_model dispatch (checkpoints.py init_tts_model)
+    cfg = yaml.safe_load(open(config))
+    cfg['tts_model'] = 'fast_pitch'
+    cfg['tts_model_id'] = 'ljspeech_fp'
+    cfg['fast_pitch']['model'] = {
+        'durpred_dropout': 0.5, 'durpred_d_model': 8,
+        'durpred_n_heads': 2, 'durpred_layers': 1, 'durpred_d_fft': 8,
+        'pitch_dropout': 0.5, 'pitch_d_model': 8, 'pitch_n_heads': 2,
+        'pitch_layers': 1, 'pitch_d_fft': 8,
+        'energy_dropout': 0.5, 'energy_d_model': 8, 'energy_n_heads': 2,
+        'energy_layers': 1, 'energy_d_fft': 8,
+        'pitch_strength': 1.0, 'energy_strength': 1.0,
+        'd_model': 16, 'conv1_kernel': 9, 'conv2_kernel': 1,
+        'prenet_layers': 1, 'prenet_heads': 2, 'prenet_fft': 16,
+        'prenet_dropout': 0.1,
+        'postnet_layers': 1, 'postnet_heads': 2, 'postnet_fft': 16,
+        'postnet_dropout': 0.1,
+    }
+    cfg['fast_pitch']['training'].update(
+        schedule=['1e-3, 4, 2'], checkpoint_every=10_000,
+        plot_every=10_000, filter_attention=False)
+    config_fp = tmp_path / 'config_fp.yaml'
+    yaml.safe_dump(cfg, open(config_fp, 'w'))
+    _run(tmp_path, 'train_forward.py', '--config', str(config_fp))
+    fp_ckpt = (tmp_path / 'checkpoints' / 'ljspeech_fp.forward'
+               / 'latest_model.fjax')
+    assert fp_ckpt.is_file()
+    _run(tmp_path, 'gen_forward.py', '--config', str(config_fp),
+         '--input_text', 'good morning', 'griffinlim')
+    outs = list((tmp_path / 'model_outputs').glob('*.wav'))
+    assert len(outs) >= 1
+    for out in outs:
+        with wave.open(str(out), 'rb') as f:
+            pcm = np.frombuffer(f.readframes(f.getnframes()), dtype='<i2')
+        assert len(pcm) > 1000
+        assert np.isfinite(pcm.astype(np.float32)).all()
