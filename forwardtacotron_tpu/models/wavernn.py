@@ -483,7 +483,7 @@ def vocode_batch(model: 'WaveRNN', variables: Dict, mels,
                  target: Optional[int] = None, overlap: int = 550,
                  mu_law: bool = True, seed: int = 0, greedy: bool = False,
                  use_pallas: Optional[bool] = None, pcm16: bool = False,
-                 frame_bucket: int = 64):
+                 frame_bucket: int = 64, mesh=None):
     """Serve MANY utterances in one fused device program (beyond the
     reference, which vocodes one utterance per call).
 
@@ -500,6 +500,16 @@ def vocode_batch(model: 'WaveRNN', variables: Dict, mels,
     mels: list of (n_mels, T_i) or (T_i, n_mels) arrays.
     Returns a list of per-utterance waveforms with exact lengths
     (float32, or int16 when pcm16=True).
+
+    With `mesh` (a jax.sharding.Mesh with a 'data' axis), the
+    utterance batch is sharded over the mesh's data axis via
+    shard_map: each device vocodes its own slice of utterances (the
+    whole pipeline, Pallas sampler included, runs per-shard), scaling
+    serving throughput linearly over chips with no collectives in the
+    hot path. The utterance count is padded up to a multiple of the
+    data-axis size with silent dummies that are dropped from the
+    result. Greedy outputs are identical to the unsharded path; in
+    sampled mode each shard draws from a distinct noise stream.
     """
     from forwardtacotron_tpu.dsp.audio import DSP
     from forwardtacotron_tpu.kernels.wavernn_sample import (
@@ -512,6 +522,12 @@ def vocode_batch(model: 'WaveRNN', variables: Dict, mels,
                 and mel.shape[-1] != model.feat_dims:
             mel = mel.T
         prepped.append(mel)
+    n_requested = len(prepped)
+    n_shard = 1
+    if mesh is not None:
+        n_shard = int(mesh.shape.get('data', 1))
+    while len(prepped) % n_shard != 0:
+        prepped.append(np.full((2, model.feat_dims), -4.0, np.float32))
     n_frames = [m.shape[0] for m in prepped]
     t_pad = ((max(n_frames) + frame_bucket - 1)
              // frame_bucket) * frame_bucket
@@ -528,7 +544,8 @@ def vocode_batch(model: 'WaveRNN', variables: Dict, mels,
                             for n in n_frames], np.int32)
 
     cache_key = (model, 'vocode_batch', len(prepped), t_pad, target,
-                 overlap, mu_law, greedy, use_pallas, pcm16)
+                 overlap, mu_law, greedy, use_pallas, pcm16,
+                 mesh if n_shard > 1 else None)
     run = _GEN_JIT_CACHE.get(cache_key)
     if run is None:
         def _run(variables, mel_b, wave_lens, seed):
@@ -575,12 +592,29 @@ def vocode_batch(model: 'WaveRNN', variables: Dict, mels,
                         * 32767.0).astype(jnp.int16)
             return wave
 
-        run = jax.jit(_run)
+        if n_shard > 1:
+            from jax.sharding import PartitionSpec as P
+            from jax import shard_map
+
+            def _sharded(variables, mel_b, wave_lens, seed):
+                # decorrelate sampled-mode noise across shards; greedy
+                # ignores the seed entirely, so greedy outputs stay
+                # exactly equal to the unsharded program
+                shard_seed = seed + jax.lax.axis_index('data') * 7919
+                return _run(variables, mel_b, wave_lens, shard_seed)
+
+            specs = P('data')
+            run = jax.jit(shard_map(
+                _sharded, mesh=mesh,
+                in_specs=(P(), specs, specs, P()),
+                out_specs=specs, check_vma=False))
+        else:
+            run = jax.jit(_run)
         _GEN_JIT_CACHE[cache_key] = run
     out = np.asarray(run(variables, jnp.asarray(batch),
                          jnp.asarray(wave_lens),
                          jnp.asarray(seed, jnp.int32)))
-    return [out[i, :wave_lens[i]] for i in range(len(prepped))]
+    return [out[i, :wave_lens[i]] for i in range(n_requested)]
 
 
 def xfade_and_unfold(y: np.ndarray, target: int, overlap: int

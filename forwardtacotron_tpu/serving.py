@@ -61,7 +61,8 @@ class TTSServer:
                  text_bucket: int = 16, mel_bucket: int = 256,
                  fused: bool = False, fused_max_t: int = 1024,
                  max_queue: int = 64,
-                 request_timeout_s: Optional[float] = 60.0) -> None:
+                 request_timeout_s: Optional[float] = 60.0,
+                 mesh=None) -> None:
         from forwardtacotron_tpu.dsp.audio import DSP
         from forwardtacotron_tpu.text.cleaners import Cleaner
         from forwardtacotron_tpu.text.tokenizer import Tokenizer
@@ -86,6 +87,10 @@ class TTSServer:
         # per-request deadline: requests still unstarted past it fail
         # with TimeoutError instead of occupying device batches
         self.request_timeout_s = request_timeout_s
+        # optional Mesh with a 'data' axis: WaveRNN vocoding shards
+        # the utterance batch across chips (models/wavernn.py
+        # vocode_batch shard_map path)
+        self.mesh = mesh
 
         # fused=True (GAN vocoders only): text -> int16 PCM in ONE
         # device program per batch — series, duration scaling, mel
@@ -378,7 +383,7 @@ class TTSServer:
             padded = mels + [mels[-1]] * (n - n_real)
             wavs = vocode_batch(self.voc_model, self.voc_variables,
                                 padded, mu_law=self._voc_mu_law,
-                                pcm16=True)
+                                pcm16=True, mesh=self.mesh)
             return wavs[:n_real]
         if self.vocoder in ('hifigan', 'melgan'):
             # dispatch on the LOADED generator type (a .fjax file may

@@ -127,3 +127,36 @@ def test_vocode_batch_pcm16():
                         use_pallas=False, pcm16=True)
     assert outs[0].dtype == np.int16
     assert outs[0].shape == ((40 - 1) * TINY['hop_length'],)
+
+
+def test_vocode_batch_sharded_over_mesh():
+    """vocode_batch(mesh=...) shards the utterance batch across the
+    mesh's data axis via shard_map; greedy outputs must be EXACTLY the
+    unsharded program's (lanes are independent, no collectives in the
+    pipeline). Also covers utterance-count padding (3 utterances on a
+    4-way axis)."""
+    from forwardtacotron_tpu.models.wavernn import vocode_batch
+    from forwardtacotron_tpu.parallel.mesh import make_mesh
+
+    model = WaveRNN(**TINY)
+    rng = np.random.RandomState(5)
+    mels = [rng.randn(TINY['feat_dims'], n).astype(np.float32) * 0.3
+            for n in (60, 44, 52)]
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16)),
+                           jnp.zeros((1, 8, TINY['feat_dims'])))
+    kw = dict(target=40, overlap=8, seed=7, greedy=True,
+              use_pallas=False, frame_bucket=4)
+    want = vocode_batch(model, variables, mels, **kw)
+
+    mesh = make_mesh(n_data=4, n_model=1, devices=jax.devices()[:4])
+    got = vocode_batch(model, variables, mels, mesh=mesh, **kw)
+    assert len(got) == len(want) == 3
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, w, atol=2e-4)
+
+    # sampled mode still runs and yields the right shapes/dtypes
+    kw_s = dict(kw, greedy=False, pcm16=True)
+    outs = vocode_batch(model, variables, mels, mesh=mesh, **kw_s)
+    for mel, o in zip(mels, outs):
+        assert o.dtype == np.int16
+        assert o.shape == ((mel.shape[1] - 1) * TINY['hop_length'],)
