@@ -18,6 +18,66 @@ from flax import struct
 from forwardtacotron_tpu.ops.masking import masked_l1
 
 
+# ---------------------------------------------------------------------
+# Graceful preemption (beyond the reference, which has no notion of it):
+# production TPU jobs get SIGTERM'd on preemption/maintenance. Trainers
+# poll `preempted()` once per step and, when set, save `latest_model`
+# and return cleanly — the existing resume path (restore-if-exists +
+# schedule skip) then continues the run on the next invocation.
+
+_PREEMPT_EVENT = None
+
+
+def install_preemption_handler(signals=None) -> None:
+    """Install SIGTERM/SIGINT handlers that request a graceful stop.
+
+    Idempotent; only effective in the main thread (signal module
+    restriction) — elsewhere it's a no-op and `preempted()` stays
+    False. Previous handlers are chained."""
+    global _PREEMPT_EVENT
+    import signal as _signal
+    import threading
+    if _PREEMPT_EVENT is not None:
+        return
+    if threading.current_thread() is not threading.main_thread():
+        return
+    event = threading.Event()
+    if signals is None:
+        signals = (_signal.SIGTERM, _signal.SIGINT)
+    for sig in signals:
+        prev = _signal.getsignal(sig)
+
+        def _handler(signum, frame, _prev=prev):
+            event.set()
+            if callable(_prev) and _prev not in (
+                    _signal.SIG_IGN, _signal.SIG_DFL, _handler):
+                _prev(signum, frame)
+
+        try:
+            _signal.signal(sig, _handler)
+        except (ValueError, OSError):  # non-main thread / exotic env
+            return
+    _PREEMPT_EVENT = event
+
+
+def preempted() -> bool:
+    return _PREEMPT_EVENT is not None and _PREEMPT_EVENT.is_set()
+
+
+def request_preemption() -> None:
+    """Programmatic stop request (tests; cooperative schedulers)."""
+    global _PREEMPT_EVENT
+    import threading
+    if _PREEMPT_EVENT is None:
+        _PREEMPT_EVENT = threading.Event()
+    _PREEMPT_EVENT.set()
+
+
+def clear_preemption() -> None:
+    if _PREEMPT_EVENT is not None:
+        _PREEMPT_EVENT.clear()
+
+
 class Averager:
     def __init__(self) -> None:
         self.count = 0

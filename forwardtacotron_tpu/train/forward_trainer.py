@@ -78,8 +78,11 @@ class ForwardTrainer:
         optimizer = tc.make_optimizer(self.train_cfg.get('clip_grad_norm'))
         schedule = parse_schedule(self.train_cfg['schedule'])
         rng = jax.random.PRNGKey(seed)
+        tc.install_preemption_handler()
 
         for i, (lr, max_step, bs) in enumerate(schedule, 1):
+            if tc.preempted():
+                break
             if max_steps_override is not None:
                 max_step = min(max_step, max_steps_override)
             current = 0 if state is None else int(state.step)
@@ -201,6 +204,10 @@ class ForwardTrainer:
                 w.add_scalar('Params/learning_rate', session.lr, step)
                 stream(msg)
 
+                if tc.preempted():
+                    stream('\n| Preemption requested — saving '
+                           'latest_model and stopping cleanly.\n')
+                    break
                 if step >= session.max_step:
                     break
             else:

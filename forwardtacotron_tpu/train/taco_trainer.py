@@ -131,8 +131,11 @@ class TacoTrainer:
         optimizer = tc.make_optimizer(self.train_cfg.get('clip_grad_norm'))
         schedule = parse_schedule(self.train_cfg['schedule'])
         rng = jax.random.PRNGKey(seed)
+        tc.install_preemption_handler()
 
         for i, (r, lr, max_step, bs) in enumerate(schedule, 1):
+            if tc.preempted():
+                break
             if max_steps_override is not None:
                 max_step = min(max_step, max_steps_override)
             current = 0 if state is None else int(state.step)
@@ -222,6 +225,10 @@ class TacoTrainer:
                 self.writer.add_scalar('Params/learning_rate', session.lr,
                                        step)
                 stream(msg)
+                if tc.preempted():
+                    stream('\n| Preemption requested — saving '
+                           'latest_model and stopping cleanly.\n')
+                    break
                 if step >= session.max_step:
                     break
             else:

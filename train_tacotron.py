@@ -102,6 +102,10 @@ def main() -> None:
     else:
         trainer = TacoTrainer(paths, dsp=dsp, config=config)
         state = trainer.train(model, state=state)
+        if tc.preempted():
+            print('Preempted mid-training — latest_model saved; rerun '
+                  'to resume (alignment extraction deferred).')
+            return
         print('Creating Attention Alignments and Pitch Values...')
         train_set, val_set = get_tts_datasets(
             paths.data, 8, 1, max_mel_len=None, filter_attention=False)
