@@ -212,6 +212,114 @@ class TTSServer:
             self._jit_cache[key] = fn
         return fn
 
+    # ------------------------------------------------ device programs
+    # Shared by the batch path and warmup() so precompiled programs are
+    # exactly the ones steady-state serving dispatches.
+
+    def _series_program(self, tx: int, B: int):
+        import jax
+        model = self.model
+        return self._jit(
+            ('series', model, tx, B),
+            lambda: jax.jit(lambda v, x, xl: model.apply(
+                v, x, method='predict_series', x_len=xl)))
+
+    def _gen_program(self, tx: int, B: int, max_t: int):
+        import jax
+        model = self.model
+        return self._jit(
+            ('gen', model, tx, B, max_t),
+            lambda: jax.jit(lambda v, x, d, p, e, xl, _mt=max_t:
+                            model.apply(v, x, d, p, e, _mt,
+                                        method='generate_from_series',
+                                        x_len=xl)))
+
+    def _fused_program(self, tx: int, B: int, max_t: int):
+        import jax
+        import jax.numpy as jnp
+        model, voc_model = self.model, self.voc_model
+        key = ('fused', model, voc_model, tx, B, max_t)
+
+        def build():
+            def fn(v, vv, x, xl, a, ps, es):
+                series = model.apply(v, x, method='predict_series',
+                                     x_len=xl)
+                dur = series['dur'] / a[:, None]
+                gen = model.apply(v, x, dur,
+                                  series['pitch'] * ps[:, None],
+                                  series['energy'] * es[:, None],
+                                  max_t,
+                                  method='generate_from_series',
+                                  x_len=xl)
+                wav = voc_model.apply(vv, gen['mel_post'])
+                pcm = (jnp.clip(wav, -1.0, 1.0)
+                       * 32767.0).astype(jnp.int16)
+                return pcm, gen['mel_len']
+            return jax.jit(fn)
+
+        return self._jit(key, build)
+
+    def warmup(self, batch_sizes=None, text_lens=None, mel_caps=None,
+               vocoder: bool = True) -> Dict[str, Any]:
+        """Precompile the device programs for the steady-state shape
+        set so first requests don't block on 30s-3min XLA compiles.
+
+        Runs each program once on dummy inputs (which also populates
+        the persistent compile cache). Defaults are lean — one text
+        bucket, one mel bucket, batch 1 and the max batch — widen the
+        arguments to cover more of the shape lattice.
+
+        Returns {'programs': n_compiled, 'seconds': wall}."""
+        import jax.numpy as jnp
+        t0 = time.monotonic()
+        before = len(self._jit_cache)
+        if batch_sizes is None:
+            b_max = 1 if self.max_batch <= 1 else \
+                1 << (self.max_batch - 1).bit_length()
+            batch_sizes = sorted({1, b_max})
+        if text_lens is None:
+            text_lens = (self.text_bucket,)
+        if mel_caps is None:
+            mel_caps = (self.mel_bucket,)
+        n_mels = int(self.config['dsp']['num_mels'])
+        pad_val = -11.5129251
+        for B in batch_sizes:
+            for tl in text_lens:
+                tx = _bucket(int(tl), self.text_bucket, self.text_bucket)
+                x = np.ones((B, tx), np.int32)
+                x_lens = np.full((B,), min(int(tl), tx), np.int32)
+                if self.fused:
+                    fn = self._fused_program(tx, B, self.fused_max_t)
+                    out = fn(self.variables, self.voc_variables,
+                             jnp.asarray(x), jnp.asarray(x_lens),
+                             jnp.ones((B,), jnp.float32),
+                             jnp.ones((B,), jnp.float32),
+                             jnp.ones((B,), jnp.float32))
+                    np.asarray(out[0])
+                series_fn = self._series_program(tx, B)
+                series = series_fn(self.variables, jnp.asarray(x),
+                                   jnp.asarray(x_lens))
+                dur = np.asarray(series['dur'])
+                for mt in mel_caps:
+                    max_t = _bucket(int(mt), self.mel_bucket,
+                                    self.mel_bucket)
+                    gen_fn = self._gen_program(tx, B, max_t)
+                    gen = gen_fn(self.variables, jnp.asarray(x),
+                                 jnp.asarray(dur),
+                                 jnp.asarray(series['pitch']),
+                                 jnp.asarray(series['energy']),
+                                 jnp.asarray(x_lens))
+                    np.asarray(gen['mel_post'])
+            if vocoder and not self.fused:
+                for mt in mel_caps:
+                    max_t = _bucket(int(mt), self.mel_bucket,
+                                    self.mel_bucket)
+                    mels = [np.full((n_mels, max_t), pad_val,
+                                    np.float32)] * B
+                    self._vocode(mels)
+        return {'programs': len(self._jit_cache) - before,
+                'seconds': time.monotonic() - t0}
+
     def _run_batch(self, reqs: List[_Request]) -> None:
         # expire requests whose deadline passed while queued, so a
         # backlog can't keep burning device time on abandoned work
@@ -255,11 +363,10 @@ class TTSServer:
         """ONE device program: tokens -> int16 PCM for the whole
         group. Returns None when any output hits the fused mel cap
         (the caller then reruns through the staged path)."""
-        import jax
         import jax.numpy as jnp
 
-        model, variables = self.model, self.variables
-        voc_model, voc_variables = self.voc_model, self.voc_variables
+        variables = self.variables
+        voc_variables = self.voc_variables
         B_real = len(ids)
         B = 1 << (B_real - 1).bit_length() if B_real > 1 else 1
         x_lens = np.ones((B,), np.int32)
@@ -277,26 +384,7 @@ class TTSServer:
         e_scale[:B_real] = [r.energy_scale for r in reqs]
         max_t = self.fused_max_t
 
-        key = ('fused', model, voc_model, tx, B, max_t)
-
-        def build():
-            def fn(v, vv, x, xl, a, ps, es):
-                series = model.apply(v, x, method='predict_series',
-                                     x_len=xl)
-                dur = series['dur'] / a[:, None]
-                gen = model.apply(v, x, dur,
-                                  series['pitch'] * ps[:, None],
-                                  series['energy'] * es[:, None],
-                                  max_t,
-                                  method='generate_from_series',
-                                  x_len=xl)
-                wav = voc_model.apply(vv, gen['mel_post'])
-                pcm = (jnp.clip(wav, -1.0, 1.0)
-                       * 32767.0).astype(jnp.int16)
-                return pcm, gen['mel_len']
-            return jax.jit(fn)
-
-        run = self._jit(key, build)
+        run = self._fused_program(tx, B, max_t)
         pcm, mel_lens = run(variables, voc_variables, jnp.asarray(x),
                             jnp.asarray(x_lens), jnp.asarray(alphas),
                             jnp.asarray(p_scale), jnp.asarray(e_scale))
@@ -310,7 +398,6 @@ class TTSServer:
 
     def _synthesize_batch(self, reqs: List[_Request],
                           ids: List[List[int]]) -> List[np.ndarray]:
-        import jax
         import jax.numpy as jnp
 
         if self.fused:
@@ -319,7 +406,7 @@ class TTSServer:
                 return out
 
         self.batch_sizes.append(len(reqs))
-        model, variables = self.model, self.variables
+        variables = self.variables
         B_real = len(ids)
         # pow-2 batch bucketing: a handful of compiled batch shapes
         # serves every group size
@@ -332,10 +419,7 @@ class TTSServer:
         for i, seq in enumerate(ids):
             x[i, :len(seq)] = seq
 
-        series_fn = self._jit(
-            ('series', model, tx, B),
-            lambda: jax.jit(lambda v, x, xl: model.apply(
-                v, x, method='predict_series', x_len=xl)))
+        series_fn = self._series_program(tx, B)
         series = series_fn(variables, jnp.asarray(x),
                            jnp.asarray(x_lens))
 
@@ -357,12 +441,7 @@ class TTSServer:
         max_t = _bucket(int(totals.max()) + 1, self.mel_bucket,
                         self.mel_bucket)
 
-        gen_fn = self._jit(
-            ('gen', model, tx, B, max_t),
-            lambda: jax.jit(lambda v, x, d, p, e, xl, _mt=max_t:
-                            model.apply(v, x, d, p, e, _mt,
-                                        method='generate_from_series',
-                                        x_len=xl)))
+        gen_fn = self._gen_program(tx, B, max_t)
         gen = gen_fn(variables, jnp.asarray(x), jnp.asarray(dur),
                      jnp.asarray(pitch), jnp.asarray(energy),
                      jnp.asarray(x_lens))

@@ -39,6 +39,12 @@ def main() -> None:
     parser.add_argument('--request_timeout', type=float, default=60.0,
                         help='per-request deadline in seconds (504 when '
                              'exceeded); <=0 disables')
+    parser.add_argument('--warmup_text_buckets', type=int, default=1,
+                        help='precompile programs for the first N text '
+                             'buckets before accepting requests')
+    parser.add_argument('--warmup_mel_buckets', type=int, default=1,
+                        help='precompile programs for the first N mel '
+                             'buckets before accepting requests')
     subparsers = parser.add_subparsers(dest='vocoder')
     subparsers.add_parser('griffinlim')
     wr = subparsers.add_parser('wavernn')
@@ -62,9 +68,16 @@ def main() -> None:
         max_queue=args.max_queue,
         request_timeout_s=(args.request_timeout
                            if args.request_timeout > 0 else None))
-    # warm the compile caches so the first request is fast
+    # precompile the steady-state device programs (text/mel shape
+    # lattice) so first requests don't block on XLA compiles
     print('Warming up...')
-    server.synthesize('Hello world.')
+    stats = server.warmup(
+        text_lens=[server.text_bucket * (i + 1)
+                   for i in range(max(args.warmup_text_buckets, 1))],
+        mel_caps=[server.mel_bucket * (i + 1)
+                  for i in range(max(args.warmup_mel_buckets, 1))])
+    print(f'Warmed {stats["programs"]} device programs in '
+          f'{stats["seconds"]:.1f}s')
     httpd = make_http_server(server, args.host, args.port)
     print(f'Serving TTS ({vocoder}) on http://{args.host}:{args.port} '
           f'— POST /tts {{"text": ...}}')

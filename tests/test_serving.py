@@ -288,3 +288,79 @@ def test_concurrent_load_no_starvation(server):
     # the serial sum (starvation would show up as ~N*single latency)
     assert p95 < 60.0, f'p95 {p95:.1f}s'
     assert max(server.batch_sizes) >= 2, 'batching never grouped'
+
+
+def test_warmup_precompiles_steady_state_programs(tts_ckpt):
+    """warmup() builds the exact programs the batch path dispatches:
+    a request whose shapes were warmed adds no new jit-cache entries.
+
+    The shape set (text bucket, batch, mel cap) is derived from a
+    first cold server's observed keys, so the test is deterministic
+    regardless of what durations the random-init model predicts."""
+    from forwardtacotron_tpu.serving import TTSServer
+    text = 'Hello there, warm server.'
+    cold = TTSServer(tts_ckpt, vocoder='griffinlim', max_batch=4,
+                     max_wait_ms=10.0, text_bucket=16, mel_bucket=128)
+    try:
+        cold.synthesize(text, timeout=300)
+        gen_keys = [k for k in cold._jit_cache if k[0] == 'gen']
+        assert gen_keys                      # ('gen', model, tx, B, mt)
+        text_lens = sorted({k[2] for k in gen_keys})
+        bs = sorted({k[3] for k in gen_keys})
+        mel_caps = sorted({k[4] for k in gen_keys})
+    finally:
+        cold.close()
+
+    srv = TTSServer(tts_ckpt, vocoder='griffinlim', max_batch=4,
+                    max_wait_ms=10.0, text_bucket=16, mel_bucket=128)
+    try:
+        stats = srv.warmup(batch_sizes=bs, text_lens=text_lens,
+                           mel_caps=mel_caps)
+        assert stats['programs'] >= 2        # series + gen at least
+        assert stats['seconds'] > 0
+        n_before = len(srv._jit_cache)
+        pcm = srv.synthesize(text, timeout=300)
+        assert pcm.dtype == np.int16 and len(pcm) > 0
+        assert len(srv._jit_cache) == n_before, (
+            'synthesis after warmup compiled a new program: '
+            f'{set(srv._jit_cache)}')
+    finally:
+        srv.close()
+
+
+def test_warmup_fused_path(tts_ckpt, hifigan_ckpt):
+    from forwardtacotron_tpu.serving import TTSServer
+
+    def make():
+        return TTSServer(tts_ckpt, vocoder='hifigan',
+                         voc_checkpoint=hifigan_ckpt, fused=True,
+                         fused_max_t=512, max_batch=2,
+                         max_wait_ms=10.0, text_bucket=16,
+                         mel_bucket=128)
+
+    text = 'Fused and warm.'
+    cold = make()
+    try:
+        cold.synthesize(text, timeout=300)
+        fused_keys = [k for k in cold._jit_cache if k[0] == 'fused']
+        staged = [k for k in cold._jit_cache if k[0] == 'gen']
+        assert fused_keys    # ('fused', model, voc, tx, B, max_t)
+        text_lens = sorted({k[3] for k in fused_keys})
+        bs = sorted({k[4] for k in fused_keys})
+        # warmup also compiles the staged-fallback programs; feed it
+        # the caps the cold run actually fell back to (if any)
+        mel_caps = sorted({k[4] for k in staged}) or None
+    finally:
+        cold.close()
+
+    srv = make()
+    try:
+        stats = srv.warmup(batch_sizes=bs, text_lens=text_lens,
+                           mel_caps=mel_caps)
+        assert stats['programs'] >= 1
+        n_before = len(srv._jit_cache)
+        pcm = srv.synthesize(text, timeout=300)
+        assert pcm.dtype == np.int16 and len(pcm) > 0
+        assert len(srv._jit_cache) == n_before
+    finally:
+        srv.close()
