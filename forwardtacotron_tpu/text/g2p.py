@@ -129,7 +129,7 @@ _LEXICON = {
     'while': 'waɪl', 'along': 'əlɔːŋ', 'among': 'əmʌŋ', 'away': 'əweɪ',
     'ago': 'əɡoʊ', 'else': 'ɛls', 'per': 'pɜː', 'both': 'boʊθ',
     'neither': 'niːðɚ', 'either': 'aɪðɚ', 'several': 'sɛvɹəl',
-    'certain': 'sɜːtən', 'whole': 'hoʊl', 'real': 'ɹiːl', 'really': 'ɹɪli',
+    'certain': 'sɜːtən', 'whole': 'hoʊl', 'real': 'ɹiːl', 'really': 'ɹiːli',
     'maybe': 'meɪbi', 'perhaps': 'pɚhæps', 'quite': 'kwaɪt',
     'rather': 'ɹæðɚ', 'instead': 'ɪnstɛd', 'please': 'pliːz',
     'thank': 'θæŋk', 'thanks': 'θæŋks', 'sorry': 'sɑːɹi', 'okay': 'oʊkeɪ',
@@ -138,7 +138,7 @@ _LEXICON = {
     'much': 'mʌtʃ', 'such': 'sʌtʃ', 'being': 'biːɪŋ', 'having': 'hævɪŋ',
     'doing': 'duːɪŋ', 'done': 'dʌn', 'seen': 'siːn', 'saw': 'sɔː',
     'knew': 'nuː', 'known': 'noʊn', 'thinks': 'θɪŋks', 'think': 'θɪŋk',
-    'want': 'wɑːnt', 'wants': 'wɑːnts', 'wanted': 'wɑːntɪd',
+    'want': 'wɑːnt', 'wants': 'wɑːnts', 'wanted': 'wɑːntᵻd',
     'need': 'niːd', 'call': 'kɔːl', 'called': 'kɔːld', 'try': 'tɹaɪ',
     'tried': 'tɹaɪd', 'ask': 'æsk', 'asked': 'æskt', 'used': 'juːzd',
     'using': 'juːzɪŋ', 'user': 'juːzɚ', 'users': 'juːzɚz',
@@ -366,6 +366,19 @@ _LEXICON = {
     'target': 'tɑːɹɡɪt', 'forget': 'fɚɡɛt', 'forgot': 'fɚɡɑːt',
     'forgotten': 'fɚɡɑːtən', 'worn': 'wɔːɹn', 'sworn': 'swɔːɹn',
     'sword': 'sɔːɹd', 'resign': 'ɹɪzaɪn',
+    'smooth': 'smuːð', 'square': 'skwɛɹ', 'reply': 'ɹɪplaɪ',
+    'houses': 'haʊzᵻz', 'ear': 'ɪɹ', 'poem': 'poʊəm',
+    'whom': 'huːm', 'cough': 'kɔːf', 'hymn': 'hɪm',
+    'attention': 'ətɛnʃən', 'vacation': 'veɪkeɪʃən',
+    'banana': 'bənænə', 'balloon': 'bəluːn', 'asleep': 'əsliːp',
+    'alive': 'əlaɪv', 'arrive': 'əɹaɪv',
+    'potato': 'pəteɪɾoʊ', 'tomato': 'təmeɪɾoʊ', 'hotel': 'hoʊtɛl',
+    'police': 'pəliːs', 'surprise': 'sɚpɹaɪz', 'guitar': 'ɡɪtɑːɹ',
+    'cigar': 'sɪɡɑːɹ', 'radar': 'ɹeɪdɑːɹ', 'late': 'leɪt',
+    'energy': 'ɛnɚdʒi', 'easy': 'iːzi',
+    'rely': 'ɹɪlaɪ', 'apply': 'əplaɪ', 'supply': 'səplaɪ',
+    'deny': 'dɪnaɪ', 'menu': 'mɛnjuː',
+    'venue': 'vɛnjuː', 'wool': 'wʊl', 'wood': 'wʊd',
 }
 
 # Longest-match context-free digraph/letter rules (en-us flavored).
@@ -374,14 +387,14 @@ _RULES = [
     ('ation', 'eɪʃən'), ('ssion', 'ʃən'), ('tion', 'ʃən'),
     ('sion', 'ʒən'),
     ('oulder', 'oʊldɚ'), ('ought', 'ɔːt'),
-    ('eigh', 'eɪ'), ('ough', 'ʌf'), ('augh', 'ɔː'), ('tch', 'tʃ'),
+    ('eigh', 'eɪ'), ('aigh', 'eɪ'), ('ough', 'ʌf'), ('augh', 'ɔː'), ('tch', 'tʃ'),
     ('sch', 'sk'), ('dge', 'dʒ'), ('igh', 'aɪ'), ('quar', 'kwɔːɹ'),
     ('ing', 'ɪŋ'), ('eau', 'oʊ'),
     ('qu', 'kw'), ('ch', 'tʃ'), ('sh', 'ʃ'),
     ('th', 'θ'), ('ph', 'f'), ('wh', 'w'), ('ck', 'k'), ('ng', 'ŋ'),
     ('wr', 'ɹ'), ('kn', 'n'), ('rh', 'ɹ'),
     ('xh', 'ɡz'),
-    ('ee', 'iː'), ('ea', 'iː'), ('oo', 'uː'), ('ou', 'aʊ'),
+    ('eer', 'ɪɹ'), ('ee', 'iː'), ('ea', 'iː'), ('oo', 'uː'), ('ou', 'aʊ'),
     ('ow', 'oʊ'), ('oi', 'ɔɪ'), ('oy', 'ɔɪ'), ('ay', 'eɪ'),
     ('air', 'ɛɹ'),
     ('ai', 'eɪ'), ('au', 'ɔː'), ('aw', 'ɔː'), ('ew', 'juː'),
@@ -404,23 +417,27 @@ _PREFIX_RULES = [('ps', 's'), ('pn', 'n'), ('gh', 'ɡ'), ('mn', 'n'),
 _PUNCT_KEEP = set('!\'(),.:;? -')
 
 # final-sound classes for inflection voicing (by final IPA character)
-_VOICELESS = set('ptkfθs')
+_VOICELESS = set('ptkfθsʃ')
 _SIBILANT_ENDS = ('s', 'z', 'ʃ', 'ʒ', 'tʃ', 'dʒ')
 
 
 def _plural_suffix(stem_ipa: str) -> str:
-    """-s / -es voicing: cats -> s, dogs -> z, boxes -> ɪz."""
+    """-s / -es voicing: cats -> s, dogs -> z, boxes -> ᵻz.
+
+    The epenthetic vowel is espeak's reduced ᵻ (its 'I2' phoneme,
+    present in the reference symbol table utils/text/symbols.py:13
+    precisely because espeak emits it), not full ɪ."""
     if stem_ipa.endswith(_SIBILANT_ENDS):
-        return 'ɪz'
+        return 'ᵻz'
     if stem_ipa and stem_ipa[-1] in _VOICELESS:
         return 's'
     return 'z'
 
 
 def _past_suffix(stem_ipa: str) -> str:
-    """-ed voicing: walked -> t, loved -> d, wanted -> ɪd."""
+    """-ed voicing: walked -> t, loved -> d, wanted -> ᵻd."""
     if stem_ipa.endswith(('t', 'd')):
-        return 'ɪd'
+        return 'ᵻd'
     if stem_ipa and stem_ipa[-1] in _VOICELESS:
         return 't'
     return 'd'
@@ -430,9 +447,43 @@ def _has_vowel(s: str) -> bool:
     return any(c in 'aeiouy' for c in s)
 
 
+# GA t-flapping (espeak-ng en-us emits ɾ; it is in the reference
+# symbol inventory for exactly that reason, symbols.py:15). Applied as
+# a post-pass over every word so lexicon entries, morphology composites
+# and rule output share one convention. Without stress marks this is an
+# approximation: t flaps between a vowel (or post-vocalic ɹ) and a weak
+# vowel (ə ɚ ᵻ, reduced i/ɪ, word-final oʊ), except before ən
+# (button/certain keep t, matching espeak) and before ɪʃ (petition).
+_FLAP_PREV = set('iɪeɛæaɑɔoʊuʌɜəɚː')
+
+
+def _flap(ipa: str) -> str:
+    out = []
+    n = len(ipa)
+    for idx, ch in enumerate(ipa):
+        if ch != 't':
+            out.append(ch)
+            continue
+        prev = ipa[idx - 1] if idx else ''
+        prev2 = ipa[idx - 2] if idx > 1 else ''
+        nxt = ipa[idx + 1] if idx + 1 < n else ''
+        nxt2 = ipa[idx + 2] if idx + 2 < n else ''
+        prev_ok = prev in _FLAP_PREV or \
+            (prev == 'ɹ' and prev2 in _FLAP_PREV)
+        # (word-final oʊ is NOT in the weak set: photo/potato flap via
+        # their lexicon entries, but plateau/veto-class words carry
+        # final stress and keep t)
+        next_ok = ((nxt == 'ə' and nxt2 != 'n')
+                   or nxt in ('ɚ', 'ᵻ')
+                   or (nxt == 'i' and nxt2 != 'ː')
+                   or (nxt == 'ɪ' and nxt2 != 'ʃ'))
+        out.append('ɾ' if prev_ok and next_ok else 't')
+    return ''.join(out)
+
+
 def _try_morphology(w: str):
     """Decompose inflections/derivations so stems reuse the lexicon and
-    the magic-e logic: makes -> make+s, hated -> hate+ɪd,
+    the magic-e logic: makes -> make+s, hated -> hate+ᵻd,
     making -> make+ɪŋ, cities -> city+z, kindness -> kind+nəs."""
     def stem(s: str) -> str:
         return _word_to_phonemes(s, depth=1)
@@ -442,12 +493,14 @@ def _try_morphology(w: str):
     if len(w) > 3 and (w.endswith('es') and w[-3] in 'sxz'
                        or w.endswith(('ches', 'shes'))):
         if w[:-1] in _LEXICON:  # sibilant stem keeps its e: browses
-            return _LEXICON[w[:-1]] + 'ɪz'
-        return stem(w[:-2]) + 'ɪz'
+            return _LEXICON[w[:-1]] + 'ᵻz'
+        return stem(w[:-2]) + 'ᵻz'
     if w.endswith('s') and not w.endswith(('ss', 'us', 'is')) \
             and len(w) > 3 and _has_vowel(w[:-1]):
         ipa = stem(w[:-1])
         return ipa + _plural_suffix(ipa)
+    if w.endswith('ied') and len(w) > 4:
+        return stem(w[:-3] + 'y') + 'd'   # studied -> study+d
     if w.endswith('ed') and len(w) >= 4 and _has_vowel(w[:-2]):
         if w[:-2] in _LEXICON:  # walked -> walk (lexicon stem)
             ipa = _LEXICON[w[:-2]]
@@ -470,6 +523,24 @@ def _try_morphology(w: str):
                 and s[-3] not in 'aeiou':
             return stem(s + 'e') + 'ɪŋ'  # open syllable: making
         return stem(s) + 'ɪŋ'
+    # comparative/agentive -er over known stems: smaller, bigger,
+    # later, happier (unknown stems fall through to the rule scan,
+    # where final 'er' maps to ɚ anyway)
+    if w.endswith('ier') and len(w) > 4:
+        ipa = stem(w[:-3] + 'y')
+        if ipa.endswith('i'):
+            return ipa + 'ɚ'              # happier -> hæpiɚ
+    if w.endswith('er') and len(w) > 4:
+        s = w[:-2]
+        # false decompositions: shoulder is not should+er
+        if s in ('should', 'would', 'could'):
+            s = ''
+        if s in _LEXICON:
+            return _LEXICON[s] + 'ɚ'      # smaller -> small+ɚ
+        if s + 'e' in _LEXICON:
+            return _LEXICON[s + 'e'] + 'ɚ'  # later -> late+ɚ
+        if len(s) > 2 and s[-1] == s[-2] and s[:-1] in _LEXICON:
+            return _LEXICON[s[:-1]] + 'ɚ'   # bigger -> big+ɚ
     for suf, ipa_suf in [('ness', 'nəs'), ('ment', 'mənt'),
                          ('ful', 'fəl'), ('less', 'ləs'), ('ly', 'li'),
                          ('est', 'ɪst')]:
@@ -528,8 +599,10 @@ def _word_to_phonemes(word: str, depth: int = 0) -> str:
         suffix, w = 'iːz', w[:-4]      # cheese (geese is lexicon)
     elif len(w) >= 5 and w.endswith('oise'):
         suffix, w = 'ɔɪz', w[:-4]      # noise
+    elif len(w) >= 5 and w.endswith('umn'):
+        suffix, w = 'əm', w[:-3]       # autumn, column (reduced)
     elif len(w) >= 3 and w.endswith('mn'):
-        suffix, w = 'm', w[:-2]        # autumn, column, hymn, damn
+        suffix, w = 'm', w[:-2]        # damn, hymn (hymn in lexicon)
     elif len(w) >= 3 and w.endswith('mb'):
         suffix, w = 'm', w[:-2]        # lamb, comb; mid-word mb stays
     elif len(w) >= 4 and w.endswith('ign'):
@@ -545,10 +618,45 @@ def _word_to_phonemes(word: str, depth: int = 0) -> str:
         suffix, w = 'tʃɚ', w[:-4]
         magic_e = 0 < len(w) <= 4 and w[-1] in 'aeiou'
         magic_pos = len(w) - 1
-    elif len(w) >= 5 and w.endswith('age'):
-        suffix, w = 'ɪdʒ', w[:-3]  # village, message
+    elif len(w) >= 4 and w.endswith('the'):
+        # final -the voices and lengthens: bathe -> beɪð,
+        # breathe -> bɹiːð, clothe -> kloʊð
+        suffix, w = 'ð', w[:-3]
+        magic_e = len(w) > 0 and w[-1] in 'aeiou'
+        magic_pos = len(w) - 1
+    elif len(w) >= 4 and w.endswith('ong'):
+        suffix, w = 'ɔːŋ', w[:-3]  # long, song, strong, belong
+        #                            (among/mongrel-type ʌ via lexicon)
+    elif len(w) >= 5 and w.endswith('age') and _has_vowel(w[:-3]):
+        suffix, w = 'ɪdʒ', w[:-3]  # village, message (stage/page keep
+        #                            the magic-e path: stem has no vowel)
     elif len(w) >= 5 and w.endswith('ous'):
-        suffix, w = 'əs', w[:-3]   # famous, nervous
+        # short SINGLE-consonant open stem (checked on the original
+        # spelling, degemination hides doubling): vowel is long
+        # (famous -> feɪməs); closed stems keep their lax vowel
+        single_c = len(lower) >= 6 and lower[-4] not in 'aeiou' \
+            and lower[-5] in 'aeiou'
+        suffix, w = 'əs', w[:-3]
+        magic_e = single_c and len(w) <= 4
+        magic_pos = len(w) - 2
+    elif len(w) >= 5 and w.endswith('ive') and _has_vowel(w[:-3]) \
+            and w[-4] not in 'rv':
+        # active/native/massive (reduced ɪv); drive/arrive/survive
+        # keep magic-e (no stem vowel, or r/v stem end). Single-
+        # consonant short stems lengthen: native -> neɪɾɪv
+        single_c = len(lower) >= 6 and lower[-4] not in 'aeiou' \
+            and lower[-5] in 'aeiou'
+        suffix, w = 'ɪv', w[:-3]
+        magic_e = single_c and len(w) <= 4
+        magic_pos = len(w) - 2
+    elif len(w) >= 4 and w.endswith('are'):
+        suffix, w = 'ɛɹ', w[:-3]   # care, share, compare (square in
+        #                            lexicon: qu-cluster)
+    elif len(w) >= 4 and w.endswith('ire'):
+        suffix, w = 'aɪɚ', w[:-3]  # fire, wire, desire, require
+    elif len(w) >= 4 and w.endswith('our'):
+        suffix, w = 'aʊɚ', w[:-3]  # flour, sour (four/your/tour/pour
+        #                            are lexicon entries)
     elif len(w) >= 5 and w.endswith('en') and w[-3] not in 'aeiouy':
         suffix, w = 'ən', w[:-2]   # garden, kitchen, happen (reduced);
         #                            ten/men/when stay ɛn (short words)
@@ -556,6 +664,15 @@ def _word_to_phonemes(word: str, depth: int = 0) -> str:
         suffix, w = 'ɪt', w[:-2]   # jacket, market, planet (reduced)
     elif len(w) >= 3 and w.endswith('le') and w[-3] not in 'aeiou':
         suffix, w = 'əl', w[:-2]
+        if w.endswith('ng'):
+            suffix = 'ɡəl'         # single/jungle/angle keep the ɡ
+        # single consonant between vowel and -le (in the ORIGINAL
+        # spelling — degemination hides doubling): the vowel is long
+        # (title -> taɪɾəl, noble, cycle); little/bottle stay lax
+        elif len(lower) >= 5 and lower[-3] not in 'aeiouy' \
+                and lower[-4] in 'aeiouy' and len(w) >= 2:
+            magic_e = True
+            magic_pos = len(w) - 2
     elif len(w) >= 3 and w.endswith('ce'):
         suffix, w = 's', w[:-2]
         magic_e = len(w) > 0 and w[-1] in 'aeiou'
@@ -625,13 +742,64 @@ def _word_to_phonemes(word: str, depth: int = 0) -> str:
             i += 1
             continue
         if w[i] == 'y' and (i == len(w) - 1 or w[i + 1] not in 'aeiou'):
-            if i == len(w) - 1:
+            if magic_e and i == magic_pos:
+                out.append('aɪ')       # cycle -> saɪkəl
+            elif i == len(w) - 1:
                 # monosyllables stress the final y: fly/sky/try -> aɪ;
                 # polysyllables reduce it: happy/city -> i
                 out.append('i' if _has_vowel(w[:i]) else 'aɪ')
             else:
                 out.append('ɪ')
             i += 1
+            continue
+        # nasal assimilation: n before a velar -> ŋ (uncle, bank,
+        # anxious); 'ng' itself is a digraph rule
+        if w[i] == 'n' and i + 1 < len(w) and (
+                w[i + 1] in 'kqx'
+                or (w[i + 1] == 'c'
+                    and (i + 2 >= len(w) or w[i + 2] not in 'eiy'))):
+            out.append('ŋ')
+            i += 1
+            continue
+        # unstressed de- prefix before an open syllable -> dɪ
+        # (decision, decide); desk/destiny keep dɛ (closed syllable)
+        if i == 0 and w.startswith('de') and len(w) >= 5 \
+                and w[2] not in 'aeiouy' and w[3] in 'aeiouy':
+            out.append('dɪ')
+            i = 2
+            continue
+        # word-final unstressed 'a' -> ə (umbrella, sofa, extra)
+        if w[i] == 'a' and i == len(w) - 1 and _has_vowel(w[:i]):
+            out.append('ə')
+            i += 1
+            continue
+        # r-colored vowels in context: before a vowel the r starts the
+        # next syllable (mirror -> mɪɹɚ, marry -> mæɹi, jury -> dʒʊɹi);
+        # a FINAL unstressed -or/-ar reduces to ɚ (actor, dollar —
+        # guitar/cigar/radar are lexicon entries)
+        if w[i] in 'aeiu' and i + 1 < len(w) and w[i + 1] == 'r' \
+                and not (magic_e and i == magic_pos):
+            nxt = w[i + 2] if i + 2 < len(w) else ''
+            if nxt and nxt in 'aeiouy':
+                out.append({'a': 'æɹ', 'e': 'ɛɹ', 'i': 'ɪɹ',
+                            'u': 'ʊɹ'}[w[i]])
+                i += 2
+                continue
+            if nxt == '' and w[i] in 'ao' and lower.endswith(('or',
+                                                              'ar')) \
+                    and _has_vowel(w[:i]):
+                out.append('ɚ')
+                i += 2
+                continue
+            if w[i] == 'e' and nxt != '':
+                out.append('ɜː')       # mid-word er + consonant:
+                i += 2                 # nervous, person
+                continue
+        if w[i] == 'o' and i + 1 < len(w) and w[i + 1] == 'r' \
+                and i + 2 >= len(w) and lower.endswith('or') \
+                and _has_vowel(w[:i]):
+            out.append('ɚ')            # final unstressed -or: actor
+            i += 2
             continue
         for pattern, ipa in _RULES:
             if w.startswith(pattern, i):
@@ -655,7 +823,7 @@ def rule_based_g2p(text: str) -> str:
         if not piece:
             continue
         if re.fullmatch(r"[a-zA-Z']+", piece):
-            out.append(_word_to_phonemes(piece.replace("'", '')))
+            out.append(_flap(_word_to_phonemes(piece.replace("'", ''))))
         else:
             out.append(''.join(ch for ch in piece
                                if ch in _PUNCT_KEEP or ch == ' '))

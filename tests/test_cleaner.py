@@ -49,14 +49,17 @@ def test_g2p_morphology():
     from forwardtacotron_tpu.text.g2p import rule_based_g2p as g
     for word, want in [
             ('makes', 'meɪks'), ('making', 'meɪkɪŋ'), ('loved', 'lʌvd'),
-            ('hated', 'heɪtɪd'), ('wanted', 'wɑːntɪd'),
-            ('cities', 'sɪɾiz'), ('boxes', 'bɑːksɪz'),
+            ('hated', 'heɪɾᵻd'), ('wanted', 'wɑːntᵻd'),
+            ('cities', 'sɪɾiz'), ('boxes', 'bɑːksᵻz'),
             ('walking', 'wɔːkɪŋ'), ('stopped', 'stɑːpt'),
             ('running', 'ɹʌnɪŋ'), ('kindness', 'kaɪndnəs'),
             ('fully', 'fʌli'), ('dogs', 'dɑːɡz'), ('cats', 'kæts'),
             ('nature', 'neɪtʃɚ'), ('village', 'vɪlɪdʒ'),
-            ('famous', 'fæməs'), ('station', 'steɪʃən'),
-            ('needed', 'niːdɪd'), ('apple', 'æpəl'), ('happy', 'hæpi')]:
+            ('famous', 'feɪməs'), ('station', 'steɪʃən'),
+            ('needed', 'niːdᵻd'), ('apple', 'æpəl'), ('happy', 'hæpi'),
+            ('studied', 'stʌdid'), ('happier', 'hæpiɚ'),
+            ('smaller', 'smɔːlɚ'), ('later', 'leɪɾɚ'),
+            ('washed', 'wɑːʃt')]:
         assert g(word) == want, f'{word}: {g(word)} != {want}'
 
 
@@ -69,10 +72,10 @@ def test_g2p_orthography_rules():
             ('mission', 'mɪʃən'), ('passion', 'pæʃən'),
             ('session', 'sɛʃən'), ('league', 'liːɡ'),
             ('unique', 'juːniːk'), ('psalm', 'sɑːm'),
-            ('autumn', 'ɔːtʌm'), ('column', 'kɑːlʌm'),
+            ('autumn', 'ɔːɾəm'), ('column', 'kɑːləm'),
             ('soften', 'sɑːfən'), ('fasten', 'fæsən'),
             ('warm', 'wɔːɹm'), ('ward', 'wɔːɹd'),
-            ('quarter', 'kwɔːɹtɚ'), ('search', 'sɜːtʃ'),
+            ('quarter', 'kwɔːɹɾɚ'), ('search', 'sɜːtʃ'),
             ('pearl', 'pɜːl'), ('guard', 'ɡɑːɹd'),
             ('guild', 'ɡɪld'), ('guest', 'ɡɛst'),
             ('shoulder', 'ʃoʊldɚ'), ('rhubarb', 'ɹʌbɑːɹb'),
@@ -82,6 +85,16 @@ def test_g2p_orthography_rules():
             ('danger', 'deɪndʒɚ'), ('chemistry', 'kɛmɪstɹi'),
             ('chef', 'ʃɛf'), ('gift', 'ɡɪft'),
             ('gentle', 'dʒɛntəl'),
+            # round 4: flapping, are/ire/our/eer colors, velar nasal
+            # assimilation, -le/-ive/-ous magic, final -or/-ar
+            ('title', 'taɪɾəl'), ('single', 'sɪŋɡəl'),
+            ('uncle', 'ʌŋkəl'), ('active', 'æktɪv'),
+            ('native', 'neɪɾɪv'), ('care', 'kɛɹ'),
+            ('fire', 'faɪɚ'), ('flour', 'flaʊɚ'),
+            ('cheer', 'tʃɪɹ'), ('actor', 'æktɚ'),
+            ('dollar', 'dɑːlɚ'), ('mirror', 'mɪɹɚ'),
+            ('straight', 'stɹeɪt'), ('long', 'lɔːŋ'),
+            ('bathe', 'beɪð'), ('decision', 'dɪsɪʒən'),
             # round 2: wor+C, x-, s+u+vowel, edge-anchored gn/mb, -ign
             ('worship', 'wɜːʃɪp'), ('worth', 'wɜːθ'),
             ('xylophone', 'zɪlɑːfoʊn'), ('casual', 'kæʒuæl'),
