@@ -146,3 +146,20 @@ def test_g2p_golden_list_ratchet():
     assert out['overall']['word_acc'] >= 0.97, out['overall']
     assert out['overall']['per'] <= 0.008, out['overall']
     assert out['oov']['word_acc'] >= 0.95, out['oov']
+
+
+def test_g2p_heldout_ratchet():
+    """The 229-word held-out set (tests/resources/g2p_heldout.tsv):
+    measured 0.489 word acc / 0.147 PER at selection time, BEFORE any
+    rule was tuned against it (the frozen generalization figure in
+    docs/g2p.md). These floors ratchet as post-freeze tuning lands."""
+    import pathlib
+    import sys
+    sys.path.insert(0, 'tools')
+    from eval_g2p import evaluate, load_golden
+    path = (pathlib.Path(__file__).parent / 'resources'
+            / 'g2p_heldout.tsv')
+    out = evaluate(load_golden(path))
+    assert out['overall']['n'] == 229
+    assert out['overall']['word_acc'] >= 0.48, out['overall']
+    assert out['overall']['per'] <= 0.15, out['overall']
