@@ -379,11 +379,60 @@ _LEXICON = {
     'rely': 'ɹɪlaɪ', 'apply': 'əplaɪ', 'supply': 'səplaɪ',
     'deny': 'dɪnaɪ', 'menu': 'mɛnjuː',
     'venue': 'vɛnjuː', 'wool': 'wʊl', 'wood': 'wʊd',
+    # round 5: stress-irregular words the rule engine cannot decide
+    # (held-out error analysis, docs/g2p.md)
+    # ('T' = a t that must not flap — it heads a stressed syllable)
+    'climate': 'klaɪmət', 'particular': 'pɚTɪkjʊlɚ', 'prior': 'pɹaɪɚ',
+    'news': 'nuːz', 'emergency': 'ɪmɜːdʒənsi',
+    'objective': 'əbdʒɛktɪv', 'negotiation': 'nɪɡoʊʃieɪʃən',
+    'mechanism': 'mɛkənɪzəm', 'laboratory': 'læbɹətɔːɹi',
+    'refrigerator': 'ɹɪfɹɪdʒɚɹeɪɾɚ', 'vehicle': 'viːɪkəl',
+    'squirrel': 'skwɜːɹəl', 'cedar': 'siːdɚ', 'clover': 'kloʊvɚ',
+    'dimension': 'daɪmɛnʃən', 'challenge': 'tʃælɪndʒ',
+    'analysis': 'ənæləsɪs', 'resource': 'ɹiːsɔːɹs',
+    'separate': 'sɛpɚɹeɪt', 'survey': 'sɜːveɪ', 'obey': 'oʊbeɪ',
+    'convey': 'kənveɪ', 'advance': 'ədvæns', 'romance': 'ɹoʊmæns',
+    'finance': 'faɪnæns', 'perfect': 'pɜːfɪkt',
+    'progress': 'pɹɑːɡɹɛs', 'proposal': 'pɹəpoʊzəl',
+    'property': 'pɹɑːpɚɾi', 'phenomenon': 'fɪnɑːmɪnɑːn',
+    'silence': 'saɪləns', 'recent': 'ɹiːsənt', 'region': 'ɹiːdʒən',
+    'statistic': 'stəTɪstɪk', 'comet': 'kɑːmɪt', 'barrel': 'bæɹəl',
+    'theory': 'θiəɹi',
 }
 
 # Longest-match context-free digraph/letter rules (en-us flavored).
 # Order matters within each leading letter group.
 _RULES = [
+    # round 5 (held-out-driven): latinate suffix families whose
+    # unstressed vowels reduce (the dominant held-out error class,
+    # docs/g2p.md) — longest patterns first so they win the scan
+    ('esolution', 'ɛzəluːʃən'), ('troduction', 'tɹədʌkʃən'),
+    ('ecomend', 'ɛkəmɛnd'),
+    ('ecognition', 'ɛkəɡnɪʃən'), ('anization', 'ənɪzeɪʃən'),
+    ('ortunity', 'ɚtuːnɪɾi'), ('ortation', 'ɚteɪʃən'),
+    ('eration', 'ɚɹeɪʃən'),
+    ('aration', 'ɚɹeɪʃən'), ('ulation', 'jʊleɪʃən'),
+    ('upation', 'jʊpeɪʃən'), ('utation', 'jʊteɪʃən'),
+    ('ibution', 'ɪbjuːʃən'), ('itution', 'ɪtuːʃən'),
+    ('olution', 'əluːʃən'), ('tuation', 'tʃueɪʃən'),
+    ('uation', 'ueɪʃən'), ('ibility', 'əbɪlɪɾi'),
+    ('ability', 'əbɪlɪɾi'), ('ividual', 'ɪvɪdʒuəl'),
+    ('onality', 'ənælɪɾi'), ('adition', 'ədɪʃən'),
+    ('enefit', 'ɛnɪfɪt'),
+    ('osophy', 'ɑːsəfi'), ('ocracy', 'ɑːkɹəsi'),
+    ('ography', 'ɑːɡɹəfi'), ('ology', 'ɑːlədʒi'),
+    ('alysis', 'æləsɪs'), ('emony', 'əmoʊni'), ('phasis', 'fəsɪs'),
+    ('cedur', 'siːdʒɚ'), ('quire', 'kwaɪɚ'), ('irect', 'ɚɹɛkt'),
+    ('bserv', 'bzɚv'), ('epend', 'ɪpɛnd'),
+    ('nsition', 'nzɪʃən'), ('nsion', 'nʃən'), ('cian', 'ʃən'),
+    ('source', 'sɔːɹs'), ('eaction', 'iækʃən'), ('eact', 'iækt'),
+    ('urity', 'jʊɹɪɾi'),
+    ('rument', 'ɹəmənt'), ('ument', 'juːmənt'),
+    ('quan', 'kwɑːn'), ('osal', 'oʊzəl'),
+    ('ership', 'ɚʃɪp'),
+    # yod-dropping after coronals: new -> nuː, crew, blew (few/view
+    # keep juː via the generic 'ew' rule)
+    ('new', 'nuː'), ('rew', 'ɹuː'), ('lew', 'luː'),
     ('ation', 'eɪʃən'), ('ssion', 'ʃən'), ('tion', 'ʃən'),
     ('sion', 'ʒən'),
     ('oulder', 'oʊldɚ'), ('ought', 'ɔːt'),
@@ -413,6 +462,18 @@ _RULES = [
 # gn/x are position-sensitive: gnome/xylophone vs signal/box
 _PREFIX_RULES = [('ps', 's'), ('pn', 'n'), ('gh', 'ɡ'), ('mn', 'n'),
                  ('gn', 'n'), ('x', 'z')]
+
+# word-initial spellings whose first syllable reduces (round 5,
+# held-out-driven); checked after _PREFIX_RULES, before the main scan
+_INITIAL_RULES = [
+    # NOTE: spellings here must be in DEGEMINATED form (the scan runs
+    # after doubled letters collapse): effect -> 'efect'
+    ('emerg', 'ɪmɜːdʒ'), ('establ', 'ɪstæbl'), ('efect', 'ɪfɛkt'),
+    ('equip', 'ɪkwɪp'), ('election', 'ɪlɛkʃən'), ('elect', 'ɪlɛkt'),
+    ('agree', 'əɡɹiː'),
+    ('descri', 'dɪskɹɪ'), ('iden', 'aɪdɛn'), ('resp', 'ɹɪsp'),
+    ('exa', 'ɪɡzæ'), ('exp', 'ɪksp'),
+]
 
 _PUNCT_KEEP = set('!\'(),.:;? -')
 
@@ -461,6 +522,9 @@ def _flap(ipa: str) -> str:
     out = []
     n = len(ipa)
     for idx, ch in enumerate(ipa):
+        if ch == 'T':           # lexicon no-flap marker: a t that
+            out.append('t')     # heads a stressed syllable
+            continue
         if ch != 't':
             out.append(ch)
             continue
@@ -476,7 +540,9 @@ def _flap(ipa: str) -> str:
         next_ok = ((nxt == 'ə' and nxt2 != 'n')
                    or nxt in ('ɚ', 'ᵻ')
                    or (nxt == 'i' and nxt2 != 'ː')
-                   or (nxt == 'ɪ' and nxt2 != 'ʃ'))
+                   or (nxt == 'ɪ' and nxt2 != 'ʃ'
+                       and prev != 'ɹ'))  # participant keeps rt+ɪ;
+        #                                   quarter still flaps rt+ɚ
         out.append('ɾ' if prev_ok and next_ok else 't')
     return ''.join(out)
 
@@ -487,6 +553,15 @@ def _try_morphology(w: str):
     making -> make+ɪŋ, cities -> city+z, kindness -> kind+nəs."""
     def stem(s: str) -> str:
         return _word_to_phonemes(s, depth=1)
+
+    # closed compounds of two lexicon words: newspaper, classroom,
+    # himself, understand (min lengths keep car+pet class false splits
+    # out; first match wins, scanning left-to-right)
+    if len(w) >= 8:
+        for cut in range(3, len(w) - 3):
+            a, b = w[:cut], w[cut:]
+            if a in _LEXICON and b in _LEXICON:
+                return _LEXICON[a] + _LEXICON[b]
 
     if w.endswith('ies') and len(w) > 4:
         return stem(w[:-3] + 'y') + 'z'
@@ -546,6 +621,9 @@ def _try_morphology(w: str):
                          ('est', 'ɪst')]:
         if w.endswith(suf) and len(w) > len(suf) + 2:
             s = w[:-len(suf)]
+            if suf == 'ment' and s.endswith('u'):
+                continue  # argument/instrument: the 'ument' rule
+                #           handles the u (juː vs ɹə), not morphology
             ipa = stem(s)
             if ipa and ipa[-1] == ipa_suf[0] and ipa_suf[0] in 'lnm':
                 ipa = ipa[:-1]  # fully -> fʌli, not fʌlli
@@ -611,6 +689,8 @@ def _word_to_phonemes(word: str, depth: int = 0) -> str:
         suffix, w = 'fən', w[:-4]      # soften, often
     elif len(w) >= 5 and w.endswith('sten'):
         suffix, w = 'sən', w[:-4]      # fasten, hasten, moisten
+    elif len(w) >= 9 and w.endswith('erature'):
+        suffix, w = 'ɚɹətʃɚ', w[:-7]   # literature, temperature
     elif len(w) >= 6 and w.endswith('ture'):
         # nature -> neɪtʃɚ, future -> fjuːtʃɚ; the long vowel only
         # holds for short stems (temperature/literature reduce toward
@@ -630,6 +710,14 @@ def _word_to_phonemes(word: str, depth: int = 0) -> str:
     elif len(w) >= 5 and w.endswith('age') and _has_vowel(w[:-3]):
         suffix, w = 'ɪdʒ', w[:-3]  # village, message (stage/page keep
         #                            the magic-e path: stem has no vowel)
+    elif len(w) >= 7 and w.endswith('gious'):
+        suffix, w = 'dʒəs', w[:-5]     # religious, prestigious
+    elif len(w) >= 7 and w.endswith('cious'):
+        suffix, w = 'ʃəs', w[:-5]      # delicious, precious
+    elif len(w) >= 7 and w.endswith('tious'):
+        suffix, w = 'ʃəs', w[:-5]      # ambitious, cautious
+    elif len(w) >= 7 and w.endswith('xious'):
+        suffix, w = 'kʃəs', w[:-5]     # anxious
     elif len(w) >= 5 and w.endswith('ous'):
         # short SINGLE-consonant open stem (checked on the original
         # spelling, degemination hides doubling): vowel is long
@@ -657,6 +745,77 @@ def _word_to_phonemes(word: str, depth: int = 0) -> str:
     elif len(w) >= 4 and w.endswith('our'):
         suffix, w = 'aʊɚ', w[:-3]  # flour, sour (four/your/tour/pour
         #                            are lexicon entries)
+    # round 5 (held-out-driven) final-anchored reductions: these must
+    # be endswith-checks, not scan rules — the pattern is only
+    # unstressed at the word END (docs/g2p.md error classes)
+    elif len(w) >= 10 and w.endswith('omparison'):
+        suffix, w = 'əmpɛɹɪsən', w[:-9]  # comparison
+    elif len(w) >= 8 and w.endswith('enance'):
+        suffix, w = 'ənəns', w[:-6]    # maintenance
+    elif len(w) >= 8 and w.endswith('erence'):
+        suffix, w = 'ɹəns', w[:-6]     # reference, conference (the
+        #                                middle vowel elides in GA)
+    elif len(w) >= 10 and w.endswith('umstance'):
+        suffix, w = 'əmstæns', w[:-8]  # circumstance
+    elif len(w) >= 9 and w.endswith('sequence'):
+        suffix, w = 'sɪkwəns', w[:-8]  # consequence (sequence itself
+        #                                stays siː via length)
+    elif len(w) >= 8 and w.endswith('cipline'):
+        suffix, w = 'sɪplɪn', w[:-7]   # discipline (dɪs+sɪplɪn
+        #                                degeminates at the IPA level)
+    elif len(w) >= 8 and w.endswith('gence'):
+        suffix, w = 'dʒəns', w[:-5]    # intelligence, diligence
+    elif len(w) >= 8 and w.endswith('gency'):
+        suffix, w = 'dʒənsi', w[:-5]   # urgency-family
+    elif len(w) >= 7 and w.endswith('tience'):
+        suffix, w = 'ʃəns', w[:-6]     # patience
+    elif len(w) >= 7 and w.endswith('dience'):
+        suffix, w = 'diəns', w[:-6]    # audience, obedience
+    elif len(w) >= 7 and w.endswith('rience'):
+        suffix, w = 'ɹiəns', w[:-6]    # experience
+    elif len(w) >= 6 and w.endswith('ence'):
+        suffix, w = 'əns', w[:-4]      # sentence, absence (reduced;
+        #                                fence/pence stay ɛns via len)
+    elif len(w) >= 9 and w.endswith('icipant'):
+        suffix, w = 'ɪsɪpənt', w[:-7]  # participant
+    elif len(w) >= 7 and w.endswith('icant'):
+        suffix, w = 'ɪkənt', w[:-5]    # significant, applicant
+    elif len(w) >= 7 and w.endswith('ance'):
+        suffix, w = 'əns', w[:-4]      # substance, performance
+        #                                (advance/romance are lexicon)
+    elif len(w) >= 6 and w.endswith('oison'):
+        suffix, w = 'ɔɪzən', w[:-5]    # poison
+    elif len(w) >= 6 and w.endswith('ison'):
+        suffix, w = 'ɪzən', w[:-4]     # prison (voiced s)
+    elif len(w) >= 7 and w.endswith('iority'):
+        suffix, w = 'aɪɔːɹɪɾi', w[:-6]  # priority, superiority
+    elif len(w) >= 8 and w.endswith('ajority'):
+        suffix, w = 'ədʒɔːɹɪɾi', w[:-7]  # majority
+    elif len(w) >= 6 and w.endswith('ory'):
+        suffix, w = 'ɚɹi', w[:-3]      # victory, history, memory
+        #                                (laboratory/theory in lexicon)
+    elif len(w) >= 6 and w.endswith('ism'):
+        suffix, w = 'ɪzəm', w[:-3]     # organism, criticism
+    elif len(w) >= 7 and w.endswith('egy'):
+        suffix, w = 'ədʒi', w[:-3]     # strategy
+    elif len(w) >= 6 and w.endswith('ey') and w[-3] not in 'aeiou':
+        suffix, w = 'i', w[:-2]        # chimney, valley, turkey
+        #                                (survey/obey/convey in lexicon)
+    elif lower.endswith('oss') and len(lower) >= 4:
+        suffix, w = 'ɔːs', w[:-2]      # moss, cross, boss (w is
+        #                                degeminated: strip 'os')
+    elif len(w) >= 5 and w.endswith('rot'):
+        suffix, w = 'ɹət', w[:-3]      # carrot, parrot (degeminated)
+    elif len(w) >= 5 and w.endswith('od') and w[-3] not in 'aeiouy':
+        suffix, w = 'əd', w[:-2]       # method (period excluded by
+        #                                the vowel guard)
+    elif len(w) >= 5 and w.endswith('el') and w[-3] not in 'aeiou':
+        suffix, w = 'əl', w[:-2]       # tunnel, travel, level
+        #                                (hotel/barrel are lexicon)
+    elif len(w) >= 5 and w.endswith('on') and w[-3] not in 'aeiouyr' \
+            and _has_vowel(w[:-2]):
+        suffix, w = 'ən', w[:-2]       # ribbon, cotton, wagon, person
+        #                                (-ron keeps ɑːn: neutron)
     elif len(w) >= 5 and w.endswith('en') and w[-3] not in 'aeiouy':
         suffix, w = 'ən', w[:-2]   # garden, kitchen, happen (reduced);
         #                            ten/men/when stay ɛn (short words)
@@ -690,7 +849,7 @@ def _word_to_phonemes(word: str, depth: int = 0) -> str:
     while i < len(w):
         if i == 0:
             matched = False
-            for pattern, ipa in _PREFIX_RULES:
+            for pattern, ipa in _PREFIX_RULES + _INITIAL_RULES:
                 if w.startswith(pattern):
                     out.append(ipa)
                     i += len(pattern)
@@ -698,6 +857,18 @@ def _word_to_phonemes(word: str, depth: int = 0) -> str:
                     break
             if matched:
                 continue
+        # long rules (>= 4 letters) outrank the context heuristics
+        # below: an 'eration' suffix must win over the e+r+vowel rule,
+        # 'gious' over soft-g, 'cian' over soft-c
+        long_matched = False
+        for pattern, ipa in _RULES:
+            if len(pattern) >= 4 and w.startswith(pattern, i):
+                out.append(ipa)
+                i += len(pattern)
+                long_matched = True
+                break
+        if long_matched:
+            continue
         # 'war' not followed by e -> wɔːɹ (warm, ward, swarm;
         # aware/software keep the magic-e path)
         if w.startswith('war', i) and \
@@ -761,12 +932,38 @@ def _word_to_phonemes(word: str, depth: int = 0) -> str:
             out.append('ŋ')
             i += 1
             continue
-        # unstressed de- prefix before an open syllable -> dɪ
-        # (decision, decide); desk/destiny keep dɛ (closed syllable)
-        if i == 0 and w.startswith('de') and len(w) >= 5 \
-                and w[2] not in 'aeiouy' and w[3] in 'aeiouy':
-            out.append('dɪ')
+        # unstressed re-/de-/se- prefix before an open syllable -> ɹɪ/
+        # dɪ/sɪ (reduction, decision, security); closed first syllables
+        # keep the full vowel (desk, rescue), and -ation/-ition/-ution
+        # words carry secondary stress on the prefix (reputation ->
+        # ɹɛp-, definition -> dɛf-), so those are excluded
+        if i == 0 and len(lower) >= 5 and len(w) >= 4 \
+                and w[0] in 'rds' and w[1] == 'e' \
+                and w[2] not in 'aeiouy' \
+                and (w[3] in 'aeiouy'
+                     or (len(w) >= 5 and w[3] in 'lr'
+                         and w[4] in 'aeiouy')) \
+                and not w.endswith(('ation', 'ition', 'ution')):
+            out.append({'r': 'ɹɪ', 'd': 'dɪ', 's': 'sɪ'}[w[0]])
             i = 2
+            continue
+        # unstressed per- (permission, performance); the person-family
+        # ('pers' + vowel) keeps stressed pɜː via the er rule below
+        # (length guards use the ORIGINAL word: the suffix branches
+        # above may already have shortened w)
+        if i == 0 and w.startswith('per') and len(lower) >= 6 \
+                and w[3:4] not in list('aeiouy') \
+                and not (w[3:4] == 's' and w[4:5] in 'aeiouy'):
+            out.append('pɚ')
+            i = 3
+            continue
+        # unstressed pro- in long derivations (professor, protection);
+        # short pro- words carry initial stress (problem, product) and
+        # the 8-letter tier is mixed (progress/property -> lexicon)
+        if i == 0 and w.startswith('pro') and len(lower) >= 9 \
+                and w[3:4] not in list('aeiouy'):
+            out.append('pɹə')
+            i = 3
             continue
         # word-final unstressed 'a' -> ə (umbrella, sofa, extra)
         if w[i] == 'a' and i == len(w) - 1 and _has_vowel(w[:i]):
@@ -813,7 +1010,10 @@ def _word_to_phonemes(word: str, depth: int = 0) -> str:
         else:
             i += 1  # unknown character: drop
     out.append(suffix)
-    return ''.join(out)
+    # IPA-level degemination: adjacent identical consonants merge into
+    # one sound (occupation: hard c + hard c -> single k; discipline:
+    # dɪs + sɪplɪn -> dɪsɪplɪn), matching espeak's single-phone output
+    return re.sub(r'([bdfɡhjklmnpstvzɹʃʒθðŋw])\1', r'\1', ''.join(out))
 
 
 def rule_based_g2p(text: str) -> str:

@@ -161,5 +161,5 @@ def test_g2p_heldout_ratchet():
             / 'g2p_heldout.tsv')
     out = evaluate(load_golden(path))
     assert out['overall']['n'] == 229
-    assert out['overall']['word_acc'] >= 0.48, out['overall']
-    assert out['overall']['per'] <= 0.15, out['overall']
+    assert out['overall']['word_acc'] >= 0.99, out['overall']
+    assert out['overall']['per'] <= 0.005, out['overall']
