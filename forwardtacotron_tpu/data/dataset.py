@@ -54,6 +54,7 @@ class TacoDataset:
         self.metadata = list(dataset_ids)
         self.text_dict = text_dict
         self.tokenizer = tokenizer
+        self._light_cache: Dict[int, Dict] = {}
 
     def __getitem__(self, index: int) -> Dict:
         item_id = self.metadata[index]
@@ -62,6 +63,19 @@ class TacoDataset:
         return {'x': np.asarray(x, dtype=np.int64), 'mel': mel,
                 'item_id': item_id, 'mel_len': mel.shape[-1],
                 'x_len': len(x)}
+
+    def light_item(self, index: int) -> Dict:
+        """Everything but the mel (the native batch loader reads mels
+        directly into the padded batch buffer). Cached: tokens are a
+        few hundred bytes per item and epochs revisit every item."""
+        cached = self._light_cache.get(index)
+        if cached is None:
+            item_id = self.metadata[index]
+            x = self.tokenizer(self.text_dict[item_id])
+            cached = {'x': np.asarray(x, dtype=np.int64),
+                      'item_id': item_id, 'x_len': len(x)}
+            self._light_cache[index] = cached
+        return cached
 
     def __len__(self) -> int:
         return len(self.metadata)
@@ -75,6 +89,7 @@ class ForwardDataset:
         self.metadata = list(dataset_ids)
         self.text_dict = text_dict
         self.tokenizer = tokenizer
+        self._light_cache: Dict[int, Dict] = {}
 
     def __getitem__(self, index: int) -> Dict:
         item_id = self.metadata[index]
@@ -87,6 +102,27 @@ class ForwardDataset:
                 'item_id': item_id, 'x_len': len(x),
                 'mel_len': mel.shape[-1], 'dur': dur, 'pitch': pitch,
                 'energy': energy}
+
+    def light_item(self, index: int) -> Dict:
+        """Everything but the mel (the native batch loader reads mels
+        directly into the padded batch buffer). Cached: tokens + the
+        three per-phoneme series are ~1-2 KB per item and epochs
+        revisit every item — np.load's per-call header parsing costs
+        more than the data."""
+        cached = self._light_cache.get(index)
+        if cached is None:
+            item_id = self.metadata[index]
+            x = self.tokenizer(self.text_dict[item_id])
+            dur = np.load(str(self.path / 'alg' / f'{item_id}.npy'))
+            pitch = np.load(
+                str(self.path / 'phon_pitch' / f'{item_id}.npy'))
+            energy = np.load(
+                str(self.path / 'phon_energy' / f'{item_id}.npy'))
+            cached = {'x': np.asarray(x, dtype=np.int64),
+                      'item_id': item_id, 'x_len': len(x), 'dur': dur,
+                      'pitch': pitch, 'energy': energy}
+            self._light_cache[index] = cached
+        return cached
 
     def __len__(self) -> int:
         return len(self.metadata)
@@ -158,6 +194,7 @@ class BucketBatcher:
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.rng = random.Random(seed)
+        self._n_mels: Optional[int] = None
 
         # metadata pass: mel_len per item (cheap: from dataset index)
         self.buckets: Dict[int, List[int]] = {}
@@ -199,11 +236,59 @@ class BucketBatcher:
         n_real = len(idxs)
         while len(idxs) < self.batch_size:
             idxs = idxs + idxs[:self.batch_size - len(idxs)]
-        items = [self.dataset[i] for i in idxs[:self.batch_size]]
-        batch = collate_tts(items, self.r,
-                            pad_to=(self.x_pad[bucket], bucket))
+        idxs = idxs[:self.batch_size]
+        batch = self._make_batch_native(bucket, idxs)
+        if batch is None:
+            items = [self.dataset[i] for i in idxs]
+            batch = collate_tts(items, self.r,
+                                pad_to=(self.x_pad[bucket], bucket))
         batch['n_real'] = n_real
         return batch
+
+    def _make_batch_native(self, bucket: int,
+                           idxs: List[int]) -> Optional[Dict]:
+        """Fast path: assemble the padded mel block with the native
+        C++ loader (native/batch_loader.cc) — identical output to
+        collate_tts, verified by tests/test_native_loader.py. Returns
+        None (numpy fallback) when the .so is absent, disabled via
+        FTT_NATIVE_LOADER=0, or any file fails validation."""
+        import os
+        if os.environ.get('FTT_NATIVE_LOADER') == '0':
+            return None
+        ds = self.dataset
+        if not (hasattr(ds, 'path') and hasattr(ds, 'light_item')):
+            return None
+        from forwardtacotron_tpu.data import native_loader
+        if not native_loader.available():
+            return None
+        ids = [ds.metadata[i] for i in idxs]
+        paths = [ds.path / 'mel' / f'{iid}.npy' for iid in ids]
+        if self._n_mels is None:
+            self._n_mels = int(np.load(str(paths[0]),
+                                       mmap_mode='r').shape[0])
+        max_spec = bucket
+        if max_spec % self.r != 0:
+            max_spec += self.r - max_spec % self.r
+        loaded = native_loader.load_mel_batch(
+            paths, max_spec, self._n_mels, MEL_PAD)
+        if loaded is None:
+            return None
+        mel, mel_lens = loaded
+        items = [ds.light_item(i) for i in idxs]
+        max_x_len = self.x_pad[bucket]
+        text = np.stack([pad1d(b['x'], max_x_len)
+                         for b in items]).astype(np.int64)
+        out = {'x': text, 'mel': mel,
+               'item_id': [b['item_id'] for b in items],
+               'x_len': np.asarray([b['x_len'] for b in items],
+                                   dtype=np.int64),
+               'mel_len': mel_lens}
+        for key in ('dur', 'pitch', 'energy'):
+            if key in items[0]:
+                out[key] = np.stack(
+                    [pad1d(b[key][:max_x_len], max_x_len) for b in items]
+                ).astype(np.float32)
+        return out
 
     def __iter__(self):
         plan = []

@@ -1,0 +1,76 @@
+"""ctypes binding for the native mel-batch loader
+(native/batch_loader.cc).
+
+The reference gets parallel batch collation from PyTorch DataLoader
+worker processes (reference utils/dataset.py:134-199); this framework's
+equivalent is a small C++ library that mmaps the float32 (n_mels, T)
+.npy mel files of a batch and writes them transposed + padded into the
+final (B, max_t, n_mels) array with a worker-thread pool — one pass
+instead of numpy's load/pad/stack/transpose/astype chain. Falls back to
+the numpy path when the shared object is not built (`make -C native`)
+or a file fails validation.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+from pathlib import Path
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+_LIB_PATH = Path(__file__).parent.parent.parent / 'native' / \
+    'libftt_loader.so'
+_lib: Optional[ctypes.CDLL] = None
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not _LIB_PATH.exists():
+        return None
+    lib = ctypes.CDLL(str(_LIB_PATH))
+    lib.ftt_load_mel_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int32,
+        np.ctypeslib.ndpointer(np.float32, flags='C_CONTIGUOUS'),
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_float,
+        np.ctypeslib.ndpointer(np.int32, flags='C_CONTIGUOUS'),
+        ctypes.c_int32,
+    ]
+    lib.ftt_load_mel_batch.restype = ctypes.c_int
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _n_threads(n_items: int) -> int:
+    env = os.environ.get('FTT_LOADER_THREADS')
+    if env:
+        return max(1, int(env))
+    return max(1, min(8, os.cpu_count() or 1, n_items))
+
+
+def load_mel_batch(paths: Sequence[Path], max_t: int, n_mels: int,
+                   fill: float) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Load a batch of (n_mels, T) float32 .npy files as one
+    (B, max_t, n_mels) float32 array padded with `fill`, plus the int
+    lengths. Returns None when the native library is unavailable or any
+    file fails validation (caller falls back to numpy)."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(paths)
+    out = np.empty((n, max_t, n_mels), dtype=np.float32)
+    lens = np.empty(n, dtype=np.int32)
+    encoded = [str(p).encode() for p in paths]
+    arr = (ctypes.c_char_p * n)(*encoded)
+    rc = lib.ftt_load_mel_batch(arr, n, out, max_t, n_mels,
+                                ctypes.c_float(fill), lens,
+                                _n_threads(n))
+    if rc != 0:
+        return None
+    return out, lens.astype(np.int64)

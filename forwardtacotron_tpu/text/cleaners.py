@@ -139,9 +139,21 @@ def to_phonemes(text: str, lang: str) -> str:
                     + _espeak_phonemize_chunk(piece.strip(), lang)
         result = result.strip()
     else:
+        if not lang.startswith('en') and lang not in _FALLBACK_WARNED:
+            _FALLBACK_WARNED.add(lang)
+            import warnings
+            warnings.warn(
+                f'no espeak binary found: falling back to the built-in '
+                f'ENGLISH rule G2P although language={lang!r} was '
+                f'requested (e.g. the German FastPitch config, reference '
+                f'README.md:135). Install espeak-ng for non-English '
+                f'phonemization.', stacklevel=2)
         from forwardtacotron_tpu.text.g2p import rule_based_g2p
         result = rule_based_g2p(text)
     return ''.join(p for p in result if p in phonemes_set)
+
+
+_FALLBACK_WARNED: set = set()
 
 
 class Cleaner:
