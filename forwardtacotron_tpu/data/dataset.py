@@ -367,12 +367,24 @@ class VocoderDataset:
         self.metadata = list(dataset_ids)
         self.mel_path = Path(path) / ('gta' if train_gta else 'mel')
         self.quant_path = Path(path) / 'quant'
+        self._len_cache: Dict[int, int] = {}
 
     def __getitem__(self, index: int) -> Dict:
         item_id = self.metadata[index]
         mel = np.load(str(self.mel_path / f'{item_id}.npy'))
         x = np.load(str(self.quant_path / f'{item_id}.npy'))
         return {'mel': mel, 'x': x, 'item_id': item_id}
+
+    def mel_len(self, index: int) -> int:
+        """True on-disk frame count (header-only read, cached) — GTA
+        mels can differ from the pkl-index lengths, so read the file."""
+        length = self._len_cache.get(index)
+        if length is None:
+            item_id = self.metadata[index]
+            length = int(np.load(str(self.mel_path / f'{item_id}.npy'),
+                                 mmap_mode='r').shape[-1])
+            self._len_cache[index] = length
+        return length
 
     def __len__(self) -> int:
         return len(self.metadata)
@@ -390,6 +402,7 @@ class VocCollator:
         self.voc_mode = voc_mode
         self.bits = bits
         self.rng = rng or np.random.RandomState()
+        self._n_mels: Optional[int] = None
 
     def __call__(self, batch: List[Dict]) -> Dict[str, np.ndarray]:
         from forwardtacotron_tpu.dsp.audio import DSP
@@ -415,6 +428,49 @@ class VocCollator:
         # mel time-major for the model
         return {'mel': mels.transpose(0, 2, 1), 'x': x, 'y': y}
 
+    def collate_native(self, mel_paths: List[Path],
+                       quant_paths: List[Path],
+                       mel_lens: List[int]) -> Dict[str, np.ndarray]:
+        """Same batch as __call__ but reading ONLY the random windows
+        through the native loader (native/batch_loader.cc) instead of
+        whole files. The rng draws happen once, in the same order as
+        __call__, and are reused by the numpy fallback — so the
+        fixed-seed val batches are identical on every path."""
+        from forwardtacotron_tpu.data import native_loader
+        from forwardtacotron_tpu.dsp.audio import DSP
+        mel_win = self.voc_seq_len // self.hop_length + 2 * self.voc_pad
+        max_offsets = [l - 2 - (mel_win + 2 * self.voc_pad)
+                       for l in mel_lens]
+        mel_offsets = [self.rng.randint(0, o) for o in max_offsets]
+        sig_offsets = [(o + self.voc_pad) * self.hop_length
+                       for o in mel_offsets]
+        if self._n_mels is None:
+            self._n_mels = int(np.load(str(mel_paths[0]),
+                                       mmap_mode='r').shape[0])
+
+        mels = native_loader.load_mel_windows(mel_paths, mel_offsets,
+                                              mel_win, self._n_mels)
+        if mels is None:  # numpy fallback with the SAME offsets
+            mels = np.stack(
+                [np.load(str(p))[:, o:o + mel_win].T
+                 for p, o in zip(mel_paths, mel_offsets)]
+            ).astype(np.float32)
+        labels = native_loader.load_i64_windows(
+            quant_paths, sig_offsets, self.voc_seq_len + 1)
+        if labels is None:
+            labels = np.stack(
+                [np.load(str(p))[s:s + self.voc_seq_len + 1]
+                 for p, s in zip(quant_paths, sig_offsets)]
+            ).astype(np.int64)
+
+        x = labels[:, :self.voc_seq_len]
+        y = labels[:, 1:]
+        bits = 16 if self.voc_mode == 'MOL' else self.bits
+        x = DSP.label_2_float(x.astype(np.float32), bits)
+        if self.voc_mode == 'MOL':
+            y = DSP.label_2_float(y.astype(np.float32), bits)
+        return {'mel': mels, 'x': x, 'y': y}
+
 
 class VocBatcher:
 
@@ -431,12 +487,25 @@ class VocBatcher:
         return len(self.dataset) // self.batch_size
 
     def __iter__(self):
+        import os
         idxs = list(range(len(self.dataset)))
         if self.shuffle:
             self.rng.shuffle(idxs)
+        use_native = (os.environ.get('FTT_NATIVE_LOADER') != '0'
+                      and hasattr(self.collator, 'collate_native')
+                      and hasattr(self.dataset, 'mel_len'))
         for i in range(0, len(idxs) - self.batch_size + 1, self.batch_size):
-            items = [self.dataset[j] for j in idxs[i:i + self.batch_size]]
-            yield self.collator(items)
+            chunk = idxs[i:i + self.batch_size]
+            if use_native:
+                ds = self.dataset
+                ids = [ds.metadata[j] for j in chunk]
+                yield self.collator.collate_native(
+                    [ds.mel_path / f'{x}.npy' for x in ids],
+                    [ds.quant_path / f'{x}.npy' for x in ids],
+                    [ds.mel_len(j) for j in chunk])
+            else:
+                items = [self.dataset[j] for j in chunk]
+                yield self.collator(items)
 
 
 def get_vocoder_datasets(path: Path, batch_size: int, train_gta: bool,

@@ -39,6 +39,21 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int32,
     ]
     lib.ftt_load_mel_batch.restype = ctypes.c_int
+    i64_arr = np.ctypeslib.ndpointer(np.int64, flags='C_CONTIGUOUS')
+    lib.ftt_npy_lengths.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int32,
+        ctypes.c_char_p, i64_arr, ctypes.c_int32]
+    lib.ftt_npy_lengths.restype = ctypes.c_int
+    lib.ftt_load_mel_windows.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int32, i64_arr,
+        ctypes.c_int64, ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.float32, flags='C_CONTIGUOUS'),
+        ctypes.c_int32]
+    lib.ftt_load_mel_windows.restype = ctypes.c_int
+    lib.ftt_load_i64_windows.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int32, i64_arr,
+        ctypes.c_int64, i64_arr, ctypes.c_int32]
+    lib.ftt_load_i64_windows.restype = ctypes.c_int
     _lib = lib
     return lib
 
@@ -74,3 +89,52 @@ def load_mel_batch(paths: Sequence[Path], max_t: int, n_mels: int,
     if rc != 0:
         return None
     return out, lens.astype(np.int64)
+
+
+def _encode(paths: Sequence[Path]) -> 'ctypes.Array':
+    encoded = [str(p).encode() for p in paths]
+    return (ctypes.c_char_p * len(paths))(*encoded)
+
+
+def npy_lengths(paths: Sequence[Path],
+                descr: str = '<f4') -> Optional[np.ndarray]:
+    """Last-dimension length of each .npy via a native header peek
+    (f32 2-D -> T; i8 1-D -> n). None on unavailability/mismatch."""
+    lib = _load()
+    if lib is None:
+        return None
+    out = np.empty(len(paths), dtype=np.int64)
+    rc = lib.ftt_npy_lengths(_encode(paths), len(paths), descr.encode(),
+                             out, _n_threads(len(paths)))
+    return None if rc != 0 else out
+
+
+def load_mel_windows(paths: Sequence[Path], starts: Sequence[int],
+                     win: int, n_mels: int) -> Optional[np.ndarray]:
+    """Column windows [start, start+win) of (n_mels, T) float32 .npy
+    files, returned time-major (B, win, n_mels) — reads only the
+    window, not the file."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(paths)
+    out = np.empty((n, win, n_mels), dtype=np.float32)
+    starts_arr = np.ascontiguousarray(starts, dtype=np.int64)
+    rc = lib.ftt_load_mel_windows(_encode(paths), n, starts_arr, win,
+                                  n_mels, out, _n_threads(n))
+    return None if rc != 0 else out
+
+
+def load_i64_windows(paths: Sequence[Path], starts: Sequence[int],
+                     count: int) -> Optional[np.ndarray]:
+    """Element windows [start, start+count) of 1-D int64 .npy files
+    (the quantized waveform labels) as a (B, count) array."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(paths)
+    out = np.empty((n, count), dtype=np.int64)
+    starts_arr = np.ascontiguousarray(starts, dtype=np.int64)
+    rc = lib.ftt_load_i64_windows(_encode(paths), n, starts_arr, count,
+                                  out, _n_threads(n))
+    return None if rc != 0 else out

@@ -32,11 +32,12 @@
 namespace {
 
 // Minimal .npy (format version 1/2/3) header parse for little-endian
-// float32 C-order 2-D arrays. Returns 0 and fills rows/cols/offset on
-// success; any deviation (dtype, order, ndim) is a validation error so
-// the Python caller can fall back.
-int parse_npy_header(const uint8_t* buf, size_t len, int64_t* rows,
-                     int64_t* cols, size_t* data_offset) {
+// C-order arrays of a given dtype ("<f4"/"<i8"), 1-D or 2-D. Returns 0
+// and fills rows/cols/offset on success (1-D: rows = 1, cols = n); any
+// deviation is a validation error so the Python caller can fall back.
+int parse_npy_header_dtype(const uint8_t* buf, size_t len,
+                           const char* descr, int64_t* rows,
+                           int64_t* cols, size_t* data_offset) {
   if (len < 10 || memcmp(buf, "\x93NUMPY", 6) != 0) return -1;
   const uint8_t major = buf[6];
   size_t header_len, header_start;
@@ -55,8 +56,10 @@ int parse_npy_header(const uint8_t* buf, size_t len, int64_t* rows,
   if (header_start + header_len > len) return -1;
   std::string header(reinterpret_cast<const char*>(buf + header_start),
                      header_len);
-  if (header.find("'descr': '<f4'") == std::string::npos &&
-      header.find("\"descr\": \"<f4\"") == std::string::npos) return -2;
+  const std::string d1 = std::string("'descr': '") + descr + "'";
+  const std::string d2 = std::string("\"descr\": \"") + descr + "\"";
+  if (header.find(d1) == std::string::npos &&
+      header.find(d2) == std::string::npos) return -2;
   if (header.find("'fortran_order': False") == std::string::npos &&
       header.find("\"fortran_order\": false") == std::string::npos)
     return -3;
@@ -66,18 +69,35 @@ int parse_npy_header(const uint8_t* buf, size_t len, int64_t* rows,
   sp = header.find('(', sp);
   if (sp == std::string::npos) return -4;
   long long r = 0, c = 0;
-  if (sscanf(header.c_str() + sp, "(%lld, %lld)", &r, &c) != 2) return -5;
-  if (r <= 0 || c <= 0) return -5;
-  *rows = r;
-  *cols = c;
+  if (sscanf(header.c_str() + sp, "(%lld, %lld)", &r, &c) == 2) {
+    if (r <= 0 || c <= 0) return -5;
+    *rows = r;
+    *cols = c;
+  } else if (sscanf(header.c_str() + sp, "(%lld,)", &r) == 1) {
+    if (r <= 0) return -5;
+    *rows = 1;
+    *cols = r;
+  } else {
+    return -5;
+  }
   *data_offset = header_start + header_len;
   return 0;
 }
 
-// Load one (n_mels, T) file into out_item = (max_t, n_mels), transposed
-// and padded with `fill` beyond T rows. Returns 0 on success.
-int load_one(const char* path, float* out_item, int64_t max_t,
-             int64_t n_mels, float fill, int32_t* out_len) {
+int parse_npy_header(const uint8_t* buf, size_t len, int64_t* rows,
+                     int64_t* cols, size_t* data_offset) {
+  return parse_npy_header_dtype(buf, len, "<f4", rows, cols, data_offset);
+}
+
+struct Mapped {
+  void* ptr = nullptr;
+  size_t size = 0;
+  ~Mapped() {
+    if (ptr) munmap(ptr, size);
+  }
+};
+
+int map_file(const char* path, Mapped* m) {
   int fd = open(path, O_RDONLY);
   if (fd < 0) return -10;
   struct stat st;
@@ -85,23 +105,64 @@ int load_one(const char* path, float* out_item, int64_t max_t,
     close(fd);
     return -11;
   }
-  const size_t fsize = static_cast<size_t>(st.st_size);
-  void* mapped = mmap(nullptr, fsize, PROT_READ, MAP_PRIVATE, fd, 0);
+  m->size = static_cast<size_t>(st.st_size);
+  m->ptr = mmap(nullptr, m->size, PROT_READ, MAP_PRIVATE, fd, 0);
   close(fd);
-  if (mapped == MAP_FAILED) return -12;
-  const uint8_t* buf = static_cast<const uint8_t*>(mapped);
+  if (m->ptr == MAP_FAILED) {
+    m->ptr = nullptr;
+    return -12;
+  }
+  return 0;
+}
+
+// Run `fn(i)` for i in [0, n) over a transient thread pool; first
+// nonzero return aborts the sweep and is returned.
+template <typename Fn>
+int parallel_for(int32_t n, int32_t n_threads, Fn fn) {
+  if (n <= 0) return -1;
+  if (n_threads < 1) n_threads = 1;
+  if (n_threads > n) n_threads = n;
+  std::atomic<int32_t> next(0);
+  std::atomic<int> err(0);
+  auto worker = [&]() {
+    for (;;) {
+      const int32_t i = next.fetch_add(1);
+      if (i >= n || err.load() != 0) break;
+      const int rc = fn(i);
+      if (rc != 0) {
+        int expected = 0;
+        err.compare_exchange_strong(expected, rc);
+      }
+    }
+  };
+  if (n_threads == 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    pool.reserve(n_threads);
+    for (int t = 0; t < n_threads; ++t) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+  }
+  return err.load();
+}
+
+// Load one (n_mels, T) file into out_item = (max_t, n_mels), transposed
+// and padded with `fill` beyond T rows. Returns 0 on success.
+int load_one(const char* path, float* out_item, int64_t max_t,
+             int64_t n_mels, float fill, int32_t* out_len) {
+  Mapped m;
+  int rc = map_file(path, &m);
+  if (rc != 0) return rc;
+  const uint8_t* buf = static_cast<const uint8_t*>(m.ptr);
 
   int64_t rows = 0, cols = 0;
   size_t offset = 0;
-  int rc = parse_npy_header(buf, fsize, &rows, &cols, &offset);
+  rc = parse_npy_header(buf, m.size, &rows, &cols, &offset);
   if (rc == 0 && rows != n_mels) rc = -6;       // shape (n_mels, T) only
   if (rc == 0 && cols > max_t) rc = -7;         // bucket must fit T
   if (rc == 0 &&
-      offset + static_cast<size_t>(rows) * cols * 4 > fsize) rc = -8;
-  if (rc != 0) {
-    munmap(mapped, fsize);
-    return rc;
-  }
+      offset + static_cast<size_t>(rows) * cols * 4 > m.size) rc = -8;
+  if (rc != 0) return rc;
   const float* src = reinterpret_cast<const float*>(buf + offset);
   const int64_t T = cols;
 
@@ -124,7 +185,6 @@ int load_one(const char* path, float* out_item, int64_t max_t,
   for (int64_t i = 0; i < tail_n; ++i) tail[i] = fill;
 
   if (out_len) *out_len = static_cast<int32_t>(T);
-  munmap(mapped, fsize);
   return 0;
 }
 
@@ -141,34 +201,87 @@ extern "C" {
 int ftt_load_mel_batch(const char** paths, int32_t n_items, float* out,
                        int64_t max_t, int64_t n_mels, float fill,
                        int32_t* mel_lens, int32_t n_threads) {
-  if (n_items <= 0 || max_t <= 0 || n_mels <= 0) return -1;
-  if (n_threads < 1) n_threads = 1;
-  if (n_threads > n_items) n_threads = n_items;
+  if (max_t <= 0 || n_mels <= 0) return -1;
+  return parallel_for(n_items, n_threads, [&](int32_t i) {
+    return load_one(paths[i],
+                    out + static_cast<int64_t>(i) * max_t * n_mels, max_t,
+                    n_mels, fill, mel_lens ? mel_lens + i : nullptr);
+  });
+}
 
-  std::atomic<int32_t> next(0);
-  std::atomic<int> err(0);
-  auto worker = [&]() {
-    for (;;) {
-      const int32_t i = next.fetch_add(1);
-      if (i >= n_items || err.load() != 0) break;
-      const int rc =
-          load_one(paths[i], out + static_cast<int64_t>(i) * max_t * n_mels,
-                   max_t, n_mels, fill, mel_lens ? mel_lens + i : nullptr);
-      if (rc != 0) {
-        int expected = 0;
-        err.compare_exchange_strong(expected, rc);
-      }
+// Header peek: the last-dimension length of each .npy (f32 2-D -> T,
+// i8/i64 1-D -> n). `descr` selects the expected dtype ("<f4"/"<i8").
+int ftt_npy_lengths(const char** paths, int32_t n_items,
+                    const char* descr, int64_t* out_lens,
+                    int32_t n_threads) {
+  return parallel_for(n_items, n_threads, [&](int32_t i) {
+    Mapped m;
+    int rc = map_file(paths[i], &m);
+    if (rc != 0) return rc;
+    int64_t rows = 0, cols = 0;
+    size_t offset = 0;
+    rc = parse_npy_header_dtype(static_cast<const uint8_t*>(m.ptr),
+                                m.size, descr, &rows, &cols, &offset);
+    if (rc != 0) return rc;
+    out_lens[i] = cols;
+    return 0;
+  });
+}
+
+// Column windows of float32 (n_mels, T) files, written TRANSPOSED as
+// (n_items, win, n_mels) — the vocoder collator's random mel windows
+// (reference utils/dataset.py:86-126) without reading the full file.
+int ftt_load_mel_windows(const char** paths, int32_t n_items,
+                         const int64_t* starts, int64_t win,
+                         int64_t n_mels, float* out, int32_t n_threads) {
+  if (win <= 0 || n_mels <= 0) return -1;
+  return parallel_for(n_items, n_threads, [&](int32_t i) {
+    Mapped m;
+    int rc = map_file(paths[i], &m);
+    if (rc != 0) return rc;
+    const uint8_t* buf = static_cast<const uint8_t*>(m.ptr);
+    int64_t rows = 0, cols = 0;
+    size_t offset = 0;
+    rc = parse_npy_header(buf, m.size, &rows, &cols, &offset);
+    if (rc != 0) return rc;
+    if (rows != n_mels) return -6;
+    const int64_t s = starts[i];
+    if (s < 0 || s + win > cols) return -7;
+    if (offset + static_cast<size_t>(rows) * cols * 4 > m.size) return -8;
+    const float* src = reinterpret_cast<const float*>(buf + offset);
+    float* dst = out + static_cast<int64_t>(i) * win * n_mels;
+    for (int64_t c = 0; c < n_mels; ++c) {
+      const float* row = src + c * cols + s;
+      for (int64_t t = 0; t < win; ++t) dst[t * n_mels + c] = row[t];
     }
-  };
-  if (n_threads == 1) {
-    worker();
-  } else {
-    std::vector<std::thread> pool;
-    pool.reserve(n_threads);
-    for (int t = 0; t < n_threads; ++t) pool.emplace_back(worker);
-    for (auto& th : pool) th.join();
-  }
-  return err.load();
+    return 0;
+  });
+}
+
+// Element windows of int64 1-D files (the quantized waveform labels) —
+// contiguous, so a straight memcpy per item.
+int ftt_load_i64_windows(const char** paths, int32_t n_items,
+                         const int64_t* starts, int64_t count,
+                         int64_t* out, int32_t n_threads) {
+  if (count <= 0) return -1;
+  return parallel_for(n_items, n_threads, [&](int32_t i) {
+    Mapped m;
+    int rc = map_file(paths[i], &m);
+    if (rc != 0) return rc;
+    const uint8_t* buf = static_cast<const uint8_t*>(m.ptr);
+    int64_t rows = 0, cols = 0;
+    size_t offset = 0;
+    rc = parse_npy_header_dtype(buf, m.size, "<i8", &rows, &cols, &offset);
+    if (rc != 0) return rc;
+    if (rows != 1) return -6;
+    const int64_t s = starts[i];
+    if (s < 0 || s + count > cols) return -7;
+    if (offset + static_cast<size_t>(cols) * 8 > m.size) return -8;
+    memcpy(out + static_cast<int64_t>(i) * count,
+           buf + offset + static_cast<size_t>(s) * 8,
+           static_cast<size_t>(count) * 8);
+    return 0;
+  });
 }
 
 }  // extern "C"

@@ -96,6 +96,95 @@ def test_bucket_batcher_native_equals_python(tmp_path, model_type):
 
 @pytest.mark.skipif(not native_loader.available(),
                     reason='libftt_loader.so not built')
+def test_voc_batcher_native_equals_python(tmp_path):
+    from forwardtacotron_tpu.data.dataset import get_vocoder_datasets
+    rng = np.random.default_rng(7)
+    base = pathlib.Path(tmp_path) / 'data'
+    (base / 'mel').mkdir(parents=True)
+    (base / 'quant').mkdir()
+    hop, seq_len = 64, 512
+    items = []
+    for i in range(8):
+        iid = f'v{i:03d}'
+        T = int(rng.integers(40, 90))
+        np.save(base / 'mel' / f'{iid}.npy',
+                rng.standard_normal((80, T)).astype(np.float32))
+        np.save(base / 'quant' / f'{iid}.npy',
+                rng.integers(0, 512, T * hop).astype(np.int64))
+        items.append((iid, T))
+    with open(base / 'train_dataset.pkl', 'wb') as f:
+        pickle.dump(items, f)
+    with open(base / 'val_dataset.pkl', 'wb') as f:
+        pickle.dump(items[:4], f)
+
+    from forwardtacotron_tpu.data.dataset import (VocBatcher, VocCollator,
+                                                  VocoderDataset)
+
+    def build_seeded():
+        ds = VocoderDataset(base, [i for i, _ in items])
+        coll = VocCollator(hop, 2, seq_len, 'RAW', 9,
+                           rng=np.random.RandomState(123))
+        return VocBatcher(ds, 4, coll, shuffle=True, seed=5)
+
+    batches_a = list(build_seeded())
+    os.environ['FTT_NATIVE_LOADER'] = '0'
+    try:
+        batches_b = list(build_seeded())
+        _, val_b, _ = get_vocoder_datasets(
+            base, batch_size=4, train_gta=False, max_mel_len=10_000,
+            hop_length=hop, voc_pad=2, voc_seq_len=seq_len,
+            voc_mode='RAW', bits=9, num_gen_samples=1)
+    finally:
+        del os.environ['FTT_NATIVE_LOADER']
+    _, val_a, _ = get_vocoder_datasets(
+        base, batch_size=4, train_gta=False, max_mel_len=10_000,
+        hop_length=hop, voc_pad=2, voc_seq_len=seq_len,
+        voc_mode='RAW', bits=9, num_gen_samples=1)
+    assert len(batches_a) == len(batches_b) > 0
+    for a, b in zip(batches_a, batches_b):
+        for k in ('mel', 'x', 'y'):
+            assert a[k].dtype == b[k].dtype, k
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+    # fixed-seed val batches identical across paths (dataset.py:70-72
+    # reference semantics)
+    assert len(val_a) == len(val_b) > 0
+    for a, b in zip(val_a, val_b):
+        for k in ('mel', 'x', 'y'):
+            np.testing.assert_array_equal(a[k], b[k], err_msg=f'val {k}')
+
+
+@pytest.mark.skipif(not native_loader.available(),
+                    reason='libftt_loader.so not built')
+def test_window_readers_match_numpy(tmp_path):
+    rng = np.random.default_rng(3)
+    p2 = pathlib.Path(tmp_path) / 'two.npy'
+    arr2 = rng.standard_normal((80, 50)).astype(np.float32)
+    np.save(p2, arr2)
+    win = native_loader.load_mel_windows([p2, p2], [5, 44], 6, 80)
+    assert win is not None
+    np.testing.assert_array_equal(win[0], arr2[:, 5:11].T)
+    np.testing.assert_array_equal(win[1], arr2[:, 44:50].T)
+    # out-of-range start refuses
+    assert native_loader.load_mel_windows([p2], [45], 6, 80) is None
+    assert native_loader.load_mel_windows([p2], [-1], 6, 80) is None
+
+    p1 = pathlib.Path(tmp_path) / 'one.npy'
+    arr1 = rng.integers(0, 512, 400).astype(np.int64)
+    np.save(p1, arr1)
+    w = native_loader.load_i64_windows([p1], [17], 100)
+    assert w is not None
+    np.testing.assert_array_equal(w[0], arr1[17:117])
+    assert native_loader.load_i64_windows([p1], [301], 100) is None
+
+    lens = native_loader.npy_lengths([p2], '<f4')
+    assert lens is not None and lens[0] == 50
+    lens1 = native_loader.npy_lengths([p1], '<i8')
+    assert lens1 is not None and lens1[0] == 400
+    assert native_loader.npy_lengths([p1], '<f4') is None
+
+
+@pytest.mark.skipif(not native_loader.available(),
+                    reason='libftt_loader.so not built')
 def test_validation_fallback(tmp_path):
     # a non-f4 / wrong-shape / truncated file must fail cleanly (None),
     # never return garbage
