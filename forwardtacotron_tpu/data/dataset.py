@@ -84,11 +84,15 @@ class TacoDataset:
 class ForwardDataset:
 
     def __init__(self, path: Path, dataset_ids: Sequence[str],
-                 text_dict: Dict[str, str], tokenizer: Tokenizer) -> None:
+                 text_dict: Dict[str, str], tokenizer: Tokenizer,
+                 speaker_dict: Optional[Dict[str, int]] = None) -> None:
         self.path = Path(path)
         self.metadata = list(dataset_ids)
         self.text_dict = text_dict
         self.tokenizer = tokenizer
+        # beyond-parity multi-speaker: {item_id: speaker index}; None
+        # (single-speaker corpora) adds no fields to the items
+        self.speaker_dict = speaker_dict
         self._light_cache: Dict[int, Dict] = {}
 
     def __getitem__(self, index: int) -> Dict:
@@ -98,10 +102,13 @@ class ForwardDataset:
         dur = np.load(str(self.path / 'alg' / f'{item_id}.npy'))
         pitch = np.load(str(self.path / 'phon_pitch' / f'{item_id}.npy'))
         energy = np.load(str(self.path / 'phon_energy' / f'{item_id}.npy'))
-        return {'x': np.asarray(x, dtype=np.int64), 'mel': mel,
-                'item_id': item_id, 'x_len': len(x),
-                'mel_len': mel.shape[-1], 'dur': dur, 'pitch': pitch,
-                'energy': energy}
+        out = {'x': np.asarray(x, dtype=np.int64), 'mel': mel,
+               'item_id': item_id, 'x_len': len(x),
+               'mel_len': mel.shape[-1], 'dur': dur, 'pitch': pitch,
+               'energy': energy}
+        if self.speaker_dict is not None:
+            out['speaker'] = int(self.speaker_dict.get(item_id, 0))
+        return out
 
     def light_item(self, index: int) -> Dict:
         """Everything but the mel (the native batch loader reads mels
@@ -121,6 +128,8 @@ class ForwardDataset:
             cached = {'x': np.asarray(x, dtype=np.int64),
                       'item_id': item_id, 'x_len': len(x), 'dur': dur,
                       'pitch': pitch, 'energy': energy}
+            if self.speaker_dict is not None:
+                cached['speaker'] = int(self.speaker_dict.get(item_id, 0))
             self._light_cache[index] = cached
         return cached
 
@@ -164,6 +173,9 @@ def collate_tts(batch: List[Dict], r: int,
             out[key] = np.stack(
                 [pad1d(b[key][:max_x_len], max_x_len) for b in batch]
             ).astype(np.float32)
+    if 'speaker' in batch[0]:
+        out['speaker'] = np.asarray([b['speaker'] for b in batch],
+                                    dtype=np.int32)
     return out
 
 
@@ -288,6 +300,9 @@ class BucketBatcher:
                 out[key] = np.stack(
                     [pad1d(b[key][:max_x_len], max_x_len) for b in items]
                 ).astype(np.float32)
+        if 'speaker' in items[0]:
+            out['speaker'] = np.asarray([b['speaker'] for b in items],
+                                        dtype=np.int32)
         return out
 
     def __iter__(self):
@@ -346,10 +361,18 @@ def get_tts_datasets(path: Path, batch_size: int, r: int,
     if model_type not in ('tacotron', 'forward'):
         raise ValueError(f'Unknown model: {model_type}, must be either '
                          f'[tacotron, forward]!')
+    extra = {}
+    if model_type == 'forward':
+        # beyond-parity multi-speaker: preprocess writes
+        # speaker_dict.pkl for corpora with a speaker column; batches
+        # then carry a (B,) 'speaker' field the models condition on.
+        spk_path = path / 'speaker_dict.pkl'
+        if spk_path.exists():
+            extra['speaker_dict'] = unpickle_binary(spk_path)
     train_dataset = ds_cls(path=path, dataset_ids=train_ids,
-                           text_dict=text_dict, tokenizer=tokenizer)
+                           text_dict=text_dict, tokenizer=tokenizer, **extra)
     val_dataset = ds_cls(path=path, dataset_ids=val_ids,
-                         text_dict=text_dict, tokenizer=tokenizer)
+                         text_dict=text_dict, tokenizer=tokenizer, **extra)
 
     train_set = BucketBatcher(train_dataset, batch_size, r=r,
                               mel_multiple=mel_multiple, shuffle=True)
@@ -374,6 +397,23 @@ class VocoderDataset:
         mel = np.load(str(self.mel_path / f'{item_id}.npy'))
         x = np.load(str(self.quant_path / f'{item_id}.npy'))
         return {'mel': mel, 'x': x, 'item_id': item_id}
+
+    def prime_len_cache(self) -> None:
+        """Batch-fill the length cache with one threaded native header
+        sweep (native_loader.npy_lengths) — avoids a sequential
+        per-file numpy header parse on the first epoch. No-op when the
+        native library is unavailable (mel_len falls back per file)."""
+        from . import native_loader
+        missing = [i for i in range(len(self.metadata))
+                   if i not in self._len_cache]
+        if not missing:
+            return
+        lens = native_loader.npy_lengths(
+            [self.mel_path / f'{self.metadata[i]}.npy' for i in missing])
+        if lens is None:
+            return
+        for i, length in zip(missing, lens):
+            self._len_cache[i] = int(length)
 
     def mel_len(self, index: int) -> int:
         """True on-disk frame count (header-only read, cached) — GTA
@@ -494,6 +534,8 @@ class VocBatcher:
         use_native = (os.environ.get('FTT_NATIVE_LOADER') != '0'
                       and hasattr(self.collator, 'collate_native')
                       and hasattr(self.dataset, 'mel_len'))
+        if use_native and hasattr(self.dataset, 'prime_len_cache'):
+            self.dataset.prime_len_cache()
         for i in range(0, len(idxs) - self.batch_size + 1, self.batch_size):
             chunk = idxs[i:i + self.batch_size]
             if use_native:

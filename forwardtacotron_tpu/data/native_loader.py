@@ -22,14 +22,26 @@ import numpy as np
 _LIB_PATH = Path(__file__).parent.parent.parent / 'native' / \
     'libftt_loader.so'
 _lib: Optional[ctypes.CDLL] = None
+_load_failed = False
 
 
 def _load() -> Optional[ctypes.CDLL]:
-    global _lib
+    global _lib, _load_failed
     if _lib is not None:
         return _lib
-    if not _LIB_PATH.exists():
+    if _load_failed or not _LIB_PATH.exists():
         return None
+    try:
+        return _load_unchecked()
+    except (OSError, AttributeError):
+        # Incompatible prebuilt binary (wrong arch/OS) or a stale .so
+        # missing a symbol: fall back to the numpy path permanently.
+        _load_failed = True
+        return None
+
+
+def _load_unchecked() -> ctypes.CDLL:
+    global _lib
     lib = ctypes.CDLL(str(_LIB_PATH))
     lib.ftt_load_mel_batch.argtypes = [
         ctypes.POINTER(ctypes.c_char_p), ctypes.c_int32,

@@ -156,8 +156,12 @@ class SeriesPredictor(nn.Module):
     def __call__(self, x: jnp.ndarray,
                  key_padding_mask: Optional[jnp.ndarray] = None,
                  alpha: float = 1.0, train: bool = False,
-                 masked: bool = False) -> jnp.ndarray:
+                 masked: bool = False,
+                 spk: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         h = nn.Embed(self.num_chars, self.d_model, name='embedding')(x)
+        if spk is not None:
+            h = h + nn.Dense(self.d_model, use_bias=False,
+                             name='spk_proj')(spk)[:, None, :]
         if masked and key_padding_mask is not None:
             h = jnp.where(key_padding_mask[..., None], 0.0, h)
         h = ForwardTransformer(self.d_model, self.d_fft, self.layers,
@@ -200,6 +204,10 @@ class FastPitch(nn.Module):
     postnet_fft: int = 1024
     postnet_dropout: float = 0.1
     n_mels: int = 80
+    # beyond-parity: multi-speaker conditioning (see forward_tacotron.py);
+    # n_speakers == 1 creates no extra parameters.
+    n_speakers: int = 1
+    speaker_embed_dims: int = 64
 
     def setup(self) -> None:
         self.embedding = nn.Embed(self.num_chars, self.d_model)
@@ -226,6 +234,20 @@ class FastPitch(nn.Module):
         self.pitch_proj = nn.Conv(self.d_model, (3,), padding=((1, 1),))
         self.energy_proj = nn.Conv(self.d_model, (3,), padding=((1, 1),))
         self.lin = nn.Dense(self.n_mels)
+        if self.n_speakers > 1:
+            self.speaker_embedding = nn.Embed(self.n_speakers,
+                                              self.speaker_embed_dims)
+            self.speaker_proj = nn.Dense(self.d_model, use_bias=False)
+
+    def _speaker_emb(self, x: jnp.ndarray,
+                     speaker: Optional[jnp.ndarray]
+                     ) -> Optional[jnp.ndarray]:
+        """(B, E) speaker embedding, or None in single-speaker mode."""
+        if self.n_speakers <= 1:
+            return None
+        if speaker is None:
+            speaker = jnp.zeros((x.shape[0],), jnp.int32)
+        return self.speaker_embedding(speaker.astype(jnp.int32))
 
     def __call__(self, batch: Dict[str, jnp.ndarray],
                  train: bool = False) -> Dict[str, jnp.ndarray]:
@@ -234,12 +256,15 @@ class FastPitch(nn.Module):
         mel_len = batch['mel_len']
         max_t = batch['mel'].shape[1]
         pad_mask = x == 0  # token pad mask (fast_pitch.py:43-44)
+        spk_emb = self._speaker_emb(x, batch.get('speaker'))
 
-        dur_hat = self.dur_pred(x, pad_mask, train=train)
-        pitch_hat = self.pitch_pred(x, pad_mask, train=train)
-        energy_hat = self.energy_pred(x, pad_mask, train=train)
+        dur_hat = self.dur_pred(x, pad_mask, train=train, spk=spk_emb)
+        pitch_hat = self.pitch_pred(x, pad_mask, train=train, spk=spk_emb)
+        energy_hat = self.energy_pred(x, pad_mask, train=train, spk=spk_emb)
 
         h = self.embedding(x)
+        if spk_emb is not None:
+            h = h + self.speaker_proj(spk_emb)[:, None, :]
         h = self.prenet(h, pad_mask, train=train)
         h = h + self.pitch_proj(batch['pitch'][..., None]) \
             * self.pitch_strength
@@ -264,29 +289,37 @@ class FastPitch(nn.Module):
 
     def predict_series(self, x: jnp.ndarray, alpha: float = 1.0,
                        pitch_scale: float = 1.0, energy_scale: float = 1.0,
-                       x_len: Optional[jnp.ndarray] = None
+                       x_len: Optional[jnp.ndarray] = None,
+                       speaker: Optional[jnp.ndarray] = None
                        ) -> Dict[str, jnp.ndarray]:
         pad_mask = x == 0
         if x_len is not None:
             pad_mask = jnp.arange(x.shape[1])[None, :] >= x_len[:, None]
-        dur_hat = self.dur_pred(x, pad_mask, alpha=alpha, masked=True)
+        spk_emb = self._speaker_emb(x, speaker)
+        dur_hat = self.dur_pred(x, pad_mask, alpha=alpha, masked=True,
+                                spk=spk_emb)
         dur_valid = jnp.where(pad_mask, 0.0, dur_hat)
         total = jnp.sum(dur_valid.astype(jnp.int32))
         dur_hat = jnp.where(total <= 0, jnp.full_like(dur_hat, 2.0), dur_hat)
-        pitch_hat = self.pitch_pred(x, pad_mask, masked=True) * pitch_scale
-        energy_hat = self.energy_pred(x, pad_mask, masked=True) \
-            * energy_scale
+        pitch_hat = self.pitch_pred(x, pad_mask, masked=True,
+                                    spk=spk_emb) * pitch_scale
+        energy_hat = self.energy_pred(x, pad_mask, masked=True,
+                                      spk=spk_emb) * energy_scale
         return {'dur': dur_hat, 'pitch': pitch_hat, 'energy': energy_hat}
 
     def generate_from_series(self, x: jnp.ndarray, dur: jnp.ndarray,
                              pitch: jnp.ndarray, energy: jnp.ndarray,
                              max_t: int,
-                             x_len: Optional[jnp.ndarray] = None
+                             x_len: Optional[jnp.ndarray] = None,
+                             speaker: Optional[jnp.ndarray] = None
                              ) -> Dict[str, jnp.ndarray]:
         pad_mask = x == 0
         if x_len is not None:
             pad_mask = jnp.arange(x.shape[1])[None, :] >= x_len[:, None]
         h = self.embedding(x)
+        spk_emb = self._speaker_emb(x, speaker)
+        if spk_emb is not None:
+            h = h + self.speaker_proj(spk_emb)[:, None, :]
         h = jnp.where(pad_mask[..., None], 0.0, h)
         h = self.prenet(h, pad_mask, train=False, masked=True)
         h = h + self.pitch_proj(
@@ -305,14 +338,16 @@ class FastPitch(nn.Module):
 
     def generate(self, x: jnp.ndarray, max_t: int, alpha: float = 1.0,
                  pitch_scale: float = 1.0, energy_scale: float = 1.0,
-                 x_len: Optional[jnp.ndarray] = None
-                 ) -> Dict[str, jnp.ndarray]:
+                 x_len: Optional[jnp.ndarray] = None,
+                 speaker: Optional[jnp.ndarray] = None,
+                 **_ignored) -> Dict[str, jnp.ndarray]:
         series = self.predict_series(x, alpha=alpha,
                                      pitch_scale=pitch_scale,
-                                     energy_scale=energy_scale, x_len=x_len)
+                                     energy_scale=energy_scale, x_len=x_len,
+                                     speaker=speaker)
         out = self.generate_from_series(x, series['dur'], series['pitch'],
                                         series['energy'], max_t=max_t,
-                                        x_len=x_len)
+                                        x_len=x_len, speaker=speaker)
         out['dur'] = series['dur']
         return out
 

@@ -48,7 +48,10 @@ def _time_mask(x: jnp.ndarray, lengths: Optional[jnp.ndarray],
 class SeriesPredictor(nn.Module):
     """embed -> [conv5-relu-BN-dropout]x3 -> BiGRU -> Dense(1).
 
-    Parity: models/forward_tacotron.py:14-55.
+    Parity: models/forward_tacotron.py:14-55. `spk` (B, E) optionally
+    conditions the predictor on a speaker embedding (beyond the
+    single-speaker reference): projected to emb_dim and added to the
+    token embeddings, so durations/pitch/energy become speaker-aware.
     """
     num_chars: int
     emb_dim: int = 64
@@ -59,8 +62,12 @@ class SeriesPredictor(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, alpha: float = 1.0,
                  train: bool = False,
-                 lengths: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                 lengths: Optional[jnp.ndarray] = None,
+                 spk: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         h = nn.Embed(self.num_chars, self.emb_dim, name='embedding')(x)
+        if spk is not None:
+            h = h + nn.Dense(self.emb_dim, use_bias=False,
+                             name='spk_proj')(spk)[:, None, :]
         h = _time_mask(h, lengths)
         for i in range(3):
             h = BatchNormConv(self.conv_dims, 5, name=f'conv_{i}')(h, train)
@@ -96,6 +103,11 @@ class ForwardTacotron(nn.Module):
     prenet_num_highways: int = 4
     postnet_dropout: float = 0.0
     n_mels: int = 80
+    # beyond-parity: multi-speaker conditioning. n_speakers == 1 (the
+    # reference's single-speaker setting) creates NO extra parameters,
+    # so reference-converted checkpoints load unchanged.
+    n_speakers: int = 1
+    speaker_embed_dims: int = 64
 
     def setup(self) -> None:
         self.embedding = nn.Embed(self.num_chars, self.embed_dims)
@@ -126,10 +138,28 @@ class ForwardTacotron(nn.Module):
                             num_highways=self.postnet_num_highways,
                             dropout=self.postnet_dropout)
         self.post_proj = nn.Dense(self.n_mels, use_bias=False)
+        if self.n_speakers > 1:
+            self.speaker_embedding = nn.Embed(self.n_speakers,
+                                              self.speaker_embed_dims)
+            self.speaker_proj = nn.Dense(2 * self.prenet_dims,
+                                         use_bias=False)
+
+    def _speaker_emb(self, x: jnp.ndarray,
+                     speaker: Optional[jnp.ndarray]
+                     ) -> Optional[jnp.ndarray]:
+        """(B, E) speaker embedding, or None in single-speaker mode.
+        A missing speaker id defaults to 0 so single-speaker call
+        sites keep working against a multi-speaker model."""
+        if self.n_speakers <= 1:
+            return None
+        if speaker is None:
+            speaker = jnp.zeros((x.shape[0],), jnp.int32)
+        return self.speaker_embedding(speaker.astype(jnp.int32))
 
     def _encode(self, x: jnp.ndarray, pitch: jnp.ndarray,
                 energy: jnp.ndarray, train: bool,
-                lengths: Optional[jnp.ndarray]) -> jnp.ndarray:
+                lengths: Optional[jnp.ndarray],
+                spk_emb: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         """Token encoder + pitch/energy conditioning. pitch/energy (B, T)."""
         h = self.embedding(x)
         h = _time_mask(h, lengths)
@@ -138,6 +168,8 @@ class ForwardTacotron(nn.Module):
         h = h + pitch_proj * self.pitch_strength
         energy_proj = self.energy_proj(_time_mask(energy[..., None], lengths))
         h = h + energy_proj * self.energy_strength
+        if spk_emb is not None:
+            h = h + self.speaker_proj(spk_emb)[:, None, :]
         return h
 
     def _decode(self, h: jnp.ndarray, mel_lens: Optional[jnp.ndarray],
@@ -171,13 +203,14 @@ class ForwardTacotron(nn.Module):
         x = batch['x']
         mel_len = batch['mel_len']
         max_t = batch['mel'].shape[1]
+        spk_emb = self._speaker_emb(x, batch.get('speaker'))
 
-        dur_hat = self.dur_pred(x, train=train)
-        pitch_hat = self.pitch_pred(x, train=train)
-        energy_hat = self.energy_pred(x, train=train)
+        dur_hat = self.dur_pred(x, train=train, spk=spk_emb)
+        pitch_hat = self.pitch_pred(x, train=train, spk=spk_emb)
+        energy_hat = self.energy_pred(x, train=train, spk=spk_emb)
 
         h = self._encode(x, batch['pitch'], batch['energy'], train,
-                         lengths=None)
+                         lengths=None, spk_emb=spk_emb)
         h, _ = length_regulate(h, batch['dur'], max_t=max_t)
         out = self._decode(h, mel_len, train)
         out.update(dur=dur_hat, pitch=pitch_hat, energy=energy_hat)
@@ -186,24 +219,28 @@ class ForwardTacotron(nn.Module):
     def generate(self, x: jnp.ndarray, max_t: int, alpha: float = 1.0,
                  pitch_scale: float = 1.0, energy_scale: float = 1.0,
                  x_len: Optional[jnp.ndarray] = None,
+                 speaker: Optional[jnp.ndarray] = None,
                  fast: bool = True) -> Dict[str, jnp.ndarray]:
         """Fully-jitted inference (reference .generate / .generate_jit,
         forward_tacotron.py:244-330). `max_t` is the static mel bucket;
         returned 'mel_len' gives the true generated length. `fast`
         selects the Pallas BiRNN kernels on TPU (see
-        generate_from_series)."""
+        generate_from_series). `speaker` (B,) int ids select the voice
+        in multi-speaker mode (ignored when n_speakers == 1)."""
         series = self.predict_series(x, alpha=alpha,
                                      pitch_scale=pitch_scale,
-                                     energy_scale=energy_scale, x_len=x_len)
+                                     energy_scale=energy_scale, x_len=x_len,
+                                     speaker=speaker)
         out = self.generate_from_series(
             x, series['dur'], series['pitch'], series['energy'],
-            max_t=max_t, x_len=x_len, fast=fast)
+            max_t=max_t, x_len=x_len, speaker=speaker, fast=fast)
         out['dur'] = series['dur']
         return out
 
     def predict_series(self, x: jnp.ndarray, alpha: float = 1.0,
                        pitch_scale: float = 1.0, energy_scale: float = 1.0,
                        x_len: Optional[jnp.ndarray] = None,
+                       speaker: Optional[jnp.ndarray] = None,
                        fused: Optional[bool] = None
                        ) -> Dict[str, jnp.ndarray]:
         """Predict dur/pitch/energy series. `fused=None` auto-selects the
@@ -216,11 +253,14 @@ class ForwardTacotron(nn.Module):
         if fused and self._series_fusable() and not self.is_initializing():
             return self.predict_series_fused(
                 x, alpha=alpha, pitch_scale=pitch_scale,
-                energy_scale=energy_scale, x_len=x_len)
-        dur_hat = self.dur_pred(x, alpha=alpha, lengths=x_len)
+                energy_scale=energy_scale, x_len=x_len, speaker=speaker)
+        spk_emb = self._speaker_emb(x, speaker)
+        dur_hat = self.dur_pred(x, alpha=alpha, lengths=x_len, spk=spk_emb)
         dur_hat = self._dur_floor(x, dur_hat, x_len)
-        pitch_hat = self.pitch_pred(x, lengths=x_len) * pitch_scale
-        energy_hat = self.energy_pred(x, lengths=x_len) * energy_scale
+        pitch_hat = self.pitch_pred(x, lengths=x_len,
+                                    spk=spk_emb) * pitch_scale
+        energy_hat = self.energy_pred(x, lengths=x_len,
+                                      spk=spk_emb) * energy_scale
         return {'dur': dur_hat, 'pitch': pitch_hat, 'energy': energy_hat}
 
     def _dur_floor(self, x: jnp.ndarray, dur_hat: jnp.ndarray,
@@ -241,7 +281,8 @@ class ForwardTacotron(nn.Module):
     def predict_series_fused(self, x: jnp.ndarray, alpha: float = 1.0,
                              pitch_scale: float = 1.0,
                              energy_scale: float = 1.0,
-                             x_len: Optional[jnp.ndarray] = None
+                             x_len: Optional[jnp.ndarray] = None,
+                             speaker: Optional[jnp.ndarray] = None
                              ) -> Dict[str, jnp.ndarray]:
         """All three SeriesPredictors in ONE scan (inference only).
 
@@ -269,6 +310,14 @@ class ForwardTacotron(nn.Module):
         table = jnp.concatenate([p['embedding']['embedding'] for p in params],
                                 axis=-1)
         h = table[x]
+        spk_emb = self._speaker_emb(x, speaker)
+        if spk_emb is not None:
+            # per-predictor spk_proj, concatenated to match the stacked
+            # embedding layout — identical math to the unfused path
+            add = jnp.concatenate(
+                [spk_emb @ p['spk_proj']['kernel'] for p in params],
+                axis=-1)
+            h = h + add[:, None, :]
         h = _time_mask(h, x_len)
 
         # grouped conv stacks: conv5(no bias) -> relu -> BN(eval)
@@ -342,12 +391,14 @@ class ForwardTacotron(nn.Module):
                              pitch: jnp.ndarray, energy: jnp.ndarray,
                              max_t: int,
                              x_len: Optional[jnp.ndarray] = None,
+                             speaker: Optional[jnp.ndarray] = None,
                              fast: bool = True) -> Dict[str, jnp.ndarray]:
         """Expand + decode. `fast=True` (default) uses the fused Pallas
         BiRNN kernels for the decoder/postnet recurrences on TPU (bf16,
         ~1e-3 mel error); pass fast=False for bit-parity with the scan
         path (e.g. golden-mel gates)."""
-        h = self._encode(x, pitch, energy, train=False, lengths=x_len)
+        h = self._encode(x, pitch, energy, train=False, lengths=x_len,
+                         spk_emb=self._speaker_emb(x, speaker))
         if x_len is not None:
             dur = jnp.where(jnp.arange(x.shape[1])[None] < x_len[:, None],
                             dur, 0.0)

@@ -44,7 +44,7 @@ def maybe_initialize(config: Dict[str, Any] = None) -> bool:
         from jax._src import distributed as _dist
         if getattr(_dist.global_state, 'client', None) is not None:
             return True
-    except ImportError:  # private-module layout changed: fall through
+    except (ImportError, AttributeError):  # private layout changed
         if jax.process_count() > 1:
             return True
     cfg = (config or {}).get('tpu', {})

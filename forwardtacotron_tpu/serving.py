@@ -39,6 +39,7 @@ class _Request:
     alpha: float
     pitch_scale: float
     energy_scale: float
+    speaker: int = 0                   # multi-speaker checkpoints only
     future: Future = field(default_factory=Future)
     deadline: Optional[float] = None   # time.monotonic() cutoff
 
@@ -126,6 +127,10 @@ class TTSServer:
         self._jit_cache: Dict[Any, Any] = {}
         self._q: 'queue.Queue[Optional[_Request]]' = queue.Queue()
         self._closed = False
+        # Serializes the closed-check-then-put in submit() against
+        # close(): without it a request enqueued between close()'s
+        # sentinel and worker exit would leave its Future unresolved.
+        self._submit_lock = threading.Lock()
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
 
@@ -133,34 +138,39 @@ class TTSServer:
 
     def submit(self, text: str, alpha: float = 1.0,
                pitch_scale: float = 1.0,
-               energy_scale: float = 1.0) -> Future:
+               energy_scale: float = 1.0, speaker: int = 0) -> Future:
         """Enqueue a request; the Future resolves to int16 PCM.
 
         Raises ServerOverloaded when the queue is at max_queue (load
         shedding — map to HTTP 503)."""
-        if self._closed:
-            raise RuntimeError('server is closed')
-        if self._q.qsize() >= self.max_queue:
-            raise ServerOverloaded(
-                f'request queue full ({self.max_queue})')
-        deadline = None if self.request_timeout_s is None \
-            else time.monotonic() + self.request_timeout_s
-        req = _Request(text, float(alpha), float(pitch_scale),
-                       float(energy_scale), deadline=deadline)
-        self._q.put(req)
+        with self._submit_lock:
+            if self._closed:
+                raise RuntimeError('server is closed')
+            if self._q.qsize() >= self.max_queue:
+                raise ServerOverloaded(
+                    f'request queue full ({self.max_queue})')
+            deadline = None if self.request_timeout_s is None \
+                else time.monotonic() + self.request_timeout_s
+            req = _Request(text, float(alpha), float(pitch_scale),
+                           float(energy_scale), speaker=int(speaker),
+                           deadline=deadline)
+            self._q.put(req)
         return req.future
 
     def synthesize(self, text: str, alpha: float = 1.0,
                    pitch_scale: float = 1.0, energy_scale: float = 1.0,
-                   timeout: Optional[float] = None) -> np.ndarray:
+                   timeout: Optional[float] = None,
+                   speaker: int = 0) -> np.ndarray:
         return self.submit(text, alpha, pitch_scale,
-                           energy_scale).result(timeout)
+                           energy_scale, speaker=speaker).result(timeout)
 
     def close(self) -> None:
-        if not self._closed:
+        with self._submit_lock:
+            if self._closed:
+                return
             self._closed = True
             self._q.put(None)
-            self._worker.join(timeout=30)
+        self._worker.join(timeout=30)
 
     def __enter__(self):
         return self
@@ -216,23 +226,35 @@ class TTSServer:
     # Shared by the batch path and warmup() so precompiled programs are
     # exactly the ones steady-state serving dispatches.
 
+    def _speakers(self, reqs: Optional[List[_Request]],
+                  B: int) -> Optional[np.ndarray]:
+        """(B,) speaker ids for multi-speaker checkpoints, else None
+        (single-speaker: the model takes no speaker argument pytree,
+        keeping program signatures identical to before)."""
+        if getattr(self.model, 'n_speakers', 1) <= 1:
+            return None
+        spk = np.zeros((B,), np.int32)
+        if reqs is not None:
+            spk[:len(reqs)] = [r.speaker for r in reqs]
+        return spk
+
     def _series_program(self, tx: int, B: int):
         import jax
         model = self.model
         return self._jit(
             ('series', model, tx, B),
-            lambda: jax.jit(lambda v, x, xl: model.apply(
-                v, x, method='predict_series', x_len=xl)))
+            lambda: jax.jit(lambda v, x, xl, spk: model.apply(
+                v, x, method='predict_series', x_len=xl, speaker=spk)))
 
     def _gen_program(self, tx: int, B: int, max_t: int):
         import jax
         model = self.model
         return self._jit(
             ('gen', model, tx, B, max_t),
-            lambda: jax.jit(lambda v, x, d, p, e, xl, _mt=max_t:
+            lambda: jax.jit(lambda v, x, d, p, e, xl, spk, _mt=max_t:
                             model.apply(v, x, d, p, e, _mt,
                                         method='generate_from_series',
-                                        x_len=xl)))
+                                        x_len=xl, speaker=spk)))
 
     def _fused_program(self, tx: int, B: int, max_t: int):
         import jax
@@ -241,16 +263,16 @@ class TTSServer:
         key = ('fused', model, voc_model, tx, B, max_t)
 
         def build():
-            def fn(v, vv, x, xl, a, ps, es):
+            def fn(v, vv, x, xl, a, ps, es, spk):
                 series = model.apply(v, x, method='predict_series',
-                                     x_len=xl)
+                                     x_len=xl, speaker=spk)
                 dur = series['dur'] / a[:, None]
                 gen = model.apply(v, x, dur,
                                   series['pitch'] * ps[:, None],
                                   series['energy'] * es[:, None],
                                   max_t,
                                   method='generate_from_series',
-                                  x_len=xl)
+                                  x_len=xl, speaker=spk)
                 wav = voc_model.apply(vv, gen['mel_post'])
                 pcm = (jnp.clip(wav, -1.0, 1.0)
                        * 32767.0).astype(jnp.int16)
@@ -288,17 +310,18 @@ class TTSServer:
                 tx = _bucket(int(tl), self.text_bucket, self.text_bucket)
                 x = np.ones((B, tx), np.int32)
                 x_lens = np.full((B,), min(int(tl), tx), np.int32)
+                spk = self._speakers(None, B)
                 if self.fused:
                     fn = self._fused_program(tx, B, self.fused_max_t)
                     out = fn(self.variables, self.voc_variables,
                              jnp.asarray(x), jnp.asarray(x_lens),
                              jnp.ones((B,), jnp.float32),
                              jnp.ones((B,), jnp.float32),
-                             jnp.ones((B,), jnp.float32))
+                             jnp.ones((B,), jnp.float32), spk)
                     np.asarray(out[0])
                 series_fn = self._series_program(tx, B)
                 series = series_fn(self.variables, jnp.asarray(x),
-                                   jnp.asarray(x_lens))
+                                   jnp.asarray(x_lens), spk)
                 dur = np.asarray(series['dur'])
                 for mt in mel_caps:
                     max_t = _bucket(int(mt), self.mel_bucket,
@@ -308,7 +331,7 @@ class TTSServer:
                                  jnp.asarray(dur),
                                  jnp.asarray(series['pitch']),
                                  jnp.asarray(series['energy']),
-                                 jnp.asarray(x_lens))
+                                 jnp.asarray(x_lens), spk)
                     np.asarray(gen['mel_post'])
             if vocoder and not self.fused:
                 for mt in mel_caps:
@@ -387,7 +410,8 @@ class TTSServer:
         run = self._fused_program(tx, B, max_t)
         pcm, mel_lens = run(variables, voc_variables, jnp.asarray(x),
                             jnp.asarray(x_lens), jnp.asarray(alphas),
-                            jnp.asarray(p_scale), jnp.asarray(e_scale))
+                            jnp.asarray(p_scale), jnp.asarray(e_scale),
+                            self._speakers(reqs, B))
         mel_lens = np.asarray(mel_lens)
         if int(mel_lens[:B_real].max()) >= max_t:
             return None                      # overflow: staged fallback
@@ -419,9 +443,10 @@ class TTSServer:
         for i, seq in enumerate(ids):
             x[i, :len(seq)] = seq
 
+        spk = self._speakers(reqs, B)
         series_fn = self._series_program(tx, B)
         series = series_fn(variables, jnp.asarray(x),
-                           jnp.asarray(x_lens))
+                           jnp.asarray(x_lens), spk)
 
         # per-request controls on the shared series pass (alpha
         # divides durations, exactly as the model's own alpha arg)
@@ -444,7 +469,7 @@ class TTSServer:
         gen_fn = self._gen_program(tx, B, max_t)
         gen = gen_fn(variables, jnp.asarray(x), jnp.asarray(dur),
                      jnp.asarray(pitch), jnp.asarray(energy),
-                     jnp.asarray(x_lens))
+                     jnp.asarray(x_lens), spk)
         mel_lens = np.asarray(gen['mel_len'])
         mels = np.asarray(gen['mel_post'])        # (B, max_t, n_mels)
         per_item = [mels[i, :int(mel_lens[i])].T
@@ -495,7 +520,7 @@ def wav_bytes(pcm16: np.ndarray, sample_rate: int) -> bytes:
 def make_http_server(server: TTSServer, host: str = '127.0.0.1',
                      port: int = 8000):
     """Minimal stdlib HTTP front: POST /tts {"text", "alpha",
-    "pitch_scale"|"amp", "energy_scale"} -> audio/wav;
+    "pitch_scale"|"amp", "energy_scale", "speaker"} -> audio/wav;
     GET /healthz -> 200 ok. Concurrent connections batch through the
     TTSServer's dynamic batcher."""
     import json
@@ -536,6 +561,7 @@ def make_http_server(server: TTSServer, host: str = '127.0.0.1',
                         'pitch_scale', payload.get('amp', 1.0))),
                     energy_scale=float(payload.get('energy_scale',
                                                    1.0)),
+                    speaker=int(payload.get('speaker', 0)),
                     timeout=timeout)
                 body = wav_bytes(pcm, server.sample_rate)
                 self.send_response(200)

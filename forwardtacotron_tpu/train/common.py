@@ -49,8 +49,13 @@ def install_preemption_handler(signals=None) -> None:
 
         def _handler(signum, frame, _prev=prev):
             event.set()
+            # Chain a genuine user-installed handler, but NOT Python's
+            # default SIGINT handler — that raises KeyboardInterrupt and
+            # would abort the step loop before the graceful-save path
+            # (preempted() -> break -> save latest) can run.
             if callable(_prev) and _prev not in (
-                    _signal.SIG_IGN, _signal.SIG_DFL, _handler):
+                    _signal.SIG_IGN, _signal.SIG_DFL, _handler,
+                    _signal.default_int_handler):
                 _prev(signum, frame)
 
         try:

@@ -33,7 +33,8 @@ def export_tts_generate(model, variables: Dict[str, Any],
 
     The exported callable signature is
         (x (1, tx) int32, x_len (1,) int32,
-         alpha (), pitch_scale (), energy_scale () float32)
+         alpha (), pitch_scale (), energy_scale () float32
+         [, speaker (1,) int32 — multi-speaker models only])
         -> {'mel_post': (1, max_t, n_mels), 'mel_len': (1,),
             'dur': (1, tx)}
 
@@ -53,11 +54,11 @@ def export_tts_generate(model, variables: Dict[str, Any],
         extra['fast'] = False  # pure XLA: portable across platforms
         #                        (no Pallas kernels inside the export)
 
-    def fn(x, x_len, alpha, pitch_scale, energy_scale):
+    def run(x, x_len, alpha, pitch_scale, energy_scale, **spk):
         out = model.apply(variables, x, max_t, alpha=alpha,
                           pitch_scale=pitch_scale,
                           energy_scale=energy_scale, x_len=x_len,
-                          method='generate', **extra)
+                          method='generate', **spk, **extra)
         result = {'mel_post': out['mel_post'], 'mel_len': out['mel_len'],
                   'dur': out['dur']}
         if vocoder is not None:
@@ -72,6 +73,15 @@ def export_tts_generate(model, variables: Dict[str, Any],
             jax.ShapeDtypeStruct((), jnp.float32),
             jax.ShapeDtypeStruct((), jnp.float32),
             jax.ShapeDtypeStruct((), jnp.float32))
+    if getattr(model, 'n_speakers', 1) > 1:
+        # multi-speaker: the voice id is a 6th runtime input, so one
+        # artifact serves every speaker (loader detects the arity)
+        def fn(x, x_len, alpha, pitch_scale, energy_scale, speaker):
+            return run(x, x_len, alpha, pitch_scale, energy_scale,
+                       speaker=speaker)
+        args = args + (jax.ShapeDtypeStruct((1,), jnp.int32),)
+    else:
+        fn = run
     kwargs = {}
     if platforms is not None:
         kwargs['platforms'] = tuple(platforms)
@@ -121,11 +131,11 @@ class ExportedTTS:
                 self.buckets[(tx, max_t)] = jexport.deserialize(
                     f.read(ln))
 
-    def generate(self, text_ids: Sequence[int], alpha: float = 1.0,
-                 pitch_scale: float = 1.0, energy_scale: float = 1.0
-                 ) -> Tuple[np.ndarray, np.ndarray]:
-        """-> (mel_post (n_mels, mel_len), dur (x_len,)). Picks the
-        smallest exported text bucket that fits."""
+    def _run(self, text_ids: Sequence[int], alpha: float,
+             pitch_scale: float, energy_scale: float,
+             speaker: int) -> Tuple[Dict[str, np.ndarray], int, int]:
+        """Pick the smallest exported text bucket that fits and call it.
+        -> (outputs, x_len, max_t)."""
         import jax.numpy as jnp
         x_len = len(text_ids)
         fitting = sorted(tx for tx, _ in self.buckets if tx >= x_len)
@@ -137,34 +147,33 @@ class ExportedTTS:
         exported = self.buckets[(tx, max_t)]
         x = np.zeros((1, tx), np.int32)
         x[0, :x_len] = text_ids
-        out = exported.call(jnp.asarray(x), jnp.asarray([x_len], np.int32),
-                            jnp.float32(alpha), jnp.float32(pitch_scale),
-                            jnp.float32(energy_scale))
+        call_args = [jnp.asarray(x), jnp.asarray([x_len], np.int32),
+                     jnp.float32(alpha), jnp.float32(pitch_scale),
+                     jnp.float32(energy_scale)]
+        if len(exported.in_avals) > 5:   # multi-speaker artifact
+            call_args.append(jnp.asarray([speaker], np.int32))
+        return exported.call(*call_args), x_len, max_t
+
+    def generate(self, text_ids: Sequence[int], alpha: float = 1.0,
+                 pitch_scale: float = 1.0, energy_scale: float = 1.0,
+                 speaker: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+        """-> (mel_post (n_mels, mel_len), dur (x_len,)). Picks the
+        smallest exported text bucket that fits. `speaker` selects the
+        voice on multi-speaker artifacts (ignored otherwise)."""
+        out, x_len, _ = self._run(text_ids, alpha, pitch_scale,
+                                  energy_scale, speaker)
         mel_len = int(np.asarray(out['mel_len'])[0])
         mel = np.asarray(out['mel_post'])[0, :mel_len].T
         return mel, np.asarray(out['dur'])[0, :x_len]
 
     def synthesize(self, text_ids: Sequence[int], alpha: float = 1.0,
-                   pitch_scale: float = 1.0, energy_scale: float = 1.0
-                   ) -> np.ndarray:
+                   pitch_scale: float = 1.0, energy_scale: float = 1.0,
+                   speaker: int = 0) -> np.ndarray:
         """Full text->wav for artifacts exported with a vocoder:
         -> int16 PCM trimmed to the generated length. Raises if the
         artifact has no fused vocoder."""
-        import jax.numpy as jnp
-        x_len = len(text_ids)
-        fitting = sorted(tx for tx, _ in self.buckets if tx >= x_len)
-        if not fitting:
-            raise ValueError(f'input length {x_len} exceeds all exported '
-                             f'buckets {sorted(self.buckets)}')
-        tx = fitting[0]
-        max_t = max(mt for t, mt in self.buckets if t == tx)
-        exported = self.buckets[(tx, max_t)]
-        x = np.zeros((1, tx), np.int32)
-        x[0, :x_len] = text_ids
-        out = exported.call(jnp.asarray(x),
-                            jnp.asarray([x_len], np.int32),
-                            jnp.float32(alpha), jnp.float32(pitch_scale),
-                            jnp.float32(energy_scale))
+        out, _, max_t = self._run(text_ids, alpha, pitch_scale,
+                                  energy_scale, speaker)
         if 'wav' not in out:
             raise ValueError('artifact was exported without a vocoder; '
                              'use .generate() for mels')

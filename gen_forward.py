@@ -23,13 +23,15 @@ _JIT_CACHE: dict = {}
 
 
 def synthesize(model, variables, text_ids, alpha: float, amp: float,
-               mel_multiple: int = 256, energy_scale: float = 1.0):
+               mel_multiple: int = 256, energy_scale: float = 1.0,
+               speaker: int = 0):
     """Two-stage jitted generation: predict series, apply user scaling
     (amp scales pitch, energy_scale scales energy — the reference's
     pitch_function/energy_function lambdas, gen_forward.py:98-104),
     expand+decode. jits are cached per (model, bucket) so repeated
-    sentences reuse compilations. Returns (mel_post (n_mels, T_true),
-    dur)."""
+    sentences reuse compilations. `speaker` selects the voice on
+    multi-speaker models (ignored when n_speakers == 1). Returns
+    (mel_post (n_mels, T_true), dur)."""
     import jax
     import jax.numpy as jnp
 
@@ -39,13 +41,16 @@ def synthesize(model, variables, text_ids, alpha: float, amp: float,
     x[0, :x_len] = text_ids
     x = jnp.asarray(x)
     xl = jnp.asarray([x_len])
+    multispeaker = getattr(model, 'n_speakers', 1) > 1
+    spk = jnp.asarray([speaker], jnp.int32) if multispeaker else None
 
     key = (model, 'series')
     if key not in _JIT_CACHE:
         _JIT_CACHE[key] = jax.jit(
-            lambda v, x, xl, a: model.apply(
-                v, x, alpha=a, method='predict_series', x_len=xl))
-    series = _JIT_CACHE[key](variables, x, xl, alpha)
+            lambda v, x, xl, a, spk: model.apply(
+                v, x, alpha=a, method='predict_series', x_len=xl,
+                speaker=spk))
+    series = _JIT_CACHE[key](variables, x, xl, alpha, spk)
     dur = np.asarray(series['dur'])[0, :x_len]
     total = int(np.sum(np.floor(np.maximum(dur, 0) + 0.5)))
     max_t = _bucket(total + 1, mel_multiple, mel_multiple)
@@ -54,11 +59,11 @@ def synthesize(model, variables, text_ids, alpha: float, amp: float,
     key = (model, 'gen', max_t)
     if key not in _JIT_CACHE:
         _JIT_CACHE[key] = jax.jit(
-            lambda v, x, d, p, e, xl, _mt=max_t: model.apply(
+            lambda v, x, d, p, e, xl, spk, _mt=max_t: model.apply(
                 v, x, d, p, e, _mt, method='generate_from_series',
-                x_len=xl))
+                x_len=xl, speaker=spk))
     gen = _JIT_CACHE[key](variables, x, series['dur'], pitch,
-                          series['energy'] * energy_scale, xl)
+                          series['energy'] * energy_scale, xl, spk)
     mel_len = int(gen['mel_len'][0])
     mel_post = np.asarray(gen['mel_post'])[0, :mel_len].T  # (n_mels, T)
     return mel_post, dur
@@ -76,6 +81,9 @@ def main() -> None:
                         help='Length regulator speed control')
     parser.add_argument('--amp', type=float, default=1.,
                         help='Pitch amplification')
+    parser.add_argument('--speaker', type=int, default=0,
+                        help='Speaker id for multi-speaker models '
+                             '(ignored by single-speaker checkpoints)')
     subparsers = parser.add_subparsers(dest='vocoder')
     wr_parser = subparsers.add_parser('wavernn')
     wr_parser.add_argument('--overlap', '-o', default=550, type=int)
@@ -182,7 +190,8 @@ def main() -> None:
         ids = tokenizer(cleaner(x))
         wav_name = (f'{i}_forward_{tts_k}k_alpha{args.alpha}_'
                     f'amp{args.amp}_{args.vocoder}')
-        mel_post, _ = synthesize(model, variables, ids, args.alpha, args.amp)
+        mel_post, _ = synthesize(model, variables, ids, args.alpha,
+                                 args.amp, speaker=args.speaker)
 
         if args.vocoder == 'melgan':
             if voc_model is not None:

@@ -43,12 +43,12 @@ class Synthesizer:
 
     def __call__(self, text: str, voc_model: str = 'griffinlim',
                  alpha: float = 1.0, pitch_scale: float = 1.0,
-                 energy_scale: float = 1.0) -> np.ndarray:
+                 energy_scale: float = 1.0, speaker: int = 0) -> np.ndarray:
         from gen_forward import synthesize
         ids = self.tokenizer(self.cleaner(text))
         mel_post, _ = synthesize(self.tts_model, self.tts_variables, ids,
                                  alpha, pitch_scale,
-                                 energy_scale=energy_scale)
+                                 energy_scale=energy_scale, speaker=speaker)
         if voc_model == 'griffinlim':
             return self.dsp.griffinlim(mel_post, n_iter=32)
         if voc_model == 'wavernn':

@@ -22,7 +22,7 @@ import numpy as np
 
 from forwardtacotron_tpu.dsp.audio import DSP
 from forwardtacotron_tpu.text.cleaners import Cleaner
-from forwardtacotron_tpu.text.recipes import ljspeech
+from forwardtacotron_tpu.text.recipes import ljspeech, multispeaker
 from forwardtacotron_tpu.utils.display import progbar, simple_table, stream
 from forwardtacotron_tpu.utils.files import get_files, pickle_binary, \
     read_config
@@ -154,6 +154,12 @@ def main() -> None:
                         help='worker processes for wav decoding')
     parser.add_argument('--config', metavar='FILE', default='config.yaml',
                         help='The config containing all hyperparams.')
+    parser.add_argument('--metadata_format', default='ljspeech',
+                        choices=['ljspeech', 'multispeaker'],
+                        help='Metadata csv layout: ljspeech (id|...|text) '
+                             'or multispeaker (id|speaker|text). The '
+                             'latter also writes speaker_dict.pkl; set '
+                             'n_speakers in the model config to match.')
     args = parser.parse_args()
 
     from forwardtacotron_tpu.utils.jax_setup import enable_compilation_cache
@@ -167,7 +173,11 @@ def main() -> None:
     print(f'\n{len(wav_files)} .wav files found in "{args.path}"')
     assert len(wav_files) > 0, f'Found no wav files in {args.path}, exiting.'
 
-    text_dict = ljspeech(args.path)
+    speaker_dict = None
+    if args.metadata_format == 'multispeaker':
+        text_dict, speaker_dict = multispeaker(args.path)
+    else:
+        text_dict = ljspeech(args.path)
     min_len = config['preprocessing']['min_text_len']
     text_dict = {item_id: text for item_id, text in text_dict.items()
                  if item_id in wav_ids and len(text) > min_len}
@@ -204,6 +214,13 @@ def main() -> None:
                   paths.data / 'text_dict.pkl')
     pickle_binary(train_dataset, paths.data / 'train_dataset.pkl')
     pickle_binary(val_dataset, paths.data / 'val_dataset.pkl')
+    if speaker_dict is not None:
+        used = {i for i, _ in cleaned_texts}
+        speaker_dict = {i: s for i, s in speaker_dict.items() if i in used}
+        pickle_binary(speaker_dict, paths.data / 'speaker_dict.pkl')
+        n_spk = len(set(speaker_dict.values()))
+        print(f'\n{n_spk} speakers -> speaker_dict.pkl; set '
+              f'n_speakers: {n_spk} in the model config section.')
 
     print('\n\nCompleted. Ready to run "python train_tacotron.py" or '
           '"python train_wavernn.py".\n')

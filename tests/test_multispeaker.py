@@ -1,0 +1,225 @@
+"""Multi-speaker conditioning (beyond the single-speaker reference).
+
+Covers the full path: metadata recipe -> speaker_dict.pkl -> dataset /
+collation 'speaker' field -> model conditioning — plus the invariant
+that n_speakers == 1 adds NO parameters, so reference-converted
+checkpoints keep loading unchanged.
+"""
+import sys
+from pathlib import Path
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, str(Path(__file__).parent.parent / 'tools'))
+
+TINY = {
+    'embed_dims': 16, 'series_embed_dims': 8,
+    'durpred_conv_dims': 8, 'durpred_rnn_dims': 4, 'durpred_dropout': 0.5,
+    'pitch_conv_dims': 8, 'pitch_rnn_dims': 6, 'pitch_dropout': 0.5,
+    'pitch_strength': 1.0,
+    'energy_conv_dims': 8, 'energy_rnn_dims': 3, 'energy_dropout': 0.5,
+    'energy_strength': 1.0,
+    'rnn_dims': 12, 'prenet_dims': 8, 'prenet_k': 2, 'prenet_dropout': 0.5,
+    'prenet_num_highways': 1, 'postnet_dims': 8, 'postnet_k': 2,
+    'postnet_num_highways': 1, 'postnet_dropout': 0.0,
+    'n_mels': 6,
+}
+
+FP_TINY = {
+    'durpred_dropout': 0.5, 'durpred_d_model': 8, 'durpred_n_heads': 2,
+    'durpred_layers': 1, 'durpred_d_fft': 8,
+    'pitch_dropout': 0.5, 'pitch_d_model': 8, 'pitch_n_heads': 2,
+    'pitch_layers': 1, 'pitch_d_fft': 8,
+    'energy_dropout': 0.5, 'energy_d_model': 8, 'energy_n_heads': 2,
+    'energy_layers': 1, 'energy_d_fft': 8,
+    'pitch_strength': 1.0, 'energy_strength': 1.0,
+    'd_model': 16, 'conv1_kernel': 9, 'conv2_kernel': 1,
+    'prenet_layers': 1, 'prenet_heads': 2, 'prenet_fft': 16,
+    'prenet_dropout': 0.1,
+    'postnet_layers': 1, 'postnet_heads': 2, 'postnet_fft': 16,
+    'postnet_dropout': 0.1,
+    'n_mels': 6,
+}
+
+
+def _text_batch(rng, B=2, Tx=10):
+    x = np.zeros((B, Tx), dtype=np.int32)
+    lens = [Tx, Tx - 3][:B]
+    for i, l in enumerate(lens):
+        x[i, :l] = rng.randint(1, 39, l)
+    return jnp.asarray(x), jnp.asarray(lens)
+
+
+def test_multispeaker_recipe(tmp_path):
+    from forwardtacotron_tpu.text.recipes import multispeaker
+    (tmp_path / 'metadata.csv').write_text(
+        'a1|p240|hello there\n'
+        'a2|p110|general kenobi\n'
+        'a3|p240|you are bold\n', encoding='utf-8')
+    text_dict, speaker_dict = multispeaker(tmp_path)
+    assert text_dict['a2'].strip() == 'general kenobi'
+    # dense ids in sorted speaker-name order: p110 -> 0, p240 -> 1
+    assert speaker_dict == {'a1': 1, 'a2': 0, 'a3': 1}
+
+
+def test_collate_carries_speaker():
+    from forwardtacotron_tpu.data.dataset import collate_tts
+    items = []
+    for i, spk in enumerate([2, 0]):
+        items.append({'item_id': i, 'mel': np.full((2, 5 + i), 1.),
+                      'x': np.full(2 + i, 2.), 'mel_len': 5 + i,
+                      'x_len': 2 + i, 'dur': np.full(2 + i, 3.),
+                      'pitch': np.full(2 + i, 4.),
+                      'energy': np.full(2 + i, 5.), 'speaker': spk})
+    batch = collate_tts(items, r=1)
+    assert batch['speaker'].dtype == np.int32
+    assert batch['speaker'].tolist() == [2, 0]
+
+
+def test_single_speaker_adds_no_params():
+    """n_speakers=1 (the reference setting) must produce the exact same
+    parameter tree as before the feature existed — checkpoint compat."""
+    from forwardtacotron_tpu.models.forward_tacotron import ForwardTacotron
+    model = ForwardTacotron(num_chars=40, **TINY)
+    x, xl = _text_batch(np.random.RandomState(0))
+    variables = model.init({'params': jax.random.PRNGKey(0)}, x, 32,
+                           method='generate', x_len=xl)
+    flat = jax.tree_util.tree_leaves_with_path(variables)
+    names = [jax.tree_util.keystr(k) for k, _ in flat]
+    assert not any('speaker' in n or 'spk' in n for n in names)
+
+
+def test_forward_tacotron_speaker_conditions_output():
+    from forwardtacotron_tpu.models.forward_tacotron import ForwardTacotron
+    model = ForwardTacotron(num_chars=40, n_speakers=3, **TINY)
+    rng = np.random.RandomState(1)
+    x, xl = _text_batch(rng)
+    variables = model.init({'params': jax.random.PRNGKey(0)}, x, 32,
+                           method='generate', x_len=xl)
+
+    out0 = model.apply(variables, x, 32, method='generate', x_len=xl,
+                       speaker=jnp.zeros((2,), jnp.int32), fast=False)
+    out1 = model.apply(variables, x, 32, method='generate', x_len=xl,
+                       speaker=jnp.full((2,), 2, jnp.int32), fast=False)
+    # different speaker ids select different embeddings -> different mels
+    assert not np.allclose(np.asarray(out0['mel_post']),
+                           np.asarray(out1['mel_post']), atol=1e-4)
+    # omitted speaker defaults to id 0
+    out_none = model.apply(variables, x, 32, method='generate', x_len=xl,
+                           fast=False)
+    np.testing.assert_allclose(np.asarray(out_none['mel_post']),
+                               np.asarray(out0['mel_post']), atol=1e-6)
+
+
+def test_forward_tacotron_fused_series_with_speaker():
+    """The single-scan fused series path must match the three separate
+    predictors when speaker conditioning is active (mixed rnn widths)."""
+    from forwardtacotron_tpu.models.forward_tacotron import ForwardTacotron
+    model = ForwardTacotron(num_chars=40, n_speakers=4, **TINY)
+    rng = np.random.RandomState(2)
+    x, xl = _text_batch(rng)
+    variables = model.init({'params': jax.random.PRNGKey(0)}, x, 32,
+                           method='generate', x_len=xl)
+    spk = jnp.asarray([3, 1], jnp.int32)
+    kw = dict(alpha=1.2, pitch_scale=0.7, energy_scale=1.4, x_len=xl,
+              speaker=spk)
+    un = model.apply(variables, x, method='predict_series', fused=False,
+                     **kw)
+    fu = model.apply(variables, x, method='predict_series', fused=True,
+                     **kw)
+    for k in un:
+        np.testing.assert_allclose(np.asarray(un[k]), np.asarray(fu[k]),
+                                   atol=1e-5)
+
+
+def test_forward_tacotron_multispeaker_train_step():
+    from forwardtacotron_tpu.models.forward_tacotron import ForwardTacotron
+    model = ForwardTacotron(num_chars=40, n_speakers=3, **TINY)
+    rng = np.random.RandomState(3)
+    B, Tx, T = 2, 8, 16
+    dur = np.ones((B, Tx), np.float32) * 2
+    batch = {
+        'x': jnp.asarray(rng.randint(1, 39, (B, Tx))),
+        'mel': jnp.asarray(rng.randn(B, T, TINY['n_mels']),
+                           dtype=jnp.float32),
+        'mel_len': jnp.asarray([T, T - 4]),
+        'dur': jnp.asarray(dur),
+        'pitch': jnp.asarray(rng.randn(B, Tx), dtype=jnp.float32),
+        'energy': jnp.asarray(rng.randn(B, Tx), dtype=jnp.float32),
+        'speaker': jnp.asarray([0, 2], jnp.int32),
+    }
+    variables = model.init({'params': jax.random.PRNGKey(0)}, batch)
+    out = model.apply(variables, batch)
+    assert out['mel'].shape == (B, T, TINY['n_mels'])
+    assert np.isfinite(np.asarray(out['mel'])).all()
+
+
+def test_fast_pitch_speaker_conditions_output():
+    from forwardtacotron_tpu.models.fast_pitch import FastPitch
+    model = FastPitch(num_chars=40, n_speakers=3, **FP_TINY)
+    rng = np.random.RandomState(4)
+    x, xl = _text_batch(rng)
+    variables = model.init({'params': jax.random.PRNGKey(0)}, x, 32,
+                           method='generate', x_len=xl)
+    out0 = model.apply(variables, x, 32, method='generate', x_len=xl,
+                       speaker=jnp.zeros((2,), jnp.int32))
+    out1 = model.apply(variables, x, 32, method='generate', x_len=xl,
+                       speaker=jnp.full((2,), 2, jnp.int32))
+    assert not np.allclose(np.asarray(out0['mel_post']),
+                           np.asarray(out1['mel_post']), atol=1e-4)
+
+
+def test_export_multispeaker_artifact(tmp_path):
+    """Multi-speaker models export with a 6th (speaker) input; the
+    loader detects the arity and routes the id through."""
+    from forwardtacotron_tpu.models.forward_tacotron import ForwardTacotron
+    from forwardtacotron_tpu.utils.export import (ExportedTTS,
+                                                  save_exported_tts)
+    model = ForwardTacotron(num_chars=40, n_speakers=3, **TINY)
+    x, xl = _text_batch(np.random.RandomState(5))
+    variables = model.init({'params': jax.random.PRNGKey(0)}, x, 32,
+                           method='generate', x_len=xl)
+    path = tmp_path / 'ms.ftexp'
+    save_exported_tts(model, variables, path, buckets=((16, 64),))
+    exported = ExportedTTS(path)
+    ids = list(range(1, 9))
+    mel0, _ = exported.generate(ids, speaker=0)
+    mel2, _ = exported.generate(ids, speaker=2)
+    assert not np.allclose(mel0, mel2, atol=1e-4)
+    # matches the in-repo model path for the same speaker
+    ref = model.apply(variables, jnp.asarray([ids + [0] * 8]), 64,
+                      method='generate', x_len=jnp.asarray([8]),
+                      speaker=jnp.asarray([2], jnp.int32), fast=False)
+    ref_mel = np.asarray(ref['mel_post'])[0, :mel2.shape[1]].T
+    np.testing.assert_allclose(mel2, ref_mel, atol=1e-4)
+
+
+def test_dataset_pipeline_carries_speaker(tmp_path):
+    """speaker_dict.pkl next to the dataset indexes flows through
+    ForwardDataset + BucketBatcher into (B,) int32 batch fields."""
+    from make_synthetic_dataset import make_dataset
+    from forwardtacotron_tpu.data.dataset import get_tts_datasets
+    from forwardtacotron_tpu.utils.files import (pickle_binary,
+                                                 unpickle_binary)
+    from forwardtacotron_tpu.utils.paths import Paths
+
+    config = {'dsp': {'num_mels': 8, 'hop_length': 16, 'bits': 9}}
+    paths = Paths(str(tmp_path / 'data'), 'v', 't', base=tmp_path)
+    make_dataset(paths, config, n_items=5, n_val=1, seed=3)
+    train = unpickle_binary(paths.data / 'train_dataset.pkl')
+    val = unpickle_binary(paths.data / 'val_dataset.pkl')
+    ids = sorted(i for i, _ in train + val)
+    speaker_dict = {item: k % 3 for k, item in enumerate(ids)}
+    pickle_binary(speaker_dict, paths.data / 'speaker_dict.pkl')
+
+    train_set, _ = get_tts_datasets(
+        paths.data, batch_size=2, r=1, model_type='forward',
+        max_mel_len=None, filter_attention=False)
+    batch = next(iter(train_set))
+    assert batch['speaker'].shape == (2,)
+    assert batch['speaker'].dtype == np.int32
+    for row in range(2):
+        item = batch['item_id'][row]
+        assert batch['speaker'][row] == speaker_dict[item]

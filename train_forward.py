@@ -99,9 +99,14 @@ def main() -> None:
         opt_state = optimizer.init(payload['model']['params'])
         opt_state = restore_opt_state(payload, opt_state)
         # resume EMA tracking: stored weights if present, else seed from
-        # the raw params when ema_decay was just turned on
+        # the raw params when ema_decay was just turned on. When
+        # ema_decay is now 0/unset, drop any stored EMA tree — the step
+        # would never update it, and eval/checkpoints/serving would
+        # otherwise keep using the frozen resume-time snapshot.
         ema = payload['model'].get('ema_params')
-        if ema is None and float(train_cfg.get('ema_decay', 0) or 0) > 0:
+        if float(train_cfg.get('ema_decay', 0) or 0) <= 0:
+            ema = None
+        elif ema is None:
             # seed from raw params — as a copy, so the donated train
             # step never sees the same buffer twice
             import numpy as np
