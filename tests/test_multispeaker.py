@@ -171,6 +171,44 @@ def test_fast_pitch_speaker_conditions_output():
                            np.asarray(out1['mel_post']), atol=1e-4)
 
 
+def test_multispeaker_training_e2e(tmp_path):
+    """Full ForwardTrainer run over a dataset with speaker_dict.pkl:
+    batches carry 'speaker' through the jitted (and mesh-sharded, on
+    the virtual 8-CPU platform) train step."""
+    import pathlib
+    import yaml
+    from forwardtacotron_tpu.models.forward_tacotron import ForwardTacotron
+    from forwardtacotron_tpu.train.forward_trainer import ForwardTrainer
+    from forwardtacotron_tpu.utils.files import pickle_binary
+    from forwardtacotron_tpu.utils.paths import Paths
+    from test_forward_trainer import TINY_MODEL, _make_dataset
+
+    config = yaml.safe_load(
+        open(pathlib.Path(__file__).parent.parent / 'config.yaml'))
+    config['data_path'] = str(tmp_path / 'data')
+    config['forward_tacotron']['model'] = dict(TINY_MODEL, n_speakers=3)
+    config['forward_tacotron']['training']['schedule'] = ['1e-3, 3, 4']
+    config['forward_tacotron']['training']['checkpoint_every'] = 1000
+    config['forward_tacotron']['training']['plot_every'] = 1000
+    _make_dataset(tmp_path / 'data')
+    pickle_binary({str(i): i % 3 for i in range(6)},
+                  tmp_path / 'data' / 'speaker_dict.pkl')
+
+    class NullWriter:
+        def add_scalar(self, *a, **k): pass
+        def add_figure(self, *a, **k): pass
+        def add_audio(self, *a, **k): pass
+
+    paths = Paths(config['data_path'], 'ms_voc', 'ms_tts', base=tmp_path)
+    model = ForwardTacotron.from_config(config)
+    assert model.n_speakers == 3
+    trainer = ForwardTrainer(paths, dsp=None, config=config,
+                             writer=NullWriter())
+    trainer.generate_plots = lambda *a, **k: None
+    state = trainer.train(model, max_steps_override=3)
+    assert int(state.step) == 3
+
+
 def test_export_multispeaker_artifact(tmp_path):
     """Multi-speaker models export with a 6th (speaker) input; the
     loader detects the arity and routes the id through."""
