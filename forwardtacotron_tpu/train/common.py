@@ -255,6 +255,8 @@ def build_forward_train_step(model, optimizer,
     energy_zoneout = float(train_cfg.get('energy_zoneout', 0.0))
     ema_decay = float(train_cfg.get('ema_decay', 0.0) or 0.0)
     half = half_dtype(train_cfg)
+    accum = int(train_cfg.get('grad_accum', 1) or 1)
+    remat = bool(train_cfg.get('remat', False))
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                    rng: jax.Array) -> Tuple[TrainState, Dict]:
@@ -270,28 +272,66 @@ def build_forward_train_step(model, optimizer,
             batch = dict(batch, pitch=batch['pitch'] * pitch_mask,
                          energy=batch['energy'] * energy_mask)
 
-        def loss_fn(params):
+        def apply_model(p, stats, b, drng):
+            return model.apply(
+                {'params': p, 'batch_stats': stats},
+                b, train=True, mutable=['batch_stats'],
+                rngs={'dropout': drng})
+        if remat:
+            # rematerialize activations in the backward pass: trades
+            # FLOPs for HBM so longer utterances / bigger buckets fit
+            apply_model = jax.checkpoint(apply_model)
+
+        def loss_fn(params, stats, b, pt, et, drng):
             # bf16 compute when configured: params/inputs cast at the
             # boundary (grads flow back to f32 masters through the
             # casts); batch_stats stay f32 so BN momentum updates keep
             # full precision; losses computed on f32 targets
             p = cast_half(params, half) if half else params
-            b = cast_half(batch, half) if half else batch
-            pred, mutated = model.apply(
-                {'params': p, 'batch_stats': state.batch_stats},
-                b, train=True, mutable=['batch_stats'],
-                rngs={'dropout': dropout_rng})
+            bb = cast_half(b, half) if half else b
+            pred, mutated = apply_model(p, stats, bb, drng)
             if half:
                 pred = cast_full(pred, half)
-            loss, metrics = forward_loss(pred, batch, pitch_target,
-                                         energy_target, train_cfg)
+            loss, metrics = forward_loss(pred, b, pt, et, train_cfg)
             new_stats = mutated['batch_stats']
             if half:
                 new_stats = cast_full(new_stats, half)
             return loss, (metrics, new_stats)
 
-        grads, (metrics, new_stats) = jax.grad(
-            loss_fn, has_aux=True)(state.params)
+        grad_fn = jax.grad(loss_fn, has_aux=True)
+        if accum <= 1:
+            grads, (metrics, new_stats) = grad_fn(
+                state.params, state.batch_stats, batch, pitch_target,
+                energy_target, dropout_rng)
+        else:
+            # gradient accumulation: scan over `accum` micro-batches
+            # (leading-axis split of the batch), averaging grads into
+            # ONE optimizer update; BN stats update sequentially
+            B = batch['x'].shape[0]
+            assert B % accum == 0, \
+                f'batch size {B} not divisible by grad_accum={accum}'
+
+            def micro(leaf):
+                return leaf.reshape((accum, B // accum) + leaf.shape[1:])
+            micro_batches = jax.tree.map(micro, batch)
+            micro_pt = micro(pitch_target)
+            micro_et = micro(energy_target)
+            micro_rngs = jax.random.split(dropout_rng, accum)
+
+            def body(carry, xs):
+                grads_acc, stats = carry
+                mb, pt, et, drng = xs
+                g, (m, stats) = grad_fn(state.params, stats, mb, pt, et,
+                                        drng)
+                grads_acc = jax.tree.map(jnp.add, grads_acc, g)
+                return (grads_acc, stats), m
+
+            zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+            (grads, new_stats), ms = jax.lax.scan(
+                body, (zero_grads, state.batch_stats),
+                (micro_batches, micro_pt, micro_et, micro_rngs))
+            grads = jax.tree.map(lambda g: g / accum, grads)
+            metrics = jax.tree.map(lambda m: jnp.mean(m, axis=0), ms)
         updates, new_opt_state = optimizer.update(grads, state.opt_state,
                                                   state.params)
         new_params = optax.apply_updates(state.params, updates)

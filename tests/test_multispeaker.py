@@ -171,6 +171,54 @@ def test_fast_pitch_speaker_conditions_output():
                            np.asarray(out1['mel_post']), atol=1e-4)
 
 
+def test_preprocess_cli_multispeaker(tmp_path, monkeypatch):
+    """`preprocess.py --metadata_format multispeaker` writes
+    speaker_dict.pkl with dense ids filtered to processed items."""
+    import wave
+    import yaml
+    import pathlib
+    from forwardtacotron_tpu.utils.files import unpickle_binary
+
+    corpus = tmp_path / 'corpus'
+    corpus.mkdir()
+    sr = 22050
+    t = np.arange(sr // 2) / sr
+    lines = []
+    for i, spk in enumerate(['p2', 'p1', 'p2', 'p1']):
+        tone = 0.5 * np.sin(2 * np.pi * (150 + 40 * i) * t)
+        pcm = np.round(tone * 32767).astype('<i2')
+        with wave.open(str(corpus / f'u{i}.wav'), 'wb') as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            w.writeframes(pcm.tobytes())
+        lines.append(f'u{i}|{spk}|hello number {i} here')
+    (corpus / 'metadata.csv').write_text('\n'.join(lines),
+                                         encoding='utf-8')
+
+    config = yaml.safe_load(
+        open(pathlib.Path(__file__).parent.parent / 'config.yaml'))
+    config['data_path'] = str(tmp_path / 'data')
+    config['preprocessing']['n_val'] = 1
+    config['preprocessing']['seed'] = 1
+    cfg_path = tmp_path / 'cfg.yaml'
+    cfg_path.write_text(yaml.safe_dump(config), encoding='utf-8')
+
+    import preprocess
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr('sys.argv', [
+        'preprocess.py', '--path', str(corpus), '--config', str(cfg_path),
+        '--metadata_format', 'multispeaker'])
+    preprocess.main()
+
+    speaker_dict = unpickle_binary(tmp_path / 'data' / 'speaker_dict.pkl')
+    # p1 -> 0, p2 -> 1 (sorted order), all four utterances covered
+    assert speaker_dict == {'u0': 1, 'u1': 0, 'u2': 1, 'u3': 0}
+    train = unpickle_binary(tmp_path / 'data' / 'train_dataset.pkl')
+    val = unpickle_binary(tmp_path / 'data' / 'val_dataset.pkl')
+    assert {i for i, _ in train + val} == set(speaker_dict)
+
+
 def test_multispeaker_training_e2e(tmp_path):
     """Full ForwardTrainer run over a dataset with speaker_dict.pkl:
     batches carry 'speaker' through the jitted (and mesh-sharded, on
