@@ -21,6 +21,7 @@ from __future__ import annotations
 import queue
 import threading
 import time
+from collections import deque
 from concurrent.futures import Future
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional
@@ -42,6 +43,7 @@ class _Request:
     speaker: int = 0                   # multi-speaker checkpoints only
     future: Future = field(default_factory=Future)
     deadline: Optional[float] = None   # time.monotonic() cutoff
+    enqueued: float = 0.0              # time.monotonic() at submit
 
 
 def _bucket(n: int, multiple: int, minimum: int) -> int:
@@ -127,6 +129,13 @@ class TTSServer:
         self._jit_cache: Dict[Any, Any] = {}
         self._q: 'queue.Queue[Optional[_Request]]' = queue.Queue()
         self._closed = False
+        # telemetry: counters + a bounded window of per-request
+        # latencies for percentiles; read via stats() / GET /stats
+        self._stats_lock = threading.Lock()
+        self._started_at = time.monotonic()
+        self._counters = {'submitted': 0, 'completed': 0, 'failed': 0,
+                          'shed': 0, 'expired': 0, 'batches': 0}
+        self._latency_window: 'deque' = deque(maxlen=1024)
         # Serializes the closed-check-then-put in submit() against
         # close(): without it a request enqueued between close()'s
         # sentinel and worker exit would leave its Future unresolved.
@@ -147,13 +156,16 @@ class TTSServer:
             if self._closed:
                 raise RuntimeError('server is closed')
             if self._q.qsize() >= self.max_queue:
+                self._count('shed')
                 raise ServerOverloaded(
                     f'request queue full ({self.max_queue})')
+            now = time.monotonic()
             deadline = None if self.request_timeout_s is None \
-                else time.monotonic() + self.request_timeout_s
+                else now + self.request_timeout_s
             req = _Request(text, float(alpha), float(pitch_scale),
                            float(energy_scale), speaker=int(speaker),
-                           deadline=deadline)
+                           deadline=deadline, enqueued=now)
+            self._count('submitted')
             self._q.put(req)
         return req.future
 
@@ -350,6 +362,7 @@ class TTSServer:
         live = []
         for r in reqs:
             if r.deadline is not None and now > r.deadline:
+                self._count('expired')
                 r.future.set_exception(
                     TimeoutError('request deadline exceeded before '
                                  'synthesis started'))
@@ -365,20 +378,56 @@ class TTSServer:
                     raise ValueError(
                         f'empty token sequence for {r.text!r}')
             except BaseException as e:
+                self._count('failed')
                 r.future.set_exception(e)
                 continue
             valid.append(r)
             ids.append(seq)
         if not valid:
             return
+        self._count('batches')
         try:
             wavs = self._synthesize_batch(valid, ids)
+            done = time.monotonic()
+            with self._stats_lock:
+                self._counters['completed'] += len(valid)
+                for r in valid:
+                    self._latency_window.append(done - r.enqueued)
             for r, wav in zip(valid, wavs):
                 r.future.set_result(wav)
         except BaseException as e:
+            self._count('failed', len(valid))
             for r in valid:
                 if not r.future.done():
                     r.future.set_exception(e)
+
+    def _count(self, key: str, n: int = 1) -> None:
+        with self._stats_lock:
+            self._counters[key] += n
+
+    def stats(self) -> Dict[str, Any]:
+        """Operational snapshot: counters, queue depth, batch-size and
+        end-to-end latency percentiles over the recent window (1024
+        requests). Served as JSON by GET /stats on the HTTP front."""
+        with self._stats_lock:
+            counters = dict(self._counters)
+            lat = list(self._latency_window)
+        out: Dict[str, Any] = dict(counters)
+        out['queue_depth'] = self._q.qsize()
+        out['uptime_s'] = round(time.monotonic() - self._started_at, 3)
+        recent = self.batch_sizes[-256:]
+        out['mean_batch_size'] = (round(float(np.mean(recent)), 3)
+                                  if recent else None)
+        if lat:
+            p = np.percentile(lat, [50, 95, 99])
+            out['latency_s'] = {'p50': round(float(p[0]), 4),
+                                'p95': round(float(p[1]), 4),
+                                'p99': round(float(p[2]), 4),
+                                'max': round(float(max(lat)), 4),
+                                'window': len(lat)}
+        else:
+            out['latency_s'] = None
+        return out
 
     def _synthesize_batch_fused(self, reqs: List[_Request],
                                 ids: List[List[int]]
@@ -521,8 +570,9 @@ def make_http_server(server: TTSServer, host: str = '127.0.0.1',
                      port: int = 8000):
     """Minimal stdlib HTTP front: POST /tts {"text", "alpha",
     "pitch_scale"|"amp", "energy_scale", "speaker"} -> audio/wav;
-    GET /healthz -> 200 ok. Concurrent connections batch through the
-    TTSServer's dynamic batcher."""
+    GET /healthz -> 200 ok; GET /stats -> JSON telemetry (counters,
+    queue depth, latency percentiles). Concurrent connections batch
+    through the TTSServer's dynamic batcher."""
     import json
     from http.server import (BaseHTTPRequestHandler,
                              ThreadingHTTPServer)
@@ -533,14 +583,18 @@ def make_http_server(server: TTSServer, host: str = '127.0.0.1',
 
         def do_GET(self):
             if self.path == '/healthz':
-                body = b'ok'
-                self.send_response(200)
-                self.send_header('Content-Type', 'text/plain')
-                self.send_header('Content-Length', str(len(body)))
-                self.end_headers()
-                self.wfile.write(body)
+                body, ctype = b'ok', 'text/plain'
+            elif self.path == '/stats':
+                body = json.dumps(server.stats()).encode('utf-8')
+                ctype = 'application/json'
             else:
                 self.send_error(404)
+                return
+            self.send_response(200)
+            self.send_header('Content-Type', ctype)
+            self.send_header('Content-Length', str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
 
         def do_POST(self):
             if self.path != '/tts':

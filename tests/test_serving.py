@@ -117,8 +117,32 @@ def test_http_roundtrip(server):
         with wave.open(io.BytesIO(body)) as w:
             assert w.getframerate() == server.sample_rate
             assert w.getnframes() > 0
+        with urllib.request.urlopen(
+                f'http://127.0.0.1:{port}/stats', timeout=30) as r:
+            stats = json.loads(r.read())
+            assert r.headers['Content-Type'] == 'application/json'
+        assert stats['completed'] >= 1
+        assert stats['latency_s']['p95'] > 0
     finally:
         httpd.shutdown()
+
+
+def test_stats_counters(server):
+    """stats() tracks submissions/completions and windows latencies."""
+    before = server.stats()
+    n = 3
+    futs = [server.submit(f'stats request {i}.') for i in range(n)]
+    for f in futs:
+        f.result(timeout=600)
+    after = server.stats()
+    assert after['submitted'] - before['submitted'] == n
+    assert after['completed'] - before['completed'] == n
+    assert after['batches'] > before['batches']
+    assert after['failed'] == before['failed']
+    lat = after['latency_s']
+    assert lat['window'] >= n
+    assert 0 < lat['p50'] <= lat['p95'] <= lat['p99'] <= lat['max']
+    assert after['uptime_s'] > 0
 
 
 @pytest.fixture(scope='module')
@@ -227,6 +251,7 @@ def test_overload_sheds_with_503_exception(tts_ckpt):
     gate.set()
     for f in futures:
         assert isinstance(f.result(timeout=300), np.ndarray)
+    assert srv.stats()['shed'] >= 1
     srv.close()
 
 
