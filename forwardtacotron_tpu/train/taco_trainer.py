@@ -31,6 +31,17 @@ def build_taco_train_step(model, optimizer, r: int,
                           train_cfg: Dict[str, Any] = None) -> Callable:
     half = tc.half_dtype(train_cfg or {})
 
+    def apply_model(p, stats, x, mel_in, dec_rng, dropout_rng):
+        return model.apply(
+            {'params': p, 'batch_stats': stats},
+            x, mel_in, r, train=True, rng=dec_rng,
+            mutable=['batch_stats'], rngs={'dropout': dropout_rng})
+    if (train_cfg or {}).get('remat'):
+        # the LSA decoder scan holds per-frame attention/RNN
+        # activations for backward — rematerializing them fits much
+        # longer utterances per HBM byte
+        apply_model = jax.checkpoint(apply_model)
+
     def train_step(state: tc.TrainState, batch: Dict[str, jnp.ndarray],
                    rng: jax.Array) -> Tuple[tc.TrainState, Dict]:
         dec_rng, dropout_rng = jax.random.split(rng)
@@ -41,10 +52,9 @@ def build_taco_train_step(model, optimizer, r: int,
             # BN stats, and losses (same recipe as common.py:178-196)
             p = tc.cast_half(params, half) if half else params
             mel_in = batch['mel'].astype(half) if half else batch['mel']
-            (m1, m2, att), mutated = model.apply(
-                {'params': p, 'batch_stats': state.batch_stats},
-                batch['x'], mel_in, r, train=True, rng=dec_rng,
-                mutable=['batch_stats'], rngs={'dropout': dropout_rng})
+            (m1, m2, att), mutated = apply_model(
+                p, state.batch_stats, batch['x'], mel_in, dec_rng,
+                dropout_rng)
             if half:
                 m1, m2, att = (m1.astype(jnp.float32),
                                m2.astype(jnp.float32),

@@ -50,6 +50,44 @@ def test_taco_train_step_runs_and_improves():
     np.testing.assert_allclose(np.asarray(att).sum(-1), 1.0, rtol=1e-4)
 
 
+def test_taco_train_step_remat_matches_plain():
+    """training.remat rematerializes the decoder-scan activations in
+    backward without changing the math."""
+    from forwardtacotron_tpu.models.tacotron import Tacotron
+    from forwardtacotron_tpu.train import common as tc
+    from forwardtacotron_tpu.train.taco_trainer import build_taco_train_step
+
+    model = Tacotron(num_chars=30, n_mels=80, **CFG)
+    optimizer = tc.make_optimizer(1.0, lr=1e-3)
+    rng = jax.random.PRNGKey(0)
+    r = 2
+    rngs = np.random.RandomState(0)
+    B, Tx, Tm = 2, 5, 8
+    batch = {
+        'x': jnp.asarray(rngs.randint(1, 29, (B, Tx)), jnp.int32),
+        'mel': jnp.asarray(rngs.randn(B, Tm, 80).astype(np.float32)),
+    }
+    variables = model.init({'params': rng, 'dropout': rng},
+                           batch['x'], batch['mel'], r, train=True,
+                           rng=rng)
+
+    def mk_state():
+        params = jax.tree.map(jnp.array, variables['params'])
+        stats = jax.tree.map(jnp.array, variables.get('batch_stats', {}))
+        return tc.TrainState(params=params, batch_stats=stats,
+                             opt_state=optimizer.init(params),
+                             step=jnp.asarray(0, jnp.int32))
+
+    plain = build_taco_train_step(model, optimizer, r)
+    remat = build_taco_train_step(model, optimizer, r, {'remat': True})
+    s1, (m1, _) = plain(mk_state(), batch, jax.random.fold_in(rng, 1))
+    s2, (m2, _) = remat(mk_state(), batch, jax.random.fold_in(rng, 1))
+    np.testing.assert_allclose(float(m1['loss']), float(m2['loss']),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 def test_taco_train_step_bf16():
     """training.precision 'bf16' (common.py half_dtype recipe): compute
     in bfloat16, f32 master params / BN stats / losses."""
