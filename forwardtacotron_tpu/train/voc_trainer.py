@@ -34,15 +34,22 @@ def build_voc_train_step(model: WaveRNN, optimizer, mode: str,
                          train_cfg: Dict[str, Any] = None) -> Callable:
     half = tc.half_dtype(train_cfg or {})
 
+    def apply_model(p, stats, x, mel):
+        return model.apply({'params': p, 'batch_stats': stats},
+                           x, mel, train=True, mutable=['batch_stats'])
+    if (train_cfg or {}).get('remat'):
+        # the teacher-forced GRU holds per-sample activations over the
+        # whole seq_len window for backward; remat trades that HBM for
+        # a forward recompute (longer windows / bigger batches)
+        apply_model = jax.checkpoint(apply_model)
+
     def train_step(state: tc.TrainState, batch: Dict[str, jnp.ndarray]
                    ) -> Tuple[tc.TrainState, Dict]:
         def loss_fn(params):
             p = tc.cast_half(params, half) if half else params
             x = batch['x'].astype(half) if half else batch['x']
             mel = batch['mel'].astype(half) if half else batch['mel']
-            logits, mutated = model.apply(
-                {'params': p, 'batch_stats': state.batch_stats},
-                x, mel, train=True, mutable=['batch_stats'])
+            logits, mutated = apply_model(p, state.batch_stats, x, mel)
             if half:
                 logits = logits.astype(jnp.float32)
             if mode == 'RAW':

@@ -54,3 +54,49 @@ def test_voc_training_smoke(tmp_path):
 
     ckpt = paths.voc_checkpoints / 'latest_model.fjax'
     assert ckpt.is_file()
+
+
+def test_voc_train_step_remat_matches_plain():
+    """training.remat recomputes the teacher-forced forward in backward
+    without changing the math."""
+    import jax
+    import jax.numpy as jnp
+    from forwardtacotron_tpu.models.wavernn import WaveRNN
+    from forwardtacotron_tpu.train import common as tc
+    from forwardtacotron_tpu.train.voc_trainer import build_voc_train_step
+
+    model = WaveRNN(rnn_dims=16, fc_dims=12, bits=6, pad=2,
+                    upsample_factors=(4, 4, 4), feat_dims=8,
+                    compute_dims=8, res_out_dims=8, res_blocks=1,
+                    hop_length=64, sample_rate=22050, mode='RAW')
+    optimizer = tc.make_optimizer(4.0, lr=1e-3)
+    rng = np.random.RandomState(0)
+    B, T = 2, 256
+    mel_len = T // 64 + 2 * 2
+    batch = {
+        'x': jnp.asarray(rng.rand(B, T).astype(np.float32) * 2 - 1),
+        'y': jnp.asarray(rng.randint(0, 2 ** 6, (B, T))),
+        'mel': jnp.asarray(rng.randn(B, mel_len, 8).astype(np.float32)),
+    }
+    import jax.random as jr
+    variables = model.init(jr.PRNGKey(0), batch['x'], batch['mel'],
+                           train=True)
+
+    def mk_state():
+        params = jax.tree.map(jnp.array, variables['params'])
+        stats = jax.tree.map(jnp.array, variables.get('batch_stats', {}))
+        return tc.TrainState(params=params, batch_stats=stats,
+                             opt_state=optimizer.init(params),
+                             step=jnp.asarray(0, jnp.int32))
+
+    plain = build_voc_train_step(model, optimizer, 'RAW')
+    remat = build_voc_train_step(model, optimizer, 'RAW',
+                                 {'remat': True})
+    s1, m1 = plain(mk_state(), batch)
+    s2, m2 = remat(mk_state(), batch)
+    np.testing.assert_allclose(float(m1['loss']), float(m2['loss']),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(s1.params),
+                    jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6)
