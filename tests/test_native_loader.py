@@ -209,3 +209,21 @@ def test_validation_fallback(tmp_path):
 
     missing = pathlib.Path(tmp_path) / 'nope.npy'
     assert native_loader.load_mel_batch([missing], 16, 80, 0.0) is None
+
+
+def test_incompatible_library_falls_back_permanently(tmp_path,
+                                                     monkeypatch):
+    """A stale/incompatible .so (wrong arch, missing symbol) must not
+    crash loading — _load returns None, marks the failure sticky, and
+    callers take the numpy path."""
+    bogus = tmp_path / 'libftt_loader.so'
+    bogus.write_bytes(b'\x7fELF not actually a library')
+    monkeypatch.setattr(native_loader, '_LIB_PATH', bogus)
+    monkeypatch.setattr(native_loader, '_lib', None)
+    monkeypatch.setattr(native_loader, '_load_failed', False)
+    assert native_loader._load() is None
+    assert native_loader._load_failed is True
+    # sticky: no retry even though the path still exists
+    assert native_loader._load() is None
+    # API surface degrades to the fallback contract
+    assert native_loader.npy_lengths([bogus]) is None
