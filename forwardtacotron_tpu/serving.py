@@ -176,6 +176,44 @@ class TTSServer:
         return self.submit(text, alpha, pitch_scale,
                            energy_scale, speaker=speaker).result(timeout)
 
+    def synthesize_long(self, text: str, alpha: float = 1.0,
+                        pitch_scale: float = 1.0,
+                        energy_scale: float = 1.0,
+                        timeout: Optional[float] = None,
+                        speaker: int = 0,
+                        gap_ms: float = 120.0) -> np.ndarray:
+        """Article-length synthesis: split `text` into sentences
+        (text/segmenter.py), submit them ALL at once so the dynamic
+        batcher packs them into shared device programs, and
+        concatenate the results with `gap_ms` of silence between
+        sentences. Per-dispatch latency stays bounded by sentence
+        length instead of the whole article."""
+        from forwardtacotron_tpu.text.segmenter import split_sentences
+        sentences = split_sentences(text)
+        if not sentences:
+            raise ValueError('no synthesizable text')
+        futures: List[Future] = []
+        for s in sentences:
+            while True:
+                try:
+                    futures.append(self.submit(
+                        s, alpha, pitch_scale, energy_scale,
+                        speaker=speaker))
+                    break
+                except ServerOverloaded:
+                    if not futures:
+                        raise        # queue full of OTHER callers' work
+                    # our own backlog filled the queue: wait for it to
+                    # drain past the newest submitted sentence, retry
+                    futures[-1].result(timeout)
+        gap = np.zeros(int(self.sample_rate * gap_ms / 1000.0), np.int16)
+        out: List[np.ndarray] = []
+        for i, f in enumerate(futures):
+            if i:
+                out.append(gap)
+            out.append(f.result(timeout))
+        return np.concatenate(out) if len(out) > 1 else out[0]
+
     def close(self) -> None:
         with self._submit_lock:
             if self._closed:
@@ -569,7 +607,8 @@ def wav_bytes(pcm16: np.ndarray, sample_rate: int) -> bytes:
 def make_http_server(server: TTSServer, host: str = '127.0.0.1',
                      port: int = 8000):
     """Minimal stdlib HTTP front: POST /tts {"text", "alpha",
-    "pitch_scale"|"amp", "energy_scale", "speaker"} -> audio/wav;
+    "pitch_scale"|"amp", "energy_scale", "speaker",
+    "split_sentences"} -> audio/wav;
     GET /healthz -> 200 ok; GET /stats -> JSON telemetry (counters,
     queue depth, latency percentiles). Concurrent connections batch
     through the TTSServer's dynamic batcher."""
@@ -608,7 +647,10 @@ def make_http_server(server: TTSServer, host: str = '127.0.0.1',
                 # deadline so a wedged batch can't hold the socket
                 timeout = None if server.request_timeout_s is None \
                     else server.request_timeout_s + 10.0
-                pcm = server.synthesize(
+                synth = (server.synthesize_long
+                         if payload.get('split_sentences')
+                         else server.synthesize)
+                pcm = synth(
                     text,
                     alpha=float(payload.get('alpha', 1.0)),
                     pitch_scale=float(payload.get(

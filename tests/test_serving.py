@@ -127,6 +127,24 @@ def test_http_roundtrip(server):
         httpd.shutdown()
 
 
+def test_synthesize_long_splits_and_concatenates(server):
+    """synthesize_long = per-sentence synthesis + silence gaps; the
+    sentences batch together through the dynamic batcher (masking
+    contract: batched == single, so lengths must add up exactly)."""
+    from forwardtacotron_tpu.text.segmenter import split_sentences
+    text = 'Hello there world. How is it going? All good here.'
+    sentences = split_sentences(text)
+    assert len(sentences) == 3
+    gap_ms = 100.0
+    pcm = server.synthesize_long(text, timeout=600, gap_ms=gap_ms)
+    parts = [server.synthesize(s, timeout=600) for s in sentences]
+    gap = int(server.sample_rate * gap_ms / 1000.0)
+    assert len(pcm) == sum(len(p) for p in parts) + 2 * gap
+    # the gaps are silent
+    off = len(parts[0])
+    assert np.abs(pcm[off:off + gap]).max() == 0
+
+
 def test_stats_counters(server):
     """stats() tracks submissions/completions and windows latencies."""
     before = server.stats()
