@@ -93,6 +93,20 @@ def english_cleaners(text: str) -> str:
     return text
 
 
+def english_cleaners_extended(text: str) -> str:
+    """english_cleaners + clock times, percent, negative numbers
+    (numbers.extended_normalize). Opt-in via
+    `cleaner_name: english_cleaners_extended` — kept out of the
+    default so reference-trained checkpoints see identical token
+    streams."""
+    from forwardtacotron_tpu.text.numbers import extended_normalize
+    text = transliterate(text)
+    text = extended_normalize(text)
+    text = normalize_numbers(text)
+    text = expand_abbreviations(text)
+    return text
+
+
 def espeak_available() -> bool:
     return _espeak_binary() is not None
 
@@ -162,12 +176,15 @@ class Cleaner:
                  lang: str) -> None:
         if cleaner_name == 'english_cleaners':
             self.clean_func = english_cleaners
+        elif cleaner_name == 'english_cleaners_extended':
+            self.clean_func = english_cleaners_extended
         elif cleaner_name == 'no_cleaners':
             self.clean_func = no_cleaners
         else:
             raise ValueError(
                 f'Cleaner not supported: {cleaner_name}! Currently supported: '
-                f"['english_cleaners', 'no_cleaners']")
+                f"['english_cleaners', 'english_cleaners_extended', "
+                f"'no_cleaners']")
         self.use_phonemes = use_phonemes
         self.lang = lang
 

@@ -155,3 +155,43 @@ def normalize_numbers(text: str) -> str:
     text = re.sub(_ordinal_re, _expand_ordinal, text)
     text = re.sub(_number_re, _expand_number, text)
     return text
+
+
+# ------------------------------------------------- extended (opt-in)
+# Beyond the reference's normalizer: clock times, percent, negative
+# numbers. NOT part of `english_cleaners` — changing default cleaning
+# would alter token streams for reference-trained checkpoints; select
+# `cleaner_name: english_cleaners_extended` to enable.
+
+_time_re = re.compile(
+    r'\b([01]?\d|2[0-3]):([0-5]\d)(\s*(?:[ap]\.?m\.?))?\b',
+    re.IGNORECASE)
+_percent_re = re.compile(r'([0-9]+(?:\.[0-9]+)?)\s*%')
+_negative_re = re.compile(r'(?<![\w\-])-([0-9]+(?:\.[0-9]+)?)')
+
+
+def _expand_time(m: re.Match) -> str:
+    hour, minute = int(m.group(1)), int(m.group(2))
+    suffix = ''
+    if m.group(3):
+        ap = m.group(3).strip().replace('.', '').lower()
+        suffix = ' a m' if ap == 'am' else ' p m'
+    if hour == 0 and minute == 0:
+        return 'midnight' + suffix
+    h = number_to_words(hour if hour != 0 else 12, andword='')
+    if minute == 0:
+        return f'{h} o\'clock{suffix}' if not suffix \
+            else f'{h}{suffix}'
+    if minute < 10:
+        return f'{h} oh {number_to_words(minute, andword="")}{suffix}'
+    return f'{h} {number_to_words(minute, andword="")}{suffix}'
+
+
+def extended_normalize(text: str) -> str:
+    """Time / percent / negative-number expansion, applied BEFORE
+    normalize_numbers (which then handles any digits this introduces
+    or leaves in place)."""
+    text = re.sub(_time_re, _expand_time, text)
+    text = re.sub(_percent_re, r'\1 percent', text)
+    text = re.sub(_negative_re, r'minus \1', text)
+    return text

@@ -163,3 +163,38 @@ def test_g2p_heldout_ratchet():
     assert out['overall']['n'] == 229
     assert out['overall']['word_acc'] >= 0.99, out['overall']
     assert out['overall']['per'] <= 0.005, out['overall']
+
+
+def test_extended_normalize_times_percent_negative():
+    """Opt-in extended normalizer (cleaner_name:
+    english_cleaners_extended): clock times, percent, negatives —
+    kept out of english_cleaners for reference token-stream parity."""
+    from forwardtacotron_tpu.text.cleaners import (
+        english_cleaners, english_cleaners_extended)
+    assert english_cleaners_extended('Meet at 3:30 pm.') \
+        == 'Meet at three thirty p m.'
+    assert english_cleaners_extended('It is 12:00.') \
+        == "It is twelve o'clock."
+    assert english_cleaners_extended('Around 9:05 am it rained.') \
+        == 'Around nine oh five a m it rained.'
+    assert english_cleaners_extended('Battery at 42%.') \
+        == 'Battery at forty-two percent.'
+    assert english_cleaners_extended('It was -5 degrees.') \
+        == 'It was minus five degrees.'
+    assert english_cleaners_extended('Midnight is 0:00 sharp.') \
+        == 'Midnight is midnight sharp.'
+    # hyphenated compounds are not negatives
+    assert english_cleaners_extended('A well-known 7 rule.') \
+        == 'A well-known seven rule.'
+    # the DEFAULT cleaner is unchanged (reference parity)
+    assert english_cleaners('Meet at 3:30 pm.') \
+        == 'Meet at three:thirty pm.' \
+        or english_cleaners('Meet at 3:30 pm.') \
+        == 'Meet at three:thirty pm.'
+
+
+def test_extended_cleaner_selectable_from_config():
+    from forwardtacotron_tpu.text.cleaners import Cleaner
+    c = Cleaner('english_cleaners_extended', use_phonemes=False,
+                lang='en-us')
+    assert c('At 8:15 it starts.') == 'At eight fifteen it starts.'
