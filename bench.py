@@ -60,12 +60,34 @@ def _pipelined_time(call, inputs) -> float:
     return (time.perf_counter() - t0) / len(inputs)
 
 
+def _wait_for_backend(max_wait_s: float = 1800.0):
+    """Retry backend init while the accelerator is UNAVAILABLE (the
+    tunnel wedges for ~an hour after a killed device process) so a
+    bench launched during recovery still lands, instead of failing
+    the round's one measurement."""
+    import sys
+    import jax
+    t0 = time.monotonic()
+    while True:
+        try:
+            return jax.devices()
+        except RuntimeError as e:
+            waited = time.monotonic() - t0
+            if waited > max_wait_s:
+                raise
+            print(f'# backend unavailable after {waited:.0f}s '
+                  f'({type(e).__name__}); retrying in 60s',
+                  file=sys.stderr, flush=True)
+            time.sleep(60)
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
     from forwardtacotron_tpu.utils.files import read_config
     from forwardtacotron_tpu.models.forward_tacotron import ForwardTacotron
 
+    _wait_for_backend(float(os.environ.get('FTT_BENCH_WAIT_S', 1800)))
     config = read_config('config.yaml')
     hop = config['dsp']['hop_length']
     sr = config['dsp']['sample_rate']
