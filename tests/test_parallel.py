@@ -281,3 +281,59 @@ def test_sharded_gan_train_step():
     for k in ('disc_loss', 'gen_loss', 'gen_mel'):
         np.testing.assert_allclose(float(got[k]), float(want[k]),
                                    rtol=2e-4), k
+
+
+FP_TINY = {
+    # NOTE (tolerance): the FastPitch test below allows atol=5e-4 on
+    # updated params — Adam's step-1 update is ~lr*m/sqrt(v), so for
+    # near-zero attention grads the cross-shard f32 reduction order
+    # shifts single elements by up to ~2e-4 of the 1e-3 step while the
+    # loss matches to 1e-6. Real sharding bugs are orders larger.
+    'durpred_dropout': 0.0, 'durpred_d_model': 8, 'durpred_n_heads': 2,
+    'durpred_layers': 1, 'durpred_d_fft': 8,
+    'pitch_dropout': 0.0, 'pitch_d_model': 8, 'pitch_n_heads': 2,
+    'pitch_layers': 1, 'pitch_d_fft': 8,
+    'energy_dropout': 0.0, 'energy_d_model': 8, 'energy_n_heads': 2,
+    'energy_layers': 1, 'energy_d_fft': 8,
+    'pitch_strength': 1.0, 'energy_strength': 1.0,
+    'd_model': 16, 'conv1_kernel': 9, 'conv2_kernel': 1,
+    'prenet_layers': 1, 'prenet_heads': 2, 'prenet_fft': 16,
+    'prenet_dropout': 0.0,
+    'postnet_layers': 1, 'postnet_heads': 2, 'postnet_fft': 16,
+    'postnet_dropout': 0.0,
+}
+
+
+def test_sharded_fast_pitch_train_step_matches_single_device():
+    """FastPitch (packed-qkv attention, LayerNorm) under the (4, 2)
+    DP+TP mesh: loss and updates match the single-device step."""
+    from forwardtacotron_tpu.models.fast_pitch import FastPitch
+    from forwardtacotron_tpu.parallel import mesh as pmesh
+    from forwardtacotron_tpu.train import common as tc
+
+    model = FastPitch(num_chars=30, n_mels=8, **FP_TINY)
+    optimizer = tc.make_optimizer(TRAIN_CFG['clip_grad_norm'], lr=1e-3)
+    batch = _batch()
+    rng = jax.random.PRNGKey(0)
+    state = tc.init_train_state(model, optimizer, batch, rng,
+                                init_kwargs={'train': True})
+    step_fn = tc.build_forward_train_step(model, optimizer, TRAIN_CFG)
+
+    s1, m1 = jax.jit(step_fn)(state, batch, rng)
+    loss1 = float(m1['loss'])
+
+    mesh = pmesh.make_mesh(n_data=4, n_model=2)
+    state_sh = pmesh.state_shardings(mesh, state)
+    batch_sh = pmesh.batch_shardings(mesh, batch)
+    state2 = jax.device_put(state, state_sh)
+    batch2 = jax.device_put(batch, batch_sh)
+    s2, m2 = jax.jit(step_fn, in_shardings=(state_sh, batch_sh, None))(
+        state2, batch2, rng)
+    loss2 = float(m2['loss'])
+
+    assert np.isfinite(loss1) and np.isfinite(loss2)
+    np.testing.assert_allclose(loss1, loss2, rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(s1.params),
+                    jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4)
