@@ -12,9 +12,11 @@ this repo's model code:
     from forwardtacotron_tpu.utils.export import ExportedTTS
     mel, dur = ExportedTTS('forward.ftexp').generate(token_ids)
 
-With --voc_checkpoint (HiFi-GAN/MelGAN generator), the vocoder is
-fused into the same StableHLO program, making the artifact a full
-text->wav synthesizer:
+With --voc_checkpoint (HiFi-GAN/MelGAN generator, or a WaveRNN .fjax —
+the complete autoregressive fold/sample/crossfade pipeline serializes
+too, with the sampling seed as a runtime input), the vocoder is fused
+into the same StableHLO program, making the artifact a full text->wav
+synthesizer:
 
     pcm16 = ExportedTTS('forward.ftexp').synthesize(token_ids)
 """
@@ -36,13 +38,14 @@ def main() -> None:
                         help='comma list of lowering platforms '
                              '(e.g. cpu,tpu); default: current backend')
     parser.add_argument('--voc_checkpoint', type=str, default=None,
-                        help='HiFi-GAN/MelGAN generator checkpoint: the '
-                             'vocoder is FUSED into the artifact, making '
-                             'it a full text->wav program (outputs int16 '
+                        help='vocoder checkpoint (HiFi-GAN/MelGAN '
+                             'generator or a WaveRNN .fjax): the vocoder '
+                             'is FUSED into the artifact, making it a '
+                             'full text->wav program (outputs int16 '
                              'PCM; use ExportedTTS.synthesize)')
     parser.add_argument('--voc_type', type=str, default='auto',
-                        choices=['auto', 'hifigan', 'melgan'],
-                        help='generator architecture of --voc_checkpoint '
+                        choices=['auto', 'hifigan', 'melgan', 'wavernn'],
+                        help='vocoder architecture of --voc_checkpoint '
                              '(auto: sniffed from the file)')
     args = parser.parse_args()
 
@@ -56,12 +59,37 @@ def main() -> None:
     platforms = args.platforms.split(',') if args.platforms else None
 
     model, variables, config, step = load_tts_checkpoint(args.checkpoint)
-    vocoder = None
+    vocoder, voc_mu_law = None, True
+
+    def _load_wavernn(path):
+        from forwardtacotron_tpu.utils.checkpoints import (
+            load_voc_checkpoint)
+        vm, vv, vcfg, _ = load_voc_checkpoint(path)
+        return (vm, vv), bool(vcfg['dsp'].get('mu_law', True))
+
+    def _sniff_wavernn(path) -> bool:
+        """WaveRNN .fjax param trees are flat ('rnn1_*', 'I_*'), unlike
+        GAN trainer files ('generator'/'discriminator' roots) or raw
+        torch generator dicts."""
+        try:
+            from forwardtacotron_tpu.utils.checkpoints import (
+                restore_checkpoint)
+            roots = restore_checkpoint(path)['model']['params']
+            return 'rnn1_w_ih' in roots or 'rnn1_b_ih' in roots
+        except Exception:
+            return False
+
     if args.voc_checkpoint:
-        from forwardtacotron_tpu.models.hifigan import load_gan_vocoder
-        vocoder = load_gan_vocoder(args.voc_checkpoint, args.voc_type)
+        if args.voc_type == 'wavernn' or (
+                args.voc_type == 'auto'
+                and _sniff_wavernn(args.voc_checkpoint)):
+            vocoder, voc_mu_law = _load_wavernn(args.voc_checkpoint)
+        else:
+            from forwardtacotron_tpu.models.hifigan import load_gan_vocoder
+            vocoder = load_gan_vocoder(args.voc_checkpoint, args.voc_type)
     save_exported_tts(model, variables, args.output, buckets=buckets,
-                      platforms=platforms, vocoder=vocoder)
+                      platforms=platforms, vocoder=vocoder,
+                      voc_mu_law=voc_mu_law)
     voc_note = ' + fused vocoder' if vocoder else ''
     print(f'Exported step-{step} {type(model).__name__}{voc_note} '
           f'buckets={buckets} -> {args.output}')

@@ -479,6 +479,65 @@ def vocode(model: 'WaveRNN', variables: Dict, mel: np.ndarray,
     return np.asarray(wav)
 
 
+def build_vocode_program(model: 'WaveRNN', target: int, overlap: int,
+                         mu_law: bool, greedy: bool = False,
+                         use_pallas: bool = False, pcm16: bool = False):
+    """The pure device core of batched vocoding: a jittable
+    (variables, mel_b (B, T, n_mels), wave_lens (B,), seed ()) ->
+    (B, total) waveform function with STATIC fold geometry — shared by
+    `vocode_batch` (below) and the StableHLO export (utils/export.py),
+    which serializes it fused behind the mel decoder."""
+    from forwardtacotron_tpu.dsp.audio import DSP
+    from forwardtacotron_tpu.kernels.wavernn_sample import (
+        sample_conditioned)
+
+    def _run(variables, mel_b, wave_lens, seed):
+        B = mel_b.shape[0]
+        m = jnp.pad(mel_b, ((0, 0), (model.pad, model.pad), (0, 0)))
+        mels_up, aux = model.apply(variables, m,
+                                   method='upsample_cond')
+        idx, padded_len = fold_indices(mels_up.shape[1], target,
+                                       overlap)
+        if padded_len > mels_up.shape[1]:
+            pad_t = padded_len - mels_up.shape[1]
+            mels_up = jnp.pad(mels_up, ((0, 0), (0, pad_t), (0, 0)))
+            aux = jnp.pad(aux, ((0, 0), (0, pad_t), (0, 0)))
+        idx = jnp.asarray(idx)                     # (F, L)
+        F, L = idx.shape
+        mels_f = jnp.take(mels_up, idx, axis=1)    # (B, F, L, C)
+        aux_f = jnp.take(aux, idx, axis=1)
+        mels_f = mels_f.reshape(B * F, L, -1)
+        aux_f = aux_f.reshape(B * F, L, -1)
+        if use_pallas:
+            samples = sample_conditioned(
+                model, variables['params'], mels_f, aux_f,
+                seed[None], greedy=greedy)
+        else:
+            samples = model.apply(variables, mels_f, aux_f,
+                                  jax.random.PRNGKey(seed),
+                                  method='sample_scan', greedy=greedy)
+        wave = samples
+        if mu_law:
+            wave = DSP.decode_mu_law(wave, model.n_classes, False)
+        wave = jax.vmap(xfade_unfold_device, in_axes=(0, None))(
+            wave.reshape(B, F, L), overlap)        # (B, total)
+        total = wave.shape[1]
+        # per-utterance trim + terminal fade from the lengths array
+        pos = jnp.arange(total)[None, :]
+        wl = wave_lens[:, None].astype(jnp.float32)
+        n_fade = jnp.float32(20 * model.hop_length)
+        # matches vocode's linspace(1, 0, n_fade) tail exactly
+        factor = jnp.clip((wl - 1.0 - pos.astype(jnp.float32))
+                          / (n_fade - 1.0), 0.0, 1.0)
+        wave = wave * factor * (pos < wave_lens[:, None])
+        if pcm16:
+            wave = (jnp.clip(wave, -1.0, 1.0)
+                    * 32767.0).astype(jnp.int16)
+        return wave
+
+    return _run
+
+
 def vocode_batch(model: 'WaveRNN', variables: Dict, mels,
                  target: Optional[int] = None, overlap: int = 550,
                  mu_law: bool = True, seed: int = 0, greedy: bool = False,
@@ -548,49 +607,9 @@ def vocode_batch(model: 'WaveRNN', variables: Dict, mels,
                  mesh if n_shard > 1 else None)
     run = _GEN_JIT_CACHE.get(cache_key)
     if run is None:
-        def _run(variables, mel_b, wave_lens, seed):
-            B = mel_b.shape[0]
-            m = jnp.pad(mel_b, ((0, 0), (model.pad, model.pad), (0, 0)))
-            mels_up, aux = model.apply(variables, m,
-                                       method='upsample_cond')
-            idx, padded_len = fold_indices(mels_up.shape[1], target,
-                                           overlap)
-            if padded_len > mels_up.shape[1]:
-                pad_t = padded_len - mels_up.shape[1]
-                mels_up = jnp.pad(mels_up, ((0, 0), (0, pad_t), (0, 0)))
-                aux = jnp.pad(aux, ((0, 0), (0, pad_t), (0, 0)))
-            idx = jnp.asarray(idx)                     # (F, L)
-            F, L = idx.shape
-            mels_f = jnp.take(mels_up, idx, axis=1)    # (B, F, L, C)
-            aux_f = jnp.take(aux, idx, axis=1)
-            mels_f = mels_f.reshape(B * F, L, -1)
-            aux_f = aux_f.reshape(B * F, L, -1)
-            if use_pallas:
-                samples = sample_conditioned(
-                    model, variables['params'], mels_f, aux_f,
-                    seed[None], greedy=greedy)
-            else:
-                samples = model.apply(variables, mels_f, aux_f,
-                                      jax.random.PRNGKey(seed),
-                                      method='sample_scan', greedy=greedy)
-            wave = samples
-            if mu_law:
-                wave = DSP.decode_mu_law(wave, model.n_classes, False)
-            wave = jax.vmap(xfade_unfold_device, in_axes=(0, None))(
-                wave.reshape(B, F, L), overlap)        # (B, total)
-            total = wave.shape[1]
-            # per-utterance trim + terminal fade from the lengths array
-            pos = jnp.arange(total)[None, :]
-            wl = wave_lens[:, None].astype(jnp.float32)
-            n_fade = jnp.float32(20 * model.hop_length)
-            # matches vocode's linspace(1, 0, n_fade) tail exactly
-            factor = jnp.clip((wl - 1.0 - pos.astype(jnp.float32))
-                              / (n_fade - 1.0), 0.0, 1.0)
-            wave = wave * factor * (pos < wave_lens[:, None])
-            if pcm16:
-                wave = (jnp.clip(wave, -1.0, 1.0)
-                        * 32767.0).astype(jnp.int16)
-            return wave
+        _run = build_vocode_program(model, target=target, overlap=overlap,
+                                    mu_law=mu_law, greedy=greedy,
+                                    use_pallas=use_pallas, pcm16=pcm16)
 
         if n_shard > 1:
             from jax.sharding import PartitionSpec as P

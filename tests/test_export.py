@@ -162,3 +162,61 @@ def test_export_without_vocoder_rejects_synthesize(tmp_path):
     save_exported_tts(model, variables, path, buckets=[(16, 128)])
     with pytest.raises(ValueError, match='without a vocoder'):
         ExportedTTS(path).synthesize([1, 2, 3])
+
+
+def test_export_with_fused_wavernn(tmp_path):
+    """WaveRNN-fused export: the COMPLETE AR pipeline (upsample, fold,
+    scan sampling with a runtime seed, mu-law decode, crossfade) runs
+    inside the StableHLO module — text -> int16 PCM in one program."""
+    from forwardtacotron_tpu.models.wavernn import WaveRNN
+    from forwardtacotron_tpu.utils.export import (ExportedTTS,
+                                                  save_exported_tts)
+    model, variables = _tiny_model()
+    voc = WaveRNN(rnn_dims=16, fc_dims=12, bits=6, pad=2,
+                  upsample_factors=(4, 4, 16), feat_dims=80,
+                  compute_dims=8, res_out_dims=8, res_blocks=1,
+                  hop_length=256, sample_rate=22050, mode='RAW')
+    # teacher-forced init: x length == (frames - 2*pad) * hop
+    voc_vars = voc.init(jax.random.PRNGKey(1),
+                        jnp.zeros((1, 512)), jnp.zeros((1, 6, 80)),
+                        train=False)
+
+    path = tmp_path / 'tts_wavernn.ftexp'
+    save_exported_tts(model, variables, path, buckets=[(16, 128)],
+                      vocoder=(voc, voc_vars))
+    exported = ExportedTTS(path)
+    assert exported.meta['vocoder'] == 'wavernn'
+
+    ids = [5, 9, 12, 3, 7]
+    pcm = exported.synthesize(ids, seed=7)
+    assert pcm.dtype == np.int16
+    mel, _ = exported.generate(ids)
+    assert pcm.shape == ((mel.shape[1] - 1) * voc.hop_length,)
+    assert np.isfinite(pcm.astype(np.float32)).all()
+    assert np.abs(pcm.astype(np.int32)).max() > 0
+
+    # the runtime seed drives the sampling noise
+    again = exported.synthesize(ids, seed=7)
+    np.testing.assert_array_equal(pcm, again)
+    other = exported.synthesize(ids, seed=8)
+    assert not np.array_equal(pcm, other)
+
+
+def test_legacy_v1_artifact_still_loads(tmp_path):
+    """Artifacts written under the v1 header (no meta) keep working:
+    speaker presence is inferred from program arity."""
+    from forwardtacotron_tpu.utils import export as ex
+    model, variables = _tiny_model()
+    blob = ex.export_tts_generate(model, variables, 16, 128)
+    path = tmp_path / 'legacy.ftexp'
+    with open(path, 'wb') as f:
+        f.write(ex.MAGIC)
+        f.write(np.int32(1).tobytes())
+        f.write(np.int32(16).tobytes())
+        f.write(np.int32(128).tobytes())
+        f.write(np.int64(len(blob)).tobytes())
+        f.write(blob)
+    loaded = ex.ExportedTTS(path)
+    assert loaded.meta is None
+    mel, dur = loaded.generate([5, 9, 12])
+    assert mel.shape[0] == 80 and mel.shape[1] > 0
