@@ -95,7 +95,7 @@ class TTSServer:
         # vocode_batch shard_map path)
         self.mesh = mesh
 
-        # fused=True (GAN vocoders only): text -> int16 PCM in ONE
+        # fused=True (neural vocoders): text -> int16 PCM in ONE
         # device program per batch — series, duration scaling, mel
         # decode, and the vocoder all inside a single jit, removing
         # two host round-trips per request group. The mel axis is
@@ -122,9 +122,9 @@ class TTSServer:
                 voc_checkpoint, voc_type=vocoder)
         elif vocoder != 'griffinlim':
             raise ValueError(f'unknown vocoder: {vocoder}')
-        if self.fused and vocoder not in ('hifigan', 'melgan'):
-            raise ValueError('fused serving needs a feed-forward GAN '
-                             'vocoder (hifigan/melgan)')
+        if self.fused and vocoder not in ('hifigan', 'melgan', 'wavernn'):
+            raise ValueError('fused serving needs a neural vocoder '
+                             '(hifigan/melgan/wavernn)')
 
         self._jit_cache: Dict[Any, Any] = {}
         self._q: 'queue.Queue[Optional[_Request]]' = queue.Queue()
@@ -307,13 +307,29 @@ class TTSServer:
                                         x_len=xl, speaker=spk)))
 
     def _fused_program(self, tx: int, B: int, max_t: int):
+        """tokens -> int16 PCM in ONE jitted program. Returns
+        (pcm (B, total), mel_len (B,), wav_len (B,)); takes a seed
+        scalar (drives WaveRNN sampling noise; unused by GANs)."""
         import jax
         import jax.numpy as jnp
         model, voc_model = self.model, self.voc_model
         key = ('fused', model, voc_model, tx, B, max_t)
+        is_ar = self.vocoder == 'wavernn'
+        if is_ar:
+            from forwardtacotron_tpu.kernels.wavernn_sample import (
+                pallas_supported)
+            from forwardtacotron_tpu.models.wavernn import (
+                TARGET_REFERENCE, TARGET_TPU, build_vocode_program)
+            use_pallas = pallas_supported(voc_model)
+            vocode = build_vocode_program(
+                voc_model,
+                target=TARGET_TPU if use_pallas else TARGET_REFERENCE,
+                overlap=550,
+                mu_law=self._voc_mu_law and voc_model.mode == 'RAW',
+                use_pallas=use_pallas, pcm16=True)
 
         def build():
-            def fn(v, vv, x, xl, a, ps, es, spk):
+            def fn(v, vv, x, xl, a, ps, es, spk, seed):
                 series = model.apply(v, x, method='predict_series',
                                      x_len=xl, speaker=spk)
                 dur = series['dur'] / a[:, None]
@@ -323,10 +339,16 @@ class TTSServer:
                                   max_t,
                                   method='generate_from_series',
                                   x_len=xl, speaker=spk)
-                wav = voc_model.apply(vv, gen['mel_post'])
-                pcm = (jnp.clip(wav, -1.0, 1.0)
-                       * 32767.0).astype(jnp.int16)
-                return pcm, gen['mel_len']
+                mel_len = gen['mel_len'].astype(jnp.int32)
+                if is_ar:
+                    wav_len = (mel_len - 1) * voc_model.hop_length
+                    pcm = vocode(vv, gen['mel_post'], wav_len, seed)
+                else:
+                    wav = voc_model.apply(vv, gen['mel_post'])
+                    pcm = (jnp.clip(wav, -1.0, 1.0)
+                           * 32767.0).astype(jnp.int16)
+                    wav_len = mel_len * (wav.shape[-1] // max_t)
+                return pcm, gen['mel_len'], wav_len
             return jax.jit(fn)
 
         return self._jit(key, build)
@@ -367,7 +389,8 @@ class TTSServer:
                              jnp.asarray(x), jnp.asarray(x_lens),
                              jnp.ones((B,), jnp.float32),
                              jnp.ones((B,), jnp.float32),
-                             jnp.ones((B,), jnp.float32), spk)
+                             jnp.ones((B,), jnp.float32), spk,
+                             jnp.asarray(0, jnp.int32))
                     np.asarray(out[0])
                 series_fn = self._series_program(tx, B)
                 series = series_fn(self.variables, jnp.asarray(x),
@@ -495,17 +518,20 @@ class TTSServer:
         max_t = self.fused_max_t
 
         run = self._fused_program(tx, B, max_t)
-        pcm, mel_lens = run(variables, voc_variables, jnp.asarray(x),
-                            jnp.asarray(x_lens), jnp.asarray(alphas),
-                            jnp.asarray(p_scale), jnp.asarray(e_scale),
-                            self._speakers(reqs, B))
+        self._fused_seed = getattr(self, '_fused_seed', 0) + 1
+        pcm, mel_lens, wav_lens = run(
+            variables, voc_variables, jnp.asarray(x),
+            jnp.asarray(x_lens), jnp.asarray(alphas),
+            jnp.asarray(p_scale), jnp.asarray(e_scale),
+            self._speakers(reqs, B),
+            jnp.asarray(self._fused_seed, jnp.int32))
         mel_lens = np.asarray(mel_lens)
         if int(mel_lens[:B_real].max()) >= max_t:
             return None                      # overflow: staged fallback
         self.batch_sizes.append(B_real)
         pcm = np.asarray(pcm)
-        hop = pcm.shape[1] // max_t
-        return [pcm[i, :int(mel_lens[i]) * hop] for i in range(B_real)]
+        wav_lens = np.asarray(wav_lens)
+        return [pcm[i, :int(wav_lens[i])] for i in range(B_real)]
 
     def _synthesize_batch(self, reqs: List[_Request],
                           ids: List[List[int]]) -> List[np.ndarray]:

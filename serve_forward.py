@@ -28,10 +28,10 @@ def main() -> None:
                         help='dynamic batching: max time to wait for '
                              'more requests')
     parser.add_argument('--fused', action='store_true',
-                        help='GAN vocoders: run text->PCM as ONE '
-                             'device program per batch (falls back to '
-                             'staged when the output exceeds '
-                             '--fused_max_t frames)')
+                        help='neural vocoders (hifigan/melgan/wavernn): '
+                             'run text->PCM as ONE device program per '
+                             'batch (falls back to staged when the '
+                             'output exceeds --fused_max_t frames)')
     parser.add_argument('--fused_max_t', type=int, default=1024)
     parser.add_argument('--max_queue', type=int, default=64,
                         help='backpressure: queued requests beyond this '

@@ -407,3 +407,48 @@ def test_warmup_fused_path(tts_ckpt, hifigan_ckpt):
         assert len(srv._jit_cache) == n_before
     finally:
         srv.close()
+
+
+@pytest.fixture(scope='module')
+def wavernn_ckpt(tmp_path_factory):
+    """Tiny WaveRNN .fjax with hop matching the tts fixture (64)."""
+    import jax.numpy as jnp
+    import yaml
+    import pathlib
+    from forwardtacotron_tpu.models.wavernn import WaveRNN
+    from forwardtacotron_tpu.utils.checkpoints import save_checkpoint
+
+    base = yaml.safe_load(
+        open(pathlib.Path(__file__).parent.parent / 'config.yaml'))
+    base['dsp'].update(hop_length=64, bits=6)
+    base['vocoder']['model'].update(
+        rnn_dims=16, fc_dims=12, compute_dims=8, res_out_dims=8,
+        res_blocks=1, pad=2, upsample_factors=[4, 4, 4])
+    model = WaveRNN.from_config(base)
+    variables = model.init(jax.random.PRNGKey(1),
+                           jnp.zeros((1, 2 * 64)),
+                           jnp.zeros((1, 6, 80)), train=False)
+    p = tmp_path_factory.mktemp('serving_wr') / 'wavernn.fjax'
+    save_checkpoint(variables, base, p, step=500)
+    return str(p)
+
+
+def test_fused_wavernn_serving(tts_ckpt, wavernn_ckpt):
+    """--fused with the AR WaveRNN: tokens -> PCM in one program;
+    output lengths match the staged wavernn path exactly."""
+    from forwardtacotron_tpu.serving import TTSServer
+    text = 'One program to rule them.'
+    with TTSServer(tts_ckpt, vocoder='wavernn',
+                   voc_checkpoint=wavernn_ckpt, fused=True,
+                   fused_max_t=256, max_batch=2, max_wait_ms=50.0,
+                   mel_bucket=128) as fused_srv:
+        pcm_fused = fused_srv.synthesize(text, timeout=600)
+        assert fused_srv.batch_sizes, 'fused path did not run'
+    with TTSServer(tts_ckpt, vocoder='wavernn',
+                   voc_checkpoint=wavernn_ckpt, fused=False,
+                   max_batch=2, max_wait_ms=50.0,
+                   mel_bucket=128) as staged_srv:
+        pcm_staged = staged_srv.synthesize(text, timeout=600)
+    assert pcm_fused.dtype == np.int16
+    assert len(pcm_fused) == len(pcm_staged)
+    assert np.abs(pcm_fused.astype(np.int32)).max() > 0
