@@ -42,25 +42,26 @@ def build_taco_train_step(model, optimizer, r: int,
         # longer utterances per HBM byte
         apply_model = jax.checkpoint(apply_model)
 
+    accum = int((train_cfg or {}).get('grad_accum', 1) or 1)
+
     def train_step(state: tc.TrainState, batch: Dict[str, jnp.ndarray],
                    rng: jax.Array) -> Tuple[tc.TrainState, Dict]:
         dec_rng, dropout_rng = jax.random.split(rng)
 
-        def loss_fn(params):
+        def loss_fn(params, stats, x, mel, drng1, drng2):
             # bf16 compute when training.precision is 'bf16': params and
             # the teacher-forced mel cast at the boundary, f32 masters,
             # BN stats, and losses (same recipe as common.py:178-196)
             p = tc.cast_half(params, half) if half else params
-            mel_in = batch['mel'].astype(half) if half else batch['mel']
+            mel_in = mel.astype(half) if half else mel
             (m1, m2, att), mutated = apply_model(
-                p, state.batch_stats, batch['x'], mel_in, dec_rng,
-                dropout_rng)
+                p, stats, x, mel_in, drng1, drng2)
             if half:
                 m1, m2, att = (m1.astype(jnp.float32),
                                m2.astype(jnp.float32),
                                att.astype(jnp.float32))
-            m1_loss = jnp.mean(jnp.abs(m1 - batch['mel']))
-            m2_loss = jnp.mean(jnp.abs(m2 - batch['mel']))
+            m1_loss = jnp.mean(jnp.abs(m1 - mel))
+            m2_loss = jnp.mean(jnp.abs(m2 - mel))
             loss = m1_loss + m2_loss
             new_stats = mutated['batch_stats']
             if half:
@@ -69,8 +70,40 @@ def build_taco_train_step(model, optimizer, r: int,
                           {'loss': loss, 'm1_loss': m1_loss,
                            'm2_loss': m2_loss})
 
-        grads, (att, new_stats, metrics) = jax.grad(
-            loss_fn, has_aux=True)(state.params)
+        grad_fn = jax.grad(loss_fn, has_aux=True)
+        if accum <= 1:
+            grads, (att, new_stats, metrics) = grad_fn(
+                state.params, state.batch_stats, batch['x'],
+                batch['mel'], dec_rng, dropout_rng)
+        else:
+            # grad accumulation (training.grad_accum): scan over
+            # leading-axis micro-batches, averaging grads into ONE
+            # update; BN stats update sequentially, attention maps
+            # re-assemble to the full batch for plots/scores
+            B = batch['x'].shape[0]
+            assert B % accum == 0, \
+                f'batch size {B} not divisible by grad_accum={accum}'
+
+            def micro(leaf):
+                return leaf.reshape((accum, B // accum) + leaf.shape[1:])
+            xs = (micro(batch['x']), micro(batch['mel']),
+                  jax.random.split(dec_rng, accum),
+                  jax.random.split(dropout_rng, accum))
+
+            def body(carry, inputs):
+                grads_acc, stats = carry
+                mb_x, mb_mel, d1, d2 = inputs
+                g, (att, stats, m) = grad_fn(state.params, stats,
+                                             mb_x, mb_mel, d1, d2)
+                return (jax.tree.map(jnp.add, grads_acc, g),
+                        stats), (att, m)
+
+            zero = jax.tree.map(jnp.zeros_like, state.params)
+            (grads, new_stats), (atts, ms) = jax.lax.scan(
+                body, (zero, state.batch_stats), xs)
+            grads = jax.tree.map(lambda g: g / accum, grads)
+            metrics = jax.tree.map(lambda m: jnp.mean(m, axis=0), ms)
+            att = atts.reshape((B,) + atts.shape[2:])
         updates, new_opt_state = optimizer.update(grads, state.opt_state,
                                                   state.params)
         new_params = optax.apply_updates(state.params, updates)

