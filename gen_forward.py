@@ -84,6 +84,11 @@ def main() -> None:
     parser.add_argument('--speaker', type=int, default=0,
                         help='Speaker id for multi-speaker models '
                              '(ignored by single-speaker checkpoints)')
+    parser.add_argument('--split_sentences', action='store_true',
+                        help='split article-length inputs on sentence '
+                             'boundaries and join the mels with short '
+                             'silences (bounds per-dispatch work; see '
+                             'docs/serving.md for the serving analog)')
     subparsers = parser.add_subparsers(dest='vocoder')
     wr_parser = subparsers.add_parser('wavernn')
     wr_parser.add_argument('--overlap', '-o', default=550, type=int)
@@ -187,11 +192,30 @@ def main() -> None:
 
     for i, x in enumerate(texts, 1):
         print(f'\n| Generating {i}/{len(texts)}')
-        ids = tokenizer(cleaner(x))
         wav_name = (f'{i}_forward_{tts_k}k_alpha{args.alpha}_'
                     f'amp{args.amp}_{args.vocoder}')
-        mel_post, _ = synthesize(model, variables, ids, args.alpha,
-                                 args.amp, speaker=args.speaker)
+        if args.split_sentences:
+            # article-length input: per-sentence mels joined with
+            # silence-pad frames (MEL_PAD renders as silence), so every
+            # vocoder branch below consumes one mel as usual
+            from forwardtacotron_tpu.data.dataset import MEL_PAD
+            from forwardtacotron_tpu.text.segmenter import split_sentences
+            pieces = split_sentences(x) or [x]
+            gap = np.full((config['dsp']['num_mels'], 10), MEL_PAD,
+                          np.float32)
+            mels = []
+            for sent in pieces:
+                m, _ = synthesize(model, variables,
+                                  tokenizer(cleaner(sent)), args.alpha,
+                                  args.amp, speaker=args.speaker)
+                if mels:
+                    mels.append(gap)
+                mels.append(m)
+            mel_post = np.concatenate(mels, axis=1)
+        else:
+            ids = tokenizer(cleaner(x))
+            mel_post, _ = synthesize(model, variables, ids, args.alpha,
+                                     args.amp, speaker=args.speaker)
 
         if args.vocoder == 'melgan':
             if voc_model is not None:
