@@ -452,3 +452,24 @@ def test_fused_wavernn_serving(tts_ckpt, wavernn_ckpt):
     assert pcm_fused.dtype == np.int16
     assert len(pcm_fused) == len(pcm_staged)
     assert np.abs(pcm_fused.astype(np.int32)).max() > 0
+
+
+def test_benchmark_serving_tool(tts_ckpt, monkeypatch, capsys):
+    """tools/benchmark_serving.py drives a server and prints one JSON
+    line with latency percentiles and throughput."""
+    import json
+    import sys
+    import pathlib
+    sys.path.insert(0, str(pathlib.Path(__file__).parent.parent / 'tools'))
+    import benchmark_serving
+    monkeypatch.setattr('sys.argv', [
+        'benchmark_serving.py', '--checkpoint', tts_ckpt,
+        '--clients', '2', '--requests', '1', '--no-warmup'])
+    benchmark_serving.main()
+    line = [l for l in capsys.readouterr().out.splitlines()
+            if l.startswith('{')][-1]
+    result = json.loads(line)
+    assert result['metric'] == 'serving_p95_latency'
+    assert result['requests_total'] == 2
+    assert result['errors'] == 0
+    assert result['latency_s']['p50'] > 0
