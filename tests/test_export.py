@@ -220,3 +220,48 @@ def test_legacy_v1_artifact_still_loads(tmp_path):
     assert loaded.meta is None
     mel, dur = loaded.generate([5, 9, 12])
     assert mel.shape[0] == 80 and mel.shape[1] > 0
+
+
+def test_export_multispeaker_wavernn_combined(tmp_path):
+    """Both optional runtime inputs together (speaker AND seed): the
+    meta header drives the 7-input calling convention."""
+    from forwardtacotron_tpu.models.forward_tacotron import ForwardTacotron
+    from forwardtacotron_tpu.models.wavernn import WaveRNN
+    from forwardtacotron_tpu.utils.export import (ExportedTTS,
+                                                  save_exported_tts)
+    from forwardtacotron_tpu.utils.files import read_config
+
+    config = read_config('config.yaml')
+    m = config['forward_tacotron']['model']
+    for k in list(m):
+        if k.endswith(('_dims', '_k')) and isinstance(m[k], int):
+            m[k] = max(4, min(m[k], 8))
+    m['n_speakers'] = 3
+    model = ForwardTacotron.from_config(config)
+    x = jnp.zeros((1, 8), jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), x, 32,
+                           method='generate', x_len=jnp.asarray([8]))
+    # amplify the speaker table so the (random tiny) init's speaker
+    # effect survives the vocoder's sampling quantization
+    params = variables['params']
+    params['speaker_embedding']['embedding'] = \
+        params['speaker_embedding']['embedding'] * 100.0
+    voc = WaveRNN(rnn_dims=16, fc_dims=12, bits=6, pad=2,
+                  upsample_factors=(4, 4, 16), feat_dims=80,
+                  compute_dims=8, res_out_dims=8, res_blocks=1,
+                  hop_length=256, sample_rate=22050, mode='RAW')
+    voc_vars = voc.init(jax.random.PRNGKey(1),
+                        jnp.zeros((1, 512)), jnp.zeros((1, 6, 80)),
+                        train=False)
+
+    path = tmp_path / 'ms_wr.ftexp'
+    save_exported_tts(model, variables, path, buckets=[(16, 64)],
+                      vocoder=(voc, voc_vars))
+    exported = ExportedTTS(path)
+    assert exported.meta == {'multispeaker': True, 'vocoder': 'wavernn'}
+    ids = [3, 5, 7, 9]
+    a = exported.synthesize(ids, speaker=0, seed=1)
+    b = exported.synthesize(ids, speaker=2, seed=1)
+    assert a.dtype == np.int16 and len(a) > 0
+    # different speakers produce different audio through the same seed
+    assert len(a) != len(b) or not np.array_equal(a, b)
