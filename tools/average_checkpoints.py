@@ -19,6 +19,10 @@ Rules:
 from __future__ import annotations
 
 import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
 from typing import Any, Dict, List
 
 import numpy as np

@@ -13,6 +13,10 @@ to include compile time). Works on TPU and (slowly) on CPU.
 from __future__ import annotations
 
 import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
 import json
 import threading
 import time
