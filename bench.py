@@ -170,7 +170,6 @@ def main() -> None:
         extra.update(_bench_hifigan())
     except Exception as e:
         extra['hifigan_bench_error'] = f'{type(e).__name__}: {e}'
-    import os
     if os.environ.get('BENCH_FULL'):  # FastPitch adds minutes of compile
         try:
             extra.update(_bench_fastpitch(config))
