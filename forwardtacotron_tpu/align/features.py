@@ -112,8 +112,9 @@ def create_align_features(model, state, train_set, val_set, paths: Paths,
              else 'attention peak counts...'))
 
     @jax.jit
-    def att_step(variables, x, mel):
-        _, _, att = model.apply(variables, x, mel, 1, train=False)
+    def att_step(variables, x, mel, speaker):
+        _, _, att = model.apply(variables, x, mel, 1, train=False,
+                                speaker=speaker)
         return att
 
     att_score_dict = {}
@@ -121,8 +122,10 @@ def create_align_features(model, state, train_set, val_set, paths: Paths,
     i = 0
     for batcher in (train_set, val_set):
         for batch in batcher:
+            spk = batch.get('speaker')
             att = att_step(state.variables, jnp.asarray(batch['x']),
-                           jnp.asarray(batch['mel']))
+                           jnp.asarray(batch['mel']),
+                           None if spk is None else jnp.asarray(spk))
             mel_lens = jnp.asarray(batch['mel_len'])
             align_scores, sharp_scores = attention_score(att, mel_lens, r=1)
             att_np = np.asarray(att)
@@ -162,17 +165,20 @@ def create_gta_features(model, state, train_set, val_set,
     import jax.numpy as jnp
 
     @jax.jit
-    def gta_step(variables, x, mel):
-        _, linear, _ = model.apply(variables, x, mel, r, train=False)
+    def gta_step(variables, x, mel, speaker):
+        _, linear, _ = model.apply(variables, x, mel, r, train=False,
+                                   speaker=speaker)
         return linear
 
     iters = len(train_set) + len(val_set)
     i = 0
     for batcher in (train_set, val_set):
         for batch in batcher:
-            gta = np.asarray(gta_step(state.variables,
-                                      jnp.asarray(batch['x']),
-                                      jnp.asarray(batch['mel'])))
+            spk = batch.get('speaker')
+            gta = np.asarray(gta_step(
+                state.variables, jnp.asarray(batch['x']),
+                jnp.asarray(batch['mel']),
+                None if spk is None else jnp.asarray(spk)))
             n_real = batch.get('n_real', gta.shape[0])
             for j in range(n_real):
                 item_id = batch['item_id'][j]

@@ -49,20 +49,26 @@ def filter_bad_attentions(dataset: List[tuple],
 class TacoDataset:
 
     def __init__(self, path: Path, dataset_ids: Sequence[str],
-                 text_dict: Dict[str, str], tokenizer: Tokenizer) -> None:
+                 text_dict: Dict[str, str], tokenizer: Tokenizer,
+                 speaker_dict: Optional[Dict[str, int]] = None) -> None:
         self.path = Path(path)
         self.metadata = list(dataset_ids)
         self.text_dict = text_dict
         self.tokenizer = tokenizer
+        # multi-speaker: {item_id: speaker index}; None adds no fields
+        self.speaker_dict = speaker_dict
         self._light_cache: Dict[int, Dict] = {}
 
     def __getitem__(self, index: int) -> Dict:
         item_id = self.metadata[index]
         x = self.tokenizer(self.text_dict[item_id])
         mel = np.load(str(self.path / 'mel' / f'{item_id}.npy'))
-        return {'x': np.asarray(x, dtype=np.int64), 'mel': mel,
-                'item_id': item_id, 'mel_len': mel.shape[-1],
-                'x_len': len(x)}
+        out = {'x': np.asarray(x, dtype=np.int64), 'mel': mel,
+               'item_id': item_id, 'mel_len': mel.shape[-1],
+               'x_len': len(x)}
+        if self.speaker_dict is not None:
+            out['speaker'] = int(self.speaker_dict.get(item_id, 0))
+        return out
 
     def light_item(self, index: int) -> Dict:
         """Everything but the mel (the native batch loader reads mels
@@ -74,6 +80,9 @@ class TacoDataset:
             x = self.tokenizer(self.text_dict[item_id])
             cached = {'x': np.asarray(x, dtype=np.int64),
                       'item_id': item_id, 'x_len': len(x)}
+            if self.speaker_dict is not None:
+                cached['speaker'] = int(
+                    self.speaker_dict.get(item_id, 0))
             self._light_cache[index] = cached
         return cached
 
@@ -362,13 +371,12 @@ def get_tts_datasets(path: Path, batch_size: int, r: int,
         raise ValueError(f'Unknown model: {model_type}, must be either '
                          f'[tacotron, forward]!')
     extra = {}
-    if model_type == 'forward':
-        # beyond-parity multi-speaker: preprocess writes
-        # speaker_dict.pkl for corpora with a speaker column; batches
-        # then carry a (B,) 'speaker' field the models condition on.
-        spk_path = path / 'speaker_dict.pkl'
-        if spk_path.exists():
-            extra['speaker_dict'] = unpickle_binary(spk_path)
+    # beyond-parity multi-speaker: preprocess writes speaker_dict.pkl
+    # for corpora with a speaker column; batches then carry a (B,)
+    # 'speaker' field the models (teacher and students) condition on.
+    spk_path = path / 'speaker_dict.pkl'
+    if spk_path.exists():
+        extra['speaker_dict'] = unpickle_binary(spk_path)
     train_dataset = ds_cls(path=path, dataset_ids=train_ids,
                            text_dict=text_dict, tokenizer=tokenizer, **extra)
     val_dataset = ds_cls(path=path, dataset_ids=val_ids,

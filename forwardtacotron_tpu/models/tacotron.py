@@ -97,12 +97,23 @@ class Tacotron(nn.Module):
     num_highways: int = 4
     dropout: float = 0.5
     stop_threshold: float = -11.0
+    # beyond-parity multi-speaker (matches the students' contract,
+    # models/forward_tacotron.py): n_speakers == 1 adds NO parameters
+    # so reference-converted checkpoints load unchanged.
+    n_speakers: int = 1
+    speaker_embed_dims: int = 64
 
     def setup(self) -> None:
         self.encoder = Encoder(self.embed_dims, self.num_chars,
                                self.encoder_dims, self.encoder_k,
                                self.num_highways, self.dropout)
         self.encoder_proj = nn.Dense(self.decoder_dims, use_bias=False)
+        if self.n_speakers > 1:
+            self.speaker_embedding = nn.Embed(self.n_speakers,
+                                              self.speaker_embed_dims)
+            # projected onto the encoder output (2*encoder_dims wide)
+            self.speaker_proj = nn.Dense(2 * self.encoder_dims,
+                                         use_bias=False)
         # decoder pieces (reference Decoder, tacotron.py:102-174)
         self.dec_prenet = PreNet()
         # LSA (tacotron.py:65-99)
@@ -127,6 +138,18 @@ class Tacotron(nn.Module):
 
     def decoder_cells(self) -> Tuple[Dict, Dict, Dict]:
         return self._attn_rnn, self._res_rnn1, self._res_rnn2
+
+    def _condition_encoder(self, encoder_seq: jnp.ndarray,
+                           speaker) -> jnp.ndarray:
+        """Add the projected speaker embedding to the encoder output
+        (no-op when n_speakers == 1); missing ids default to 0 so
+        single-speaker call sites work against multi-speaker models."""
+        if self.n_speakers <= 1:
+            return encoder_seq
+        if speaker is None:
+            speaker = jnp.zeros((encoder_seq.shape[0],), jnp.int32)
+        emb = self.speaker_embedding(speaker.astype(jnp.int32))
+        return encoder_seq + self.speaker_proj(emb)[:, None, :]
 
     def _lsa_scores(self, encoder_seq_proj: jnp.ndarray, query: jnp.ndarray,
                     cumulative: jnp.ndarray, prev_attn: jnp.ndarray
@@ -197,12 +220,14 @@ class Tacotron(nn.Module):
 
     def __call__(self, x: jnp.ndarray, m: jnp.ndarray, r: int,
                  train: bool = False,
-                 rng: Optional[jax.Array] = None
+                 rng: Optional[jax.Array] = None,
+                 speaker: Optional[jnp.ndarray] = None
                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """Teacher-forced forward (tacotron.py:216-270).
 
         x (B, Tx) int tokens; m (B, T_mel, n_mels) time-major, T_mel a
-        multiple of the static reduction factor r. Returns
+        multiple of the static reduction factor r. `speaker` (B,) int
+        ids condition the encoder in multi-speaker mode. Returns
         (mel_out (B, T_mel, n_mels), linear_post (B, T_mel, n_mels),
         attention (B, T_mel // r, Tx)).
         """
@@ -216,6 +241,7 @@ class Tacotron(nn.Module):
         else:
             enc_rng = dec_rng = None
         encoder_seq = self.encoder(x, train=train, prenet_rng=enc_rng)
+        encoder_seq = self._condition_encoder(encoder_seq, speaker)
         encoder_seq_proj = self.encoder_proj(encoder_seq)
 
         cells = self.decoder_cells()
@@ -264,7 +290,8 @@ class Tacotron(nn.Module):
         attn = jnp.swapaxes(scores, 0, 1)  # (B, steps, Tx)
         return mel_out, linear, attn
 
-    def generate(self, x: jnp.ndarray, steps: int = 2000, r: int = 1
+    def generate(self, x: jnp.ndarray, steps: int = 2000, r: int = 1,
+                 speaker: Optional[jnp.ndarray] = None
                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
                             jnp.ndarray]:
         """Free-running inference with the reference's stop criterion
@@ -275,6 +302,7 @@ class Tacotron(nn.Module):
         assert steps % r == 0
         n_steps = steps // r
         encoder_seq = self.encoder(x, train=False)
+        encoder_seq = self._condition_encoder(encoder_seq, speaker)
         encoder_seq_proj = self.encoder_proj(encoder_seq)
         cells = self.decoder_cells()
 

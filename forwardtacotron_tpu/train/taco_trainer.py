@@ -31,10 +31,10 @@ def build_taco_train_step(model, optimizer, r: int,
                           train_cfg: Dict[str, Any] = None) -> Callable:
     half = tc.half_dtype(train_cfg or {})
 
-    def apply_model(p, stats, x, mel_in, dec_rng, dropout_rng):
+    def apply_model(p, stats, x, mel_in, dec_rng, dropout_rng, spk):
         return model.apply(
             {'params': p, 'batch_stats': stats},
-            x, mel_in, r, train=True, rng=dec_rng,
+            x, mel_in, r, train=True, rng=dec_rng, speaker=spk,
             mutable=['batch_stats'], rngs={'dropout': dropout_rng})
     if (train_cfg or {}).get('remat'):
         # the LSA decoder scan holds per-frame attention/RNN
@@ -48,14 +48,14 @@ def build_taco_train_step(model, optimizer, r: int,
                    rng: jax.Array) -> Tuple[tc.TrainState, Dict]:
         dec_rng, dropout_rng = jax.random.split(rng)
 
-        def loss_fn(params, stats, x, mel, drng1, drng2):
+        def loss_fn(params, stats, x, mel, drng1, drng2, spk=None):
             # bf16 compute when training.precision is 'bf16': params and
             # the teacher-forced mel cast at the boundary, f32 masters,
             # BN stats, and losses (same recipe as common.py:178-196)
             p = tc.cast_half(params, half) if half else params
             mel_in = mel.astype(half) if half else mel
             (m1, m2, att), mutated = apply_model(
-                p, stats, x, mel_in, drng1, drng2)
+                p, stats, x, mel_in, drng1, drng2, spk)
             if half:
                 m1, m2, att = (m1.astype(jnp.float32),
                                m2.astype(jnp.float32),
@@ -71,10 +71,11 @@ def build_taco_train_step(model, optimizer, r: int,
                            'm2_loss': m2_loss})
 
         grad_fn = jax.grad(loss_fn, has_aux=True)
+        spk = batch.get('speaker')
         if accum <= 1:
             grads, (att, new_stats, metrics) = grad_fn(
                 state.params, state.batch_stats, batch['x'],
-                batch['mel'], dec_rng, dropout_rng)
+                batch['mel'], dec_rng, dropout_rng, spk)
         else:
             # grad accumulation (training.grad_accum): scan over
             # leading-axis micro-batches, averaging grads into ONE
@@ -88,13 +89,15 @@ def build_taco_train_step(model, optimizer, r: int,
                 return leaf.reshape((accum, B // accum) + leaf.shape[1:])
             xs = (micro(batch['x']), micro(batch['mel']),
                   jax.random.split(dec_rng, accum),
-                  jax.random.split(dropout_rng, accum))
+                  jax.random.split(dropout_rng, accum),
+                  None if spk is None else micro(spk))
 
             def body(carry, inputs):
                 grads_acc, stats = carry
-                mb_x, mb_mel, d1, d2 = inputs
+                mb_x, mb_mel, d1, d2, mb_spk = inputs
                 g, (att, stats, m) = grad_fn(state.params, stats,
-                                             mb_x, mb_mel, d1, d2)
+                                             mb_x, mb_mel, d1, d2,
+                                             mb_spk)
                 return (jax.tree.map(jnp.add, grads_acc, g),
                         stats), (att, m)
 
@@ -119,7 +122,8 @@ def build_taco_eval_step(model, r: int) -> Callable:
     @jax.jit
     def eval_step(variables, batch):
         m1, m2, att = model.apply(variables, batch['x'], batch['mel'], r,
-                                  train=False)
+                                  train=False,
+                                  speaker=batch.get('speaker'))
         m1_loss = jnp.mean(jnp.abs(m1 - batch['mel']))
         m2_loss = jnp.mean(jnp.abs(m2 - batch['mel']))
         return m1_loss + m2_loss, att
@@ -321,8 +325,10 @@ class TacoTrainer:
     def generate_plots(self, model, state, session) -> None:
         batch = _to_jnp(session.val_sample)
         step = int(state.step)
+        spk = batch.get('speaker')
         m1, m2, att = model.apply(state.variables, batch['x'],
-                                  batch['mel'], session.r, train=False)
+                                  batch['mel'], session.r, train=False,
+                                  speaker=spk)
         att0 = np.asarray(att)[0]
         m1_hat = np.asarray(m1)[0, :600]
         m2_hat = np.asarray(m2)[0, :600]
@@ -348,7 +354,8 @@ class TacoTrainer:
         gen_steps += (-gen_steps) % session.r
         m1g, m2g, attg, n_valid = model.apply(
             state.variables, batch['x'][0:1], gen_steps, session.r,
-            method='generate')
+            method='generate',
+            speaker=None if spk is None else spk[0:1])
         n_valid = max(int(n_valid), 1)
         w.add_figure('Generated/attention',
                      plot_attention(np.asarray(attg)[0]), step)

@@ -15,6 +15,9 @@ def main() -> None:
     parser.add_argument('--checkpoint', type=str, default=None,
                         help='path to .fjax tacotron checkpoint')
     parser.add_argument('--config', metavar='FILE', default='config.yaml')
+    parser.add_argument('--speaker', type=int, default=0,
+                        help='Speaker id for multi-speaker teachers '
+                             '(ignored by single-speaker checkpoints)')
     parser.add_argument('--steps', type=int, default=1000,
                         help='Max number of steps.')
     subparsers = parser.add_subparsers(dest='vocoder')
@@ -88,14 +91,17 @@ def main() -> None:
     simple_table([('Tacotron', str(tts_k) + 'k'),
                   ('Vocoder Type', args.vocoder)])
 
+    spk = (jnp.asarray([args.speaker], jnp.int32)
+           if getattr(model, 'n_speakers', 1) > 1 else None)
     gen_fn = jax.jit(
-        lambda v, x: model.apply(v, x, args.steps, 1, method='generate'))
+        lambda v, x, s: model.apply(v, x, args.steps, 1,
+                                    method='generate', speaker=s))
 
     for i, x in enumerate(texts, 1):
         print(f'\n| Generating {i}/{len(texts)}')
         ids = tokenizer(cleaner(x))
         xj = jnp.asarray(np.asarray(ids, dtype=np.int32)[None])
-        _, linear, _, n_valid = gen_fn(variables, xj)
+        _, linear, _, n_valid = gen_fn(variables, xj, spk)
         n_valid = int(n_valid)
         mel_post = np.asarray(linear)[0, :max(n_valid, 1)].T  # (n_mels, T)
 

@@ -309,3 +309,80 @@ def test_dataset_pipeline_carries_speaker(tmp_path):
     for row in range(2):
         item = batch['item_id'][row]
         assert batch['speaker'][row] == speaker_dict[item]
+
+
+def test_tacotron_single_speaker_adds_no_params():
+    from forwardtacotron_tpu.models.tacotron import Tacotron
+    model = Tacotron(num_chars=40, n_mels=8, embed_dims=16,
+                     encoder_dims=128, decoder_dims=256, postnet_dims=8,
+                     encoder_k=2, lstm_dims=16, postnet_k=2,
+                     num_highways=1, dropout=0.5)
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randint(1, 39, (2, 6)), jnp.int32)
+    mel = jnp.asarray(rng.randn(2, 8, 8), jnp.float32)
+    variables = model.init({'params': jax.random.PRNGKey(0),
+                            'dropout': jax.random.PRNGKey(1)},
+                           x, mel, 2, train=True,
+                           rng=jax.random.PRNGKey(2))
+    names = [jax.tree_util.keystr(k) for k, _ in
+             jax.tree_util.tree_leaves_with_path(variables)]
+    assert not any('speaker' in n for n in names)
+
+
+def test_tacotron_speaker_conditions_teacher():
+    """The teacher's encoder conditioning: different speaker ids give
+    different teacher-forced mels and free-running generations."""
+    from forwardtacotron_tpu.models.tacotron import Tacotron
+    model = Tacotron(num_chars=40, n_mels=8, embed_dims=16,
+                     encoder_dims=128, decoder_dims=256, postnet_dims=8,
+                     encoder_k=2, lstm_dims=16, postnet_k=2,
+                     num_highways=1, dropout=0.5, n_speakers=3)
+    rng = np.random.RandomState(8)
+    x = jnp.asarray(rng.randint(1, 39, (2, 6)), jnp.int32)
+    mel = jnp.asarray(rng.randn(2, 8, 8), jnp.float32)
+    variables = model.init({'params': jax.random.PRNGKey(0),
+                            'dropout': jax.random.PRNGKey(1)},
+                           x, mel, 2, train=True,
+                           rng=jax.random.PRNGKey(2))
+    spk0 = jnp.zeros((2,), jnp.int32)
+    spk2 = jnp.full((2,), 2, jnp.int32)
+    _, m2_a, _ = model.apply(variables, x, mel, 2, train=False,
+                             speaker=spk0)
+    _, m2_b, _ = model.apply(variables, x, mel, 2, train=False,
+                             speaker=spk2)
+    assert not np.allclose(np.asarray(m2_a), np.asarray(m2_b),
+                           atol=1e-5)
+    # omitted speaker == id 0 (duration-extraction compatibility)
+    _, m2_none, _ = model.apply(variables, x, mel, 2, train=False)
+    np.testing.assert_allclose(np.asarray(m2_none), np.asarray(m2_a),
+                               atol=1e-6)
+
+
+def test_taco_train_step_with_speaker_batch():
+    from forwardtacotron_tpu.models.tacotron import Tacotron
+    from forwardtacotron_tpu.train import common as tc
+    from forwardtacotron_tpu.train.taco_trainer import (
+        build_taco_train_step)
+    model = Tacotron(num_chars=40, n_mels=8, embed_dims=16,
+                     encoder_dims=128, decoder_dims=256, postnet_dims=8,
+                     encoder_k=2, lstm_dims=16, postnet_k=2,
+                     num_highways=1, dropout=0.5, n_speakers=3)
+    optimizer = tc.make_optimizer(1.0, lr=1e-3)
+    rng = np.random.RandomState(9)
+    batch = {
+        'x': jnp.asarray(rng.randint(1, 39, (2, 6)), jnp.int32),
+        'mel': jnp.asarray(rng.randn(2, 8, 8), jnp.float32),
+        'speaker': jnp.asarray([0, 2], jnp.int32),
+    }
+    key = jax.random.PRNGKey(0)
+    variables = model.init({'params': key, 'dropout': key},
+                           batch['x'], batch['mel'], 2, train=True,
+                           rng=key)
+    state = tc.TrainState(params=variables['params'],
+                          batch_stats=variables.get('batch_stats', {}),
+                          opt_state=optimizer.init(variables['params']),
+                          step=jnp.asarray(0, jnp.int32))
+    step_fn = build_taco_train_step(model, optimizer, 2)
+    state, (metrics, att) = step_fn(state, batch, key)
+    assert np.isfinite(float(metrics['loss']))
+    assert int(state.step) == 1
