@@ -219,3 +219,50 @@ def test_full_pipeline_cli(tmp_path):
             pcm = np.frombuffer(f.readframes(f.getnframes()), dtype='<i2')
         assert len(pcm) > 1000
         assert np.isfinite(pcm.astype(np.float32)).all()
+
+
+def test_multispeaker_pipeline_cli(tmp_path):
+    """The multi-speaker workflow end to end via the real CLIs:
+    id|speaker|text metadata -> preprocess --metadata_format
+    multispeaker -> speaker-conditioned teacher + extraction ->
+    speaker-conditioned student -> gen_forward --speaker."""
+    sr = 22050
+    corpus = tmp_path / 'corpus'
+    wavs = corpus / 'wavs'
+    wavs.mkdir(parents=True)
+    with open(corpus / 'metadata.csv', 'w') as f:
+        for i, text in enumerate(TEXTS):
+            item = f'syn{i:03d}'
+            _write_speechlike_wav(wavs / f'{item}.wav', sr,
+                                  seconds=0.45 + 0.05 * i,
+                                  f0=110 + 15 * i, seed=i)
+            f.write(f'{item}|spk{i % 2}|{text}\n')
+    config_path = _tiny_config(tmp_path)
+    cfg = yaml.safe_load(open(config_path))
+    cfg['tacotron']['model']['n_speakers'] = 2
+    cfg['forward_tacotron']['model']['n_speakers'] = 2
+    yaml.safe_dump(cfg, open(config_path, 'w'))
+    data = tmp_path / 'data'
+
+    _run(tmp_path, 'preprocess.py', '--path', str(corpus),
+         '--config', str(config_path),
+         '--metadata_format', 'multispeaker')
+    from forwardtacotron_tpu.utils.files import unpickle_binary
+    speaker_dict = unpickle_binary(data / 'speaker_dict.pkl')
+    assert set(speaker_dict.values()) == {0, 1}
+
+    _run(tmp_path, 'train_tacotron.py', '--config', str(config_path))
+    assert (data / 'att_score_dict.pkl').is_file()
+
+    _run(tmp_path, 'train_forward.py', '--config', str(config_path))
+    ckpt = (tmp_path / 'checkpoints' / 'ljspeech_tts.forward'
+            / 'latest_model.fjax')
+    assert ckpt.is_file()
+
+    _run(tmp_path, 'gen_forward.py', '-i', 'Two speakers one model.',
+         '--speaker', '1', '--checkpoint', str(ckpt), 'griffinlim')
+    outs = list((tmp_path / 'model_outputs').glob('*.wav'))
+    assert outs, 'no wav produced'
+    import wave
+    with wave.open(str(outs[0])) as w:
+        assert w.getnframes() > 0
