@@ -83,7 +83,9 @@ class TTSServer:
         self.text_bucket = text_bucket
         self.mel_bucket = mel_bucket
         self.sample_rate = self.dsp.sample_rate
-        self.batch_sizes: List[int] = []   # observability / tests
+        # observability / tests; bounded so long-lived servers don't
+        # accumulate one int per batch forever
+        self.batch_sizes: 'deque[int]' = deque(maxlen=4096)
         # backpressure: bound on requests waiting in the queue;
         # submit() sheds load with ServerOverloaded beyond it
         self.max_queue = int(max_queue)
@@ -152,6 +154,10 @@ class TTSServer:
 
         Raises ServerOverloaded when the queue is at max_queue (load
         shedding — map to HTTP 503)."""
+        n_spk = getattr(self.model, 'n_speakers', 1)
+        if n_spk > 1 and not 0 <= int(speaker) < n_spk:
+            raise ValueError(f'speaker {speaker} out of range for a '
+                             f'{n_spk}-speaker model')
         with self._submit_lock:
             if self._closed:
                 raise RuntimeError('server is closed')
@@ -203,9 +209,16 @@ class TTSServer:
                 except ServerOverloaded:
                     if not futures:
                         raise        # queue full of OTHER callers' work
-                    # our own backlog filled the queue: wait for it to
-                    # drain past the newest submitted sentence, retry
-                    futures[-1].result(timeout)
+                    # our own backlog filled the queue: block on the
+                    # oldest unresolved sentence; when the backlog is
+                    # actually other callers' work, back off instead
+                    # of busy-spinning submit/shed
+                    pending = next((f for f in futures if not f.done()),
+                                   None)
+                    if pending is not None:
+                        pending.result(timeout)
+                    else:
+                        time.sleep(self.max_wait_s or 0.05)
         gap = np.zeros(int(self.sample_rate * gap_ms / 1000.0), np.int16)
         out: List[np.ndarray] = []
         for i, f in enumerate(futures):
@@ -476,7 +489,7 @@ class TTSServer:
         out: Dict[str, Any] = dict(counters)
         out['queue_depth'] = self._q.qsize()
         out['uptime_s'] = round(time.monotonic() - self._started_at, 3)
-        recent = self.batch_sizes[-256:]
+        recent = list(self.batch_sizes)[-256:]
         out['mean_batch_size'] = (round(float(np.mean(recent)), 3)
                                   if recent else None)
         if lat:
@@ -693,6 +706,8 @@ def make_http_server(server: TTSServer, host: str = '127.0.0.1',
                 self.wfile.write(body)
             except KeyError:
                 self.send_error(400, 'missing "text"')
+            except ValueError as e:
+                self.send_error(400, str(e))
             except ServerOverloaded:
                 self.send_response(503, 'overloaded')
                 self.send_header('Retry-After', '1')

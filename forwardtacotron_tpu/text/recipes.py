@@ -30,6 +30,8 @@ def multispeaker(path: Union[str, Path]
     speaker_names: Dict[str, str] = {}
     with open(str(csv_file[0]), encoding='utf-8') as f:
         for line in f:
+            if not line.strip():
+                continue          # blank lines must not kill the run
             split = line.split('|')
             assert len(split) >= 3, \
                 f'multispeaker metadata needs id|speaker|text, got: {line!r}'

@@ -48,6 +48,12 @@ def install_preemption_handler(signals=None) -> None:
         prev = _signal.getsignal(sig)
 
         def _handler(signum, frame, _prev=prev):
+            # Second SIGINT escalates to KeyboardInterrupt: the first
+            # requests a graceful stop (finish step, save latest), but
+            # the step loop only polls between steps — a run wedged
+            # inside a long compile/device call must stay abortable.
+            if event.is_set() and signum == _signal.SIGINT:
+                raise KeyboardInterrupt
             event.set()
             # Chain a genuine user-installed handler, but NOT Python's
             # default SIGINT handler — that raises KeyboardInterrupt and

@@ -141,6 +141,7 @@ def save_exported_tts(model, variables: Dict[str, Any],
     path = Path(path)
     meta = {
         'multispeaker': getattr(model, 'n_speakers', 1) > 1,
+        'n_speakers': getattr(model, 'n_speakers', 1),
         'vocoder': (None if vocoder is None
                     else 'wavernn' if _is_wavernn(vocoder[0])
                     else 'gan'),
@@ -210,6 +211,10 @@ class ExportedTTS:
                      jnp.float32(energy_scale)]
         if self.meta is not None:
             if self.meta.get('multispeaker'):
+                n_spk = self.meta.get('n_speakers', 0)
+                if n_spk and not 0 <= int(speaker) < n_spk:
+                    raise ValueError(f'speaker {speaker} out of range '
+                                     f'for a {n_spk}-speaker artifact')
                 call_args.append(jnp.asarray([speaker], np.int32))
             if self.meta.get('vocoder') == 'wavernn':
                 call_args.append(jnp.asarray(seed, jnp.int32))

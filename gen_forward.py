@@ -152,6 +152,10 @@ def main() -> None:
 
     print(f'Loading tts checkpoint {checkpoint_path}')
     model, variables, config, step = load_tts_checkpoint(checkpoint_path)
+    n_spk = getattr(model, 'n_speakers', 1)
+    if n_spk > 1 and not 0 <= args.speaker < n_spk:
+        parser.error(f'--speaker {args.speaker} out of range for a '
+                     f'{n_spk}-speaker checkpoint')
     dsp = DSP.from_config(config)
 
     voc_model = voc_variables = voc_dsp = None

@@ -258,7 +258,10 @@ def test_export_multispeaker_wavernn_combined(tmp_path):
     save_exported_tts(model, variables, path, buckets=[(16, 64)],
                       vocoder=(voc, voc_vars))
     exported = ExportedTTS(path)
-    assert exported.meta == {'multispeaker': True, 'vocoder': 'wavernn'}
+    assert exported.meta == {'multispeaker': True, 'n_speakers': 3,
+                             'vocoder': 'wavernn'}
+    with pytest.raises(ValueError, match='out of range'):
+        exported.synthesize([3, 5], speaker=7)
     ids = [3, 5, 7, 9]
     a = exported.synthesize(ids, speaker=0, seed=1)
     b = exported.synthesize(ids, speaker=2, seed=1)

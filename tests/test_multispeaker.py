@@ -386,3 +386,12 @@ def test_taco_train_step_with_speaker_batch():
     state, (metrics, att) = step_fn(state, batch, key)
     assert np.isfinite(float(metrics['loss']))
     assert int(state.step) == 1
+
+
+def test_recipe_tolerates_blank_lines(tmp_path):
+    from forwardtacotron_tpu.text.recipes import multispeaker
+    (tmp_path / 'metadata.csv').write_text(
+        'a1|p2|hello\n\n   \na2|p1|world\n\n', encoding='utf-8')
+    text_dict, speaker_dict = multispeaker(tmp_path)
+    assert set(text_dict) == {'a1', 'a2'}
+    assert speaker_dict == {'a1': 1, 'a2': 0}

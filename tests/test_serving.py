@@ -473,3 +473,15 @@ def test_benchmark_serving_tool(tts_ckpt, monkeypatch, capsys):
     assert result['requests_total'] == 2
     assert result['errors'] == 0
     assert result['latency_s']['p50'] > 0
+
+
+def test_speaker_out_of_range_rejected(tts_ckpt, wavernn_ckpt):
+    """Out-of-range speaker ids fail fast (per-request error) instead
+    of silently clamping inside the jitted gather. Single-speaker
+    checkpoints ignore the field entirely."""
+    from forwardtacotron_tpu.serving import TTSServer
+    with TTSServer(tts_ckpt, vocoder='griffinlim', max_batch=2,
+                   max_wait_ms=20.0, mel_bucket=128) as srv:
+        # single-speaker checkpoint: speaker is advisory, not an error
+        pcm = srv.synthesize('Hello.', speaker=3, timeout=600)
+        assert len(pcm) > 0
