@@ -22,7 +22,7 @@ def test_gen_forward_contract():
     r = _help('gen_forward.py')
     assert r.returncode == 0
     for flag in ('--input_text', '--checkpoint', '--config', '--alpha',
-                 '--amp'):
+                 '--amp', '--speaker', '--split_sentences'):
         assert flag in r.stdout
     for voc in ('wavernn', 'griffinlim', 'melgan', 'hifigan'):
         assert voc in r.stdout
@@ -68,11 +68,23 @@ def test_serve_forward_contract():
 def test_preprocess_contract():
     r = _help('preprocess.py')
     assert r.returncode == 0
-    for flag in ('--path', '--num_workers', '--config'):
+    for flag in ('--path', '--num_workers', '--config',
+                 '--metadata_format'):
         assert flag in r.stdout
+    assert 'multispeaker' in r.stdout
 
 
 def test_gen_tacotron_contract():
     r = _help('gen_tacotron.py')
     assert r.returncode == 0
     assert '--input_text' in r.stdout and '--steps' in r.stdout
+    assert '--speaker' in r.stdout
+
+
+def test_export_forward_contract():
+    r = _help('export_forward.py')
+    assert r.returncode == 0
+    for flag in ('--checkpoint', '--output', '--buckets', '--platforms',
+                 '--voc_checkpoint', '--voc_type'):
+        assert flag in r.stdout
+    assert 'wavernn' in r.stdout
