@@ -485,3 +485,54 @@ def test_speaker_out_of_range_rejected(tts_ckpt, wavernn_ckpt):
         # single-speaker checkpoint: speaker is advisory, not an error
         pcm = srv.synthesize('Hello.', speaker=3, timeout=600)
         assert len(pcm) > 0
+
+
+def test_serving_fast_pitch_checkpoint(tmp_path):
+    """TTSServer is model-agnostic: a FastPitch checkpoint serves
+    through the same staged programs (predict_series /
+    generate_from_series contract)."""
+    import jax.numpy as jnp
+    from forwardtacotron_tpu.models.fast_pitch import FastPitch
+    from forwardtacotron_tpu.serving import TTSServer
+    from forwardtacotron_tpu.utils.checkpoints import save_checkpoint
+
+    fp_cfg = {
+        'durpred_dropout': 0.5, 'durpred_d_model': 8,
+        'durpred_n_heads': 2, 'durpred_layers': 1, 'durpred_d_fft': 8,
+        'pitch_dropout': 0.5, 'pitch_d_model': 8, 'pitch_n_heads': 2,
+        'pitch_layers': 1, 'pitch_d_fft': 8,
+        'energy_dropout': 0.5, 'energy_d_model': 8,
+        'energy_n_heads': 2, 'energy_layers': 1, 'energy_d_fft': 8,
+        'pitch_strength': 1.0, 'energy_strength': 1.0,
+        'd_model': 16, 'conv1_kernel': 9, 'conv2_kernel': 1,
+        'prenet_layers': 1, 'prenet_heads': 2, 'prenet_fft': 16,
+        'prenet_dropout': 0.1,
+        'postnet_layers': 1, 'postnet_heads': 2, 'postnet_fft': 16,
+        'postnet_dropout': 0.1,
+    }
+    config = {
+        'tts_model': 'fast_pitch',
+        'fast_pitch': {'model': dict(fp_cfg)},
+        'dsp': {'sample_rate': 22050, 'n_fft': 256, 'num_mels': 80,
+                'hop_length': 64, 'win_length': 256, 'fmin': 0,
+                'fmax': 8000, 'peak_norm': False,
+                'trim_start_end_silence': False,
+                'trim_silence_top_db': 60, 'pitch_max_freq': 600,
+                'trim_long_silences': False, 'vad_window_length': 30,
+                'vad_moving_average_width': 8,
+                'vad_max_silence_length': 12, 'vad_sample_rate': 16000,
+                'voc_mode': 'RAW', 'bits': 9, 'mu_law': True},
+        'preprocessing': {'language': 'en-us', 'cleaner_name':
+                          'english_cleaners', 'use_phonemes': True},
+    }
+    model = FastPitch.from_config(config)
+    x = jnp.ones((1, 16), jnp.int32)
+    variables = model.init({'params': jax.random.PRNGKey(0)}, x, 64,
+                           method='generate', x_len=jnp.asarray([12]))
+    p = tmp_path / 'fp.fjax'
+    save_checkpoint(variables, config, p, step=1)
+
+    with TTSServer(str(p), vocoder='griffinlim', max_batch=2,
+                   max_wait_ms=20.0, mel_bucket=128) as srv:
+        pcm = srv.synthesize('FastPitch serves too.', timeout=600)
+    assert pcm.dtype == np.int16 and len(pcm) > 0
