@@ -253,3 +253,29 @@ class ExportedTTS:
         mel_len = int(np.asarray(out['mel_len'])[0])
         hop = wav.shape[0] // max_t
         return wav[:mel_len * hop]
+
+    def synthesize_long(self, text: str, tokenize, alpha: float = 1.0,
+                        pitch_scale: float = 1.0,
+                        energy_scale: float = 1.0, speaker: int = 0,
+                        seed: int = 0, sample_rate: int = 22050,
+                        gap_ms: float = 120.0) -> np.ndarray:
+        """Article-length synthesis from a vocoder-fused artifact:
+        split on sentence boundaries (text/segmenter.py), synthesize
+        each within the exported buckets, concatenate with silence.
+        `tokenize` maps a sentence string to token ids (e.g.
+        `lambda s: Tokenizer()(Cleaner.from_config(cfg)(s))`) — the
+        artifact itself stores no text front-end."""
+        from forwardtacotron_tpu.text.segmenter import split_sentences
+        sentences = split_sentences(text)
+        if not sentences:
+            raise ValueError('no synthesizable text')
+        gap = np.zeros(int(sample_rate * gap_ms / 1000.0), np.int16)
+        out: list = []
+        for i, sent in enumerate(sentences):
+            if i:
+                out.append(gap)
+            out.append(self.synthesize(
+                tokenize(sent), alpha=alpha, pitch_scale=pitch_scale,
+                energy_scale=energy_scale, speaker=speaker,
+                seed=seed + i))
+        return np.concatenate(out) if len(out) > 1 else out[0]

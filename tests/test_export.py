@@ -268,3 +268,32 @@ def test_export_multispeaker_wavernn_combined(tmp_path):
     assert a.dtype == np.int16 and len(a) > 0
     # different speakers produce different audio through the same seed
     assert len(a) != len(b) or not np.array_equal(a, b)
+
+
+def test_exported_synthesize_long(tmp_path):
+    """Loader-side long-input synthesis: sentence-split, per-sentence
+    bucket calls, silence gaps."""
+    from forwardtacotron_tpu.models.hifigan import HiFiGANGenerator
+    from forwardtacotron_tpu.utils.export import (ExportedTTS,
+                                                  save_exported_tts)
+    model, variables = _tiny_model()
+    voc = HiFiGANGenerator(
+        resblock='2', upsample_rates=(4, 2), upsample_kernel_sizes=(8, 4),
+        upsample_initial_channel=16, resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 3),))
+    voc_vars = voc.init(jax.random.PRNGKey(1), jnp.zeros((1, 8, 80)))
+    path = tmp_path / 'long.ftexp'
+    save_exported_tts(model, variables, path, buckets=[(16, 128)],
+                      vocoder=(voc, voc_vars))
+    exported = ExportedTTS(path)
+
+    def tokenize(sentence):   # toy front-end: stable ids per char
+        return [1 + (ord(c) % 37) for c in sentence][:12]
+
+    pcm = exported.synthesize_long('One two. Three four! Five.',
+                                   tokenize, sample_rate=22050,
+                                   gap_ms=50.0)
+    parts = [exported.synthesize(tokenize(s))
+             for s in ('One two.', 'Three four!', 'Five.')]
+    gap = int(22050 * 50.0 / 1000.0)
+    assert len(pcm) == sum(len(p) for p in parts) + 2 * gap
