@@ -16,8 +16,14 @@ train_hifigan.py / gen_forward.py all run against it.
 from __future__ import annotations
 
 import argparse
+import pathlib
+import sys
 
 import numpy as np
+
+_ROOT = pathlib.Path(__file__).resolve().parent.parent
+if str(_ROOT) not in sys.path:
+    sys.path.insert(0, str(_ROOT))
 
 SENTENCES = [
     'hello there world', 'a quick brown fox jumps', 'testing one two',
