@@ -189,43 +189,73 @@ class TTSServer:
                         speaker: int = 0,
                         gap_ms: float = 120.0) -> np.ndarray:
         """Article-length synthesis: split `text` into sentences
-        (text/segmenter.py), submit them ALL at once so the dynamic
-        batcher packs them into shared device programs, and
-        concatenate the results with `gap_ms` of silence between
-        sentences. Per-dispatch latency stays bounded by sentence
-        length instead of the whole article."""
+        (text/segmenter.py), batch them through shared device
+        programs, and concatenate the results with `gap_ms` of
+        silence between sentences. Per-dispatch latency stays bounded
+        by sentence length instead of the whole article."""
+        out = list(self.synthesize_stream(
+            text, alpha, pitch_scale, energy_scale, timeout=timeout,
+            speaker=speaker, gap_ms=gap_ms, first_sentence_solo=False))
+        return np.concatenate(out) if len(out) > 1 else out[0]
+
+    def synthesize_stream(self, text: str, alpha: float = 1.0,
+                          pitch_scale: float = 1.0,
+                          energy_scale: float = 1.0,
+                          timeout: Optional[float] = None,
+                          speaker: int = 0,
+                          gap_ms: float = 120.0,
+                          first_sentence_solo: bool = True):
+        """Streaming article synthesis: a generator yielding int16 PCM
+        chunks (one per sentence, with `gap_ms` of silence between
+        them) in text order, each as soon as it is synthesized. First
+        audio arrives after the FIRST sentence's latency instead of
+        the whole article's; later sentences synthesize while earlier
+        audio plays. Sentences are submitted eagerly (without
+        blocking) so the dynamic batcher can pack them into shared
+        device programs; when the queue is full the generator blocks
+        on its own oldest in-flight sentence rather than busy-spinning
+        submit/shed.
+
+        first_sentence_solo: hold the remaining sentences back for one
+        batching window after submitting the first, so the batcher
+        dispatches sentence 1 in its own (small, fast) batch — first
+        audio at single-sentence latency even though the rest of the
+        article batches densely behind it. synthesize_long turns this
+        off (no streaming consumer, so dense batching wins)."""
         from forwardtacotron_tpu.text.segmenter import split_sentences
         sentences = split_sentences(text)
         if not sentences:
             raise ValueError('no synthesizable text')
-        futures: List[Future] = []
-        for s in sentences:
-            while True:
-                try:
-                    futures.append(self.submit(
-                        s, alpha, pitch_scale, energy_scale,
-                        speaker=speaker))
-                    break
-                except ServerOverloaded:
-                    if not futures:
-                        raise        # queue full of OTHER callers' work
-                    # our own backlog filled the queue: block on the
-                    # oldest unresolved sentence; when the backlog is
-                    # actually other callers' work, back off instead
-                    # of busy-spinning submit/shed
-                    pending = next((f for f in futures if not f.done()),
-                                   None)
-                    if pending is not None:
-                        pending.result(timeout)
-                    else:
-                        time.sleep(self.max_wait_s or 0.05)
         gap = np.zeros(int(self.sample_rate * gap_ms / 1000.0), np.int16)
-        out: List[np.ndarray] = []
-        for i, f in enumerate(futures):
-            if i:
-                out.append(gap)
-            out.append(f.result(timeout))
-        return np.concatenate(out) if len(out) > 1 else out[0]
+        pending: deque = deque()
+        next_i = 0
+        for emitted in range(len(sentences)):
+            # top up the in-flight window as far as the queue allows
+            while next_i < len(sentences):
+                if first_sentence_solo and next_i == 1:
+                    # let the batcher's collect window close on the
+                    # first sentence before enqueueing the rest
+                    time.sleep(1.5 * self.max_wait_s + 0.002)
+                    first_sentence_solo = False
+                try:
+                    pending.append(self.submit(
+                        sentences[next_i], alpha, pitch_scale,
+                        energy_scale, speaker=speaker))
+                    next_i += 1
+                except ServerOverloaded:
+                    if next_i == 0:
+                        raise      # queue full of OTHER callers' work
+                    if not pending:
+                        # everything of ours resolved but the queue is
+                        # (still) full of other callers' work — back
+                        # off and retry rather than busy-spinning
+                        time.sleep(self.max_wait_s or 0.05)
+                        continue
+                    break
+            pcm = pending.popleft().result(timeout)
+            if emitted:
+                yield gap
+            yield pcm
 
     def close(self) -> None:
         with self._submit_lock:
@@ -643,11 +673,27 @@ def wav_bytes(pcm16: np.ndarray, sample_rate: int) -> bytes:
     return buf.getvalue()
 
 
+def wav_stream_header(sample_rate: int) -> bytes:
+    """RIFF/WAV header for a live stream of unknown length: the RIFF
+    and data chunk sizes are 0xFFFFFFFF, which players treat as
+    'read until the connection closes' (the standard trick for
+    chunked/live WAV over HTTP)."""
+    import struct
+    channels, bits = 1, 16
+    byte_rate = sample_rate * channels * bits // 8
+    return (b'RIFF' + struct.pack('<I', 0xFFFFFFFF) + b'WAVEfmt '
+            + struct.pack('<IHHIIHH', 16, 1, channels, sample_rate,
+                          byte_rate, channels * bits // 8, bits)
+            + b'data' + struct.pack('<I', 0xFFFFFFFF))
+
+
 def make_http_server(server: TTSServer, host: str = '127.0.0.1',
                      port: int = 8000):
     """Minimal stdlib HTTP front: POST /tts {"text", "alpha",
     "pitch_scale"|"amp", "energy_scale", "speaker",
-    "split_sentences"} -> audio/wav;
+    "split_sentences"} -> audio/wav; POST /tts_stream (same payload)
+    -> chunked audio/wav streamed sentence-by-sentence as synthesis
+    completes (first audio after one sentence's latency);
     GET /healthz -> 200 ok; GET /stats -> JSON telemetry (counters,
     queue depth, latency percentiles). Concurrent connections batch
     through the TTSServer's dynamic batcher."""
@@ -656,6 +702,9 @@ def make_http_server(server: TTSServer, host: str = '127.0.0.1',
                              ThreadingHTTPServer)
 
     class Handler(BaseHTTPRequestHandler):
+        # chunked transfer-encoding (the /tts_stream response) needs 1.1
+        protocol_version = 'HTTP/1.1'
+
         def log_message(self, *args):  # quiet
             pass
 
@@ -675,7 +724,7 @@ def make_http_server(server: TTSServer, host: str = '127.0.0.1',
             self.wfile.write(body)
 
         def do_POST(self):
-            if self.path != '/tts':
+            if self.path not in ('/tts', '/tts_stream'):
                 self.send_error(404)
                 return
             try:
@@ -686,11 +735,7 @@ def make_http_server(server: TTSServer, host: str = '127.0.0.1',
                 # deadline so a wedged batch can't hold the socket
                 timeout = None if server.request_timeout_s is None \
                     else server.request_timeout_s + 10.0
-                synth = (server.synthesize_long
-                         if payload.get('split_sentences')
-                         else server.synthesize)
-                pcm = synth(
-                    text,
+                kwargs = dict(
                     alpha=float(payload.get('alpha', 1.0)),
                     pitch_scale=float(payload.get(
                         'pitch_scale', payload.get('amp', 1.0))),
@@ -698,6 +743,13 @@ def make_http_server(server: TTSServer, host: str = '127.0.0.1',
                                                    1.0)),
                     speaker=int(payload.get('speaker', 0)),
                     timeout=timeout)
+                if self.path == '/tts_stream':
+                    self._stream_tts(text, kwargs)
+                    return
+                synth = (server.synthesize_long
+                         if payload.get('split_sentences')
+                         else server.synthesize)
+                pcm = synth(text, **kwargs)
                 body = wav_bytes(pcm, server.sample_rate)
                 self.send_response(200)
                 self.send_header('Content-Type', 'audio/wav')
@@ -717,5 +769,37 @@ def make_http_server(server: TTSServer, host: str = '127.0.0.1',
                 self.send_error(504, 'request deadline exceeded')
             except Exception as e:  # pragma: no cover - defensive
                 self.send_error(500, f'{type(e).__name__}: {e}')
+
+        def _stream_tts(self, text: str, kwargs: dict) -> None:
+            """Chunked-transfer streaming synthesis: the first PCM
+            chunk is synthesized BEFORE the status line goes out (so
+            overload/bad-input still map to proper status codes), then
+            each sentence's audio is flushed to the client as soon as
+            the device produces it."""
+            chunks = server.synthesize_stream(text, **kwargs)
+            first = next(chunks)           # errors -> outer handler
+            self.send_response(200)
+            self.send_header('Content-Type', 'audio/wav')
+            self.send_header('Transfer-Encoding', 'chunked')
+            self.end_headers()
+
+            def write_chunk(b: bytes) -> None:
+                self.wfile.write(f'{len(b):X}\r\n'.encode('ascii'))
+                self.wfile.write(b)
+                self.wfile.write(b'\r\n')
+                self.wfile.flush()
+
+            try:
+                write_chunk(wav_stream_header(server.sample_rate)
+                            + np.ascontiguousarray(
+                                first, np.int16).tobytes())
+                for pcm in chunks:
+                    write_chunk(np.ascontiguousarray(
+                        pcm, np.int16).tobytes())
+                self.wfile.write(b'0\r\n\r\n')
+            except Exception:
+                # mid-stream failure: headers are out, so the only
+                # correct signal is an aborted (unterminated) stream
+                self.close_connection = True
 
     return ThreadingHTTPServer((host, port), Handler)

@@ -145,6 +145,79 @@ def test_synthesize_long_splits_and_concatenates(server):
     assert np.abs(pcm[off:off + gap]).max() == 0
 
 
+def test_synthesize_stream_yields_sentence_chunks(server):
+    """synthesize_stream yields (pcm, gap, pcm, gap, pcm) in text
+    order; each chunk matches single-sentence synthesis and the
+    concatenation equals synthesize_long."""
+    from forwardtacotron_tpu.text.segmenter import split_sentences
+    text = 'Hello there world. How is it going? All good here.'
+    sentences = split_sentences(text)
+    chunks = list(server.synthesize_stream(text, timeout=600,
+                                           gap_ms=100.0))
+    assert len(chunks) == 2 * len(sentences) - 1
+    gap = int(server.sample_rate * 100.0 / 1000.0)
+    for i, c in enumerate(chunks):
+        assert c.dtype == np.int16
+        if i % 2:                      # odd positions are the gaps
+            assert len(c) == gap and np.abs(c).max() == 0
+    # per-sentence chunks have single-sentence lengths (batched ==
+    # single is allclose, not bit-exact: griffinlim's 32 FFT rounds
+    # amplify float-accumulation noise before int16 quantization, so
+    # exact sample equality is not the contract here)
+    parts = [server.synthesize(s, timeout=600) for s in sentences]
+    for got, want in zip(chunks[::2], parts):
+        assert len(got) == len(want)
+
+
+def test_stream_first_sentence_dispatches_solo(server):
+    """synthesize_stream holds sentences 2..N back for one batching
+    window, so the first chunk's latency is a B=1 batch, not the whole
+    article's batch."""
+    server.batch_sizes.clear()
+    chunks = list(server.synthesize_stream(
+        'One sentence here. Two sentences here. Three sentences here.',
+        timeout=600))
+    assert len(chunks) == 5
+    assert server.batch_sizes[0] == 1       # first sentence rode alone
+    assert sum(server.batch_sizes) == 3
+
+
+def test_http_streaming_endpoint(server):
+    """POST /tts_stream returns chunked audio/wav playable as a live
+    stream: RIFF header with 0xFFFFFFFF sizes + the same PCM bytes
+    synthesize_long produces."""
+    import http.client
+    import json
+    from forwardtacotron_tpu.serving import make_http_server
+    httpd = make_http_server(server, '127.0.0.1', 0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        text = 'Stream me please. Another sentence here.'
+        conn = http.client.HTTPConnection('127.0.0.1', port, timeout=600)
+        conn.request('POST', '/tts_stream',
+                     body=json.dumps({'text': text}),
+                     headers={'Content-Type': 'application/json'})
+        r = conn.getresponse()
+        assert r.status == 200
+        assert r.headers['Content-Type'] == 'audio/wav'
+        assert r.headers.get('Transfer-Encoding') == 'chunked'
+        body = r.read()
+        conn.close()
+        assert body[:4] == b'RIFF' and body[8:12] == b'WAVE'
+        assert body[4:8] == b'\xff\xff\xff\xff'    # live-stream size
+        pcm = np.frombuffer(body[44:], np.int16)
+        # same total samples as the non-streaming article path (exact
+        # sample equality is not guaranteed across separate runs: batch
+        # composition varies with timing and batched==single is
+        # allclose, not bit-exact, through griffinlim)
+        want = server.synthesize_long(text, timeout=600)
+        assert len(pcm) == len(want)
+    finally:
+        httpd.shutdown()
+
+
 def test_stats_counters(server):
     """stats() tracks submissions/completions and windows latencies."""
     before = server.stats()
