@@ -53,6 +53,11 @@ class Paths:
         self.hifigan_top_k = self.hifigan_checkpoints / 'top_k_models'
         self.hifigan_log = self.hifigan_checkpoints / 'logs'
 
+        # beyond the reference: the teacher-free neural aligner
+        self.aligner_checkpoints = (self.base / 'checkpoints'
+                                    / f'{tts_id}.aligner')
+        self.aligner_log = self.aligner_checkpoints / 'logs'
+
         self.create_paths()
 
     def create_paths(self) -> None:
@@ -62,5 +67,6 @@ class Paths:
                   self.taco_checkpoints, self.taco_top_k, self.taco_log,
                   self.forward_checkpoints, self.forward_top_k,
                   self.forward_log, self.hifigan_checkpoints,
-                  self.hifigan_top_k, self.hifigan_log]:
+                  self.hifigan_top_k, self.hifigan_log,
+                  self.aligner_checkpoints, self.aligner_log]:
             os.makedirs(p, exist_ok=True)

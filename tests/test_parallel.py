@@ -337,3 +337,58 @@ def test_sharded_fast_pitch_train_step_matches_single_device():
                     jax.tree.leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-4)
+
+
+def test_sharded_aligner_train_step_matches_single_device():
+    """The teacher-free aligner's train step under the (4, 2) DP+TP
+    mesh: the forward-sum DP scan and pairwise-score contraction are
+    sharding-invariant; loss and updated params match one device."""
+    from forwardtacotron_tpu.align.aligner import Aligner
+    from forwardtacotron_tpu.parallel import mesh as pmesh
+    from forwardtacotron_tpu.train import common as tc
+    from forwardtacotron_tpu.train.aligner_trainer import (
+        build_aligner_train_step)
+
+    rngs = np.random.RandomState(0)
+    B, N, T, M, vocab = 8, 6, 20, 8, 12
+    model = Aligner(vocab_size=vocab, n_mels=M, embed_dims=16,
+                    conv_dims=16, key_dims=8, n_text_convs=1,
+                    n_mel_convs=1, dropout=0.0, prior_width=6.0)
+    batch = {
+        'x': jnp.asarray(rngs.randint(1, vocab, (B, N)), jnp.int32),
+        'mel': jnp.asarray(rngs.randn(B, T, M).astype(np.float32)),
+        'x_len': jnp.asarray([N, N, 4, N, 5, N, N, 3], jnp.int32),
+        'mel_len': jnp.asarray([T, 12, 9, T, 11, 15, T, 8], jnp.int32),
+    }
+    rng = jax.random.PRNGKey(0)
+    variables = model.init({'params': rng, 'dropout': rng}, batch['x'],
+                           batch['mel'], batch['x_len'],
+                           batch['mel_len'], train=True)
+    optimizer = tc.make_optimizer(1.0, lr=1e-3)
+
+    def fresh_state():
+        return tc.TrainState(
+            params=jax.tree.map(jnp.array, variables['params']),
+            batch_stats={},
+            opt_state=optimizer.init(variables['params']),
+            step=jnp.asarray(0, jnp.int32))
+
+    step_fn = build_aligner_train_step(model, optimizer)
+    s1, m1 = jax.jit(step_fn)(fresh_state(), batch, rng)
+    loss1 = float(m1['loss'])
+
+    mesh = pmesh.make_mesh(n_data=4, n_model=2)
+    state_sh = pmesh.state_shardings(mesh, fresh_state())
+    batch_sh = pmesh.batch_shardings(mesh, batch)
+    state2 = jax.device_put(fresh_state(), state_sh)
+    batch2 = jax.device_put(batch, batch_sh)
+    s2, m2 = jax.jit(step_fn, in_shardings=(state_sh, batch_sh, None))(
+        state2, batch2, rng)
+    loss2 = float(m2['loss'])
+
+    assert np.isfinite(loss1) and np.isfinite(loss2)
+    np.testing.assert_allclose(loss1, loss2, rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(s1.params),
+                    jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4)
