@@ -433,6 +433,26 @@ def _bench_wavernn(config) -> dict:
             out['vocoder_long_rtf'] = round(dt_l / long_s, 5)
             out['vocoder_long_seconds'] = round(long_s, 1)
 
+        # batched serving (the production config, serving.py
+        # vocode_batch): 4 utterances in ONE fused dispatch — the
+        # per-call tunnel round-trip amortizes across the batch, so
+        # this is the per-utterance RTF a real server delivers.
+        from forwardtacotron_tpu.models.wavernn import vocode_batch
+        mels4 = [np.asarray(mel[0])] + [
+            (np.random.RandomState(10 + i)
+             .randn(T_win, model.feat_dims).astype(np.float32) * 2 - 8)
+            for i in range(3)]
+        _ = vocode_batch(model, variables, mels4, pcm16=True)
+        ts_b = []
+        for i in range(4):
+            t0 = time.perf_counter()
+            waves = vocode_batch(model, variables, mels4, seed=i,
+                                 pcm16=True)
+            ts_b.append(time.perf_counter() - t0)
+        dt_b = sorted(ts_b)[len(ts_b) // 2]
+        batch_audio_s = sum(len(w) for w in waves) / model.sample_rate
+        out['vocoder_rtf_batched4'] = round(dt_b / batch_audio_s, 5)
+
         from forwardtacotron_tpu.models.streaming import stream_wav
         it = stream_wav(model, variables, mel_2d, group=8)
         next(it)                             # compile
