@@ -188,6 +188,14 @@ def collate_tts(batch: List[Dict], r: int,
     return out
 
 
+def _epoch_seed(seed: int, epoch: int, batch: int = -1) -> int:
+    """Deterministic per-(epoch[, batch]) RNG seed. Plain integer
+    mixing (no hash()) so the value is stable across processes
+    regardless of PYTHONHASHSEED."""
+    v = (seed * 1_000_003 + epoch) * 1_000_003 + (batch + 1)
+    return v % (2 ** 31 - 1)
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -214,7 +222,8 @@ class BucketBatcher:
         self.x_multiple = x_multiple
         self.shuffle = shuffle
         self.drop_last = drop_last
-        self.rng = random.Random(seed)
+        self.seed = seed
+        self._epoch = 0  # next epoch yielded by plain iter()
         self._n_mels: Optional[int] = None
 
         # metadata pass: mel_len per item (cheap: from dataset index)
@@ -314,21 +323,36 @@ class BucketBatcher:
                                         dtype=np.int32)
         return out
 
-    def __iter__(self):
+    def epoch_plan(self, epoch: int) -> List[tuple]:
+        """The batch plan for one epoch as a pure function of
+        (seed, epoch): shuffling never consumes mutable RNG state, so a
+        resumed run replays the exact data order of an uninterrupted
+        one (the torch DistributedSampler.set_epoch idiom). Returns
+        [(bucket, [item idx, ...]), ...]."""
+        rng = random.Random(_epoch_seed(self.seed, epoch))
         plan = []
         for bucket, idxs in self.buckets.items():
             idxs = list(idxs)
             if self.shuffle:
-                self.rng.shuffle(idxs)
+                rng.shuffle(idxs)
             for i in range(0, len(idxs), self.batch_size):
                 chunk = idxs[i:i + self.batch_size]
                 if len(chunk) < self.batch_size and self.drop_last:
                     continue
                 plan.append((bucket, chunk))
         if self.shuffle:
-            self.rng.shuffle(plan)
-        for bucket, chunk in plan:
+            rng.shuffle(plan)
+        return plan
+
+    def batches(self, epoch: int, start: int = 0):
+        """Yield epoch `epoch`'s batches from position `start` — the
+        mid-epoch resume entry point used by the trainers."""
+        for bucket, chunk in self.epoch_plan(epoch)[start:]:
             yield self._make_batch(bucket, chunk)
+
+    def __iter__(self):
+        epoch, self._epoch = self._epoch, self._epoch + 1
+        return self.batches(epoch)
 
 
 def get_tts_datasets(path: Path, batch_size: int, r: int,
@@ -529,23 +553,40 @@ class VocBatcher:
         self.batch_size = batch_size
         self.collator = collator
         self.shuffle = shuffle
-        self.rng = random.Random(seed)
+        self.seed = seed
+        self._epoch = 0  # next epoch yielded by plain iter()
+        # fixed-rng collators (val sets) keep their injected rng; the
+        # train path reseeds per batch for mid-epoch exact resume
+        self._reseed_collator = shuffle
 
     def __len__(self) -> int:
         return len(self.dataset) // self.batch_size
 
-    def __iter__(self):
-        import os
+    def epoch_plan(self, epoch: int) -> List[List[int]]:
+        """Item-index chunks for one epoch, a pure function of
+        (seed, epoch) — see BucketBatcher.epoch_plan."""
         idxs = list(range(len(self.dataset)))
         if self.shuffle:
-            self.rng.shuffle(idxs)
+            random.Random(_epoch_seed(self.seed, epoch)).shuffle(idxs)
+        return [idxs[i:i + self.batch_size]
+                for i in range(0, len(idxs) - self.batch_size + 1,
+                               self.batch_size)]
+
+    def batches(self, epoch: int, start: int = 0):
+        """Yield epoch `epoch`'s batches from position `start`. The
+        collator's random window offsets are reseeded per (epoch,
+        batch index) so a resumed run draws the exact crops an
+        uninterrupted one would."""
+        import os
         use_native = (os.environ.get('FTT_NATIVE_LOADER') != '0'
                       and hasattr(self.collator, 'collate_native')
                       and hasattr(self.dataset, 'mel_len'))
         if use_native and hasattr(self.dataset, 'prime_len_cache'):
             self.dataset.prime_len_cache()
-        for i in range(0, len(idxs) - self.batch_size + 1, self.batch_size):
-            chunk = idxs[i:i + self.batch_size]
+        for b, chunk in enumerate(self.epoch_plan(epoch)[start:], start):
+            if self._reseed_collator:
+                self.collator.rng = np.random.RandomState(
+                    _epoch_seed(self.seed, epoch, b))
             if use_native:
                 ds = self.dataset
                 ids = [ds.metadata[j] for j in chunk]
@@ -556,6 +597,10 @@ class VocBatcher:
             else:
                 items = [self.dataset[j] for j in chunk]
                 yield self.collator(items)
+
+    def __iter__(self):
+        epoch, self._epoch = self._epoch, self._epoch + 1
+        return self.batches(epoch)
 
 
 def get_vocoder_datasets(path: Path, batch_size: int, train_gta: bool,

@@ -125,7 +125,9 @@ class AlignerTrainer:
         rng = jax.random.PRNGKey(seed)
         tc.install_preemption_handler()
 
+        session_start = 0
         for i, (lr, max_step, bs) in enumerate(schedule, 1):
+            prev_max, session_start = session_start, max_step
             if tc.preempted():
                 break
             if max_steps_override is not None:
@@ -153,11 +155,13 @@ class AlignerTrainer:
                           ('max_step', max_step), ('batch_size', bs),
                           ('batches/epoch', len(train_set))])
             state = self._session(model, optimizer, state, lr,
-                                  max_step, train_set, val_set, rng)
+                                  max_step, train_set, val_set, rng,
+                                  session_start=prev_max)
         return state
 
     def _session(self, model, optimizer, state, lr, max_step,
-                 train_set, val_set, rng) -> tc.TrainState:
+                 train_set, val_set, rng,
+                 session_start: int = 0) -> tc.TrainState:
         train_step = jax.jit(build_aligner_train_step(model, optimizer),
                              donate_argnums=(0,))
         eval_step = build_aligner_eval_step(model)
@@ -168,7 +172,13 @@ class AlignerTrainer:
         avg, t0 = tc.Averager(), time.time()
         ckpt_every = int(self.train_cfg.get('checkpoint_every', 10_000))
         while int(state.step) < max_step and not tc.preempted():
-            for batch in Prefetcher(train_set):
+            # mid-epoch exact resume (common.py: resume_position)
+            epoch, start = tc.resume_position(int(state.step),
+                                              session_start,
+                                              len(train_set))
+            batches = train_set.batches(epoch, start) \
+                if hasattr(train_set, 'batches') else train_set
+            for batch in Prefetcher(batches):
                 state, metrics = train_step(state,
                                             self._shard_batch(batch),
                                             rng)

@@ -107,7 +107,8 @@ class Averager:
 
 class TTSSession:
     def __init__(self, index: int, r: int, lr: float, max_step: int,
-                 bs: int, train_set, val_set) -> None:
+                 bs: int, train_set, val_set,
+                 start_step: int = 0) -> None:
         self.index = index
         self.r = r
         self.lr = lr
@@ -115,13 +116,15 @@ class TTSSession:
         self.bs = bs
         self.train_set = train_set
         self.val_set = val_set
+        self.start_step = start_step
         self.val_sample = val_set.first_batch() if hasattr(
             val_set, 'first_batch') else None
 
 
 class VocSession:
     def __init__(self, index: int, lr: float, max_step: int, bs: int,
-                 train_set, val_set, val_set_samples) -> None:
+                 train_set, val_set, val_set_samples,
+                 start_step: int = 0) -> None:
         self.index = index
         self.lr = lr
         self.max_step = max_step
@@ -129,6 +132,24 @@ class VocSession:
         self.train_set = train_set
         self.val_set = val_set
         self.val_set_samples = val_set_samples
+        self.start_step = start_step
+
+
+def resume_position(current_step: int, session_start: int,
+                    iters_per_epoch: int) -> Tuple[int, int]:
+    """Mid-epoch exact resume: where in the session's data stream step
+    `current_step` sits. Sessions always begin at a schedule boundary
+    (`session_start` = the previous session's max_step) and every step
+    consumes exactly one batch, so the (epoch, batch offset) a resumed
+    run must continue from is a pure function of the step count — no
+    extra checkpoint payload. Paired with the epoch-seeded batchers
+    (data/dataset.py: BucketBatcher.epoch_plan / VocBatcher.epoch_plan)
+    this makes interrupt+resume bit-identical to an uninterrupted run;
+    the reference (trainer/forward_trainer.py) restarts epochs with a
+    fresh shuffle on resume."""
+    done = max(int(current_step) - int(session_start), 0)
+    iters = max(int(iters_per_epoch), 1)
+    return done // iters, done % iters
 
 
 @struct.dataclass

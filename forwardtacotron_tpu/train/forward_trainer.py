@@ -80,7 +80,9 @@ class ForwardTrainer:
         rng = jax.random.PRNGKey(seed)
         tc.install_preemption_handler()
 
+        session_start = 0
         for i, (lr, max_step, bs) in enumerate(schedule, 1):
+            prev_max, session_start = session_start, max_step
             if tc.preempted():
                 break
             if max_steps_override is not None:
@@ -103,7 +105,7 @@ class ForwardTrainer:
                     'attention scores (filter_attention) and max_mel_len.')
             session = tc.TTSSession(index=i, r=1, lr=lr, max_step=max_step,
                                     bs=bs, train_set=train_set,
-                                    val_set=val_set)
+                                    val_set=val_set, start_step=prev_max)
             if state is None:
                 example = session.val_sample if session.val_sample \
                     is not None else next(iter(train_set))
@@ -136,7 +138,14 @@ class ForwardTrainer:
         current_step = int(state.step)
         training_steps = session.max_step - current_step
         total_iters = len(session.train_set)
-        epochs = max(training_steps // max(total_iters, 1) + 1, 1)
+        # mid-epoch exact resume: continue the epoch-seeded data stream
+        # exactly where step `current_step` left it (common.py:
+        # resume_position)
+        epoch0, offset0 = tc.resume_position(current_step,
+                                             session.start_step,
+                                             total_iters)
+        epochs = max((training_steps + offset0) // max(total_iters, 1) + 1,
+                     1)
         simple_table([('Steps', str(training_steps // 1000) + 'k Steps'),
                       ('Batch Size', session.bs),
                       ('Learning Rate', session.lr)])
@@ -157,7 +166,12 @@ class ForwardTrainer:
         duration_avg, pitch_loss_avg = tc.Averager(), tc.Averager()
 
         for e in range(1, epochs + 1):
-            for i, batch in enumerate(Prefetcher(session.train_set), 1):
+            epoch = epoch0 + e - 1
+            start = offset0 if epoch == epoch0 else 0
+            batches = session.train_set.batches(epoch, start) \
+                if hasattr(session.train_set, 'batches') \
+                else session.train_set
+            for i, batch in enumerate(Prefetcher(batches), start + 1):
                 start = time.time()
                 step_rng = jax.random.fold_in(rng, int(state.step))
                 jbatch = self._shard_batch(_batch_to_device(batch))

@@ -130,7 +130,9 @@ class VocTrainer:
         rng = jax.random.PRNGKey(seed)
         tc.install_preemption_handler()
 
+        session_start = 0
         for i, (lr, max_step, bs) in enumerate(schedule, 1):
+            prev_max, session_start = session_start, max_step
             if tc.preempted():
                 break
             if max_steps_override is not None:
@@ -148,7 +150,8 @@ class VocTrainer:
             session = tc.VocSession(index=i, lr=lr, max_step=max_step,
                                     bs=bs, train_set=train_set,
                                     val_set=val_set,
-                                    val_set_samples=val_set_samples)
+                                    val_set_samples=val_set_samples,
+                                    start_step=prev_max)
             if state is None:
                 example = _to_jnp(next(iter(train_set)))
                 variables = model.init(rng, example['x'], example['mel'],
@@ -180,7 +183,12 @@ class VocTrainer:
         current_step = int(state.step)
         training_steps = session.max_step - current_step
         total_iters = len(session.train_set)
-        epochs = max(training_steps // max(total_iters, 1) + 1, 1)
+        # mid-epoch exact resume (common.py: resume_position)
+        epoch0, offset0 = tc.resume_position(current_step,
+                                             session.start_step,
+                                             total_iters)
+        epochs = max((training_steps + offset0) // max(total_iters, 1) + 1,
+                     1)
         simple_table([('Remaining', str(training_steps // 1000) + 'k Steps'),
                       ('Batch Size', session.bs),
                       ('LR', session.lr),
@@ -196,7 +204,12 @@ class VocTrainer:
 
         loss_avg, duration_avg = tc.Averager(), tc.Averager()
         for e in range(1, epochs + 1):
-            for i, batch in enumerate(Prefetcher(session.train_set), 1):
+            epoch = epoch0 + e - 1
+            start = offset0 if epoch == epoch0 else 0
+            batches = session.train_set.batches(epoch, start) \
+                if hasattr(session.train_set, 'batches') \
+                else session.train_set
+            for i, batch in enumerate(Prefetcher(batches), start + 1):
                 start = time.time()
                 state, metrics = train_step(state,
                                             self._shard_batch(_to_jnp(batch)))
