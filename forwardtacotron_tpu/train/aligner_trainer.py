@@ -31,7 +31,6 @@ from forwardtacotron_tpu.align.aligner import (aligner_from_config,
                                                forward_sum_loss)
 from forwardtacotron_tpu.data.dataset import Prefetcher, get_tts_datasets
 from forwardtacotron_tpu.train import common as tc
-from forwardtacotron_tpu.utils.checkpoints import save_checkpoint
 from forwardtacotron_tpu.utils.display import simple_table, stream
 from forwardtacotron_tpu.utils.files import parse_schedule
 from forwardtacotron_tpu.utils.paths import Paths
@@ -92,6 +91,10 @@ class AlignerTrainer:
         if self.mesh is None and len(jax.devices()) > 1:
             from forwardtacotron_tpu.parallel.mesh import mesh_from_config
             self.mesh = mesh_from_config(config)
+        # background checkpoint writes (utils/async_ckpt.py)
+        from forwardtacotron_tpu.utils.async_ckpt import \
+            AsyncCheckpointWriter
+        self._ckpt = AsyncCheckpointWriter()
 
     def _shard_state(self, state: tc.TrainState) -> tc.TrainState:
         from forwardtacotron_tpu.parallel import mesh as pmesh
@@ -171,10 +174,27 @@ class AlignerTrainer:
             step=state.step)
         avg, t0 = tc.Averager(), time.time()
         ckpt_every = int(self.train_cfg.get('checkpoint_every', 10_000))
-        while int(state.step) < max_step and not tc.preempted():
+        # async step loop: host-side counter + one-iteration-late metric
+        # fetch (same scheme as forward_trainer.train_session)
+        step = int(state.step)
+        pending = None
+
+        def flush_metrics(p) -> None:
+            nonlocal t0
+            metrics, pstep = p
+            avg.add(float(metrics['loss']))  # blocks on that step
+            if pstep % 10 == 0:
+                sps = 10 / max(time.time() - t0, 1e-9)
+                t0 = time.time()
+                stream(f'| Aligner step {pstep}/{max_step} '
+                       f'loss {avg.get():.4f} {sps:.1f} steps/s ')
+                self.writer.add_scalar('aligner/loss',
+                                       avg.get(), pstep)
+                avg.reset()
+
+        while step < max_step and not tc.preempted():
             # mid-epoch exact resume (common.py: resume_position)
-            epoch, start = tc.resume_position(int(state.step),
-                                              session_start,
+            epoch, start = tc.resume_position(step, session_start,
                                               len(train_set))
             batches = train_set.batches(epoch, start) \
                 if hasattr(train_set, 'batches') else train_set
@@ -182,26 +202,23 @@ class AlignerTrainer:
                 state, metrics = train_step(state,
                                             self._shard_batch(batch),
                                             rng)
-                step = int(state.step)
-                avg.add(float(metrics['loss']))
-                if step % 10 == 0:
-                    sps = 10 / max(time.time() - t0, 1e-9)
-                    t0 = time.time()
-                    stream(f'| Aligner step {step}/{max_step} '
-                           f'loss {avg.get():.4f} {sps:.1f} steps/s ')
-                    self.writer.add_scalar('aligner/loss',
-                                           avg.get(), step)
-                    avg.reset()
+                step += 1
+                if pending is not None:
+                    flush_metrics(pending)
+                pending = (metrics, step)
                 if step % ckpt_every == 0 or step >= max_step:
                     val = self._evaluate(eval_step, state, val_set)
                     self.writer.add_scalar('aligner/val_loss', val, step)
-                    save_checkpoint(
+                    self._ckpt.save(
                         state.variables, self.config,
                         self.paths.aligner_checkpoints
                         / 'latest_model.fjax',
                         opt_state=state.opt_state, step=step)
                 if step >= max_step or tc.preempted():
                     break
+        if pending is not None:
+            flush_metrics(pending)
+        self._ckpt.wait()  # checkpoint durable before the session returns
         return state
 
     def _evaluate(self, eval_step, state, val_set) -> float:

@@ -391,12 +391,17 @@ class TopKTracker:
     Persists its index to `<directory>/top_k.pkl` so resumes continue
     the same leaderboard."""
 
-    def __init__(self, directory, k: int, prefix: str) -> None:
+    def __init__(self, directory, k: int, prefix: str,
+                 ckpt_writer=None) -> None:
         from pathlib import Path
         from forwardtacotron_tpu.utils.files import unpickle_binary
         self.directory = Path(directory)
         self.k = int(k)
         self.prefix = prefix
+        # optional AsyncCheckpointWriter: top-k payloads can be hundreds
+        # of MB; saving them synchronously stalls every improving epoch
+        # boundary for the device->host fetch (utils/async_ckpt.py)
+        self.ckpt_writer = ckpt_writer
         self.index_path = self.directory / 'top_k.pkl'
         self.entries = []  # [(score, step, filename)]
         if self.index_path.exists():
@@ -415,8 +420,13 @@ class TopKTracker:
                 and score >= max(e[0] for e in self.entries):
             return False
         name = f'{self.prefix}_step{step}_score{score:.5f}.fjax'
-        save_checkpoint(variables, config, self.directory / name,
-                        opt_state=opt_state, step=step)
+        if self.ckpt_writer is not None:
+            self.ckpt_writer.save(variables, config,
+                                  self.directory / name,
+                                  opt_state=opt_state, step=step)
+        else:
+            save_checkpoint(variables, config, self.directory / name,
+                            opt_state=opt_state, step=step)
         self.entries.append((float(score), int(step), name))
         self.entries.sort(key=lambda e: e[0])
         for _, _, old in self.entries[self.k:]:

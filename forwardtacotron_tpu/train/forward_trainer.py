@@ -19,7 +19,6 @@ import numpy as np
 
 from forwardtacotron_tpu.data.dataset import Prefetcher, get_tts_datasets
 from forwardtacotron_tpu.train import common as tc
-from forwardtacotron_tpu.utils.checkpoints import save_checkpoint
 from forwardtacotron_tpu.utils.decorators import ignore_exception
 from forwardtacotron_tpu.utils.display import (log_audio, plot_mel,
                                                plot_pitch, simple_table,
@@ -56,6 +55,12 @@ class ForwardTrainer:
         self._tracer = StepTraceController()
         self._eval_step = None
         self._top_k = None
+        # background checkpoint writes: the step loop pays one HBM
+        # snapshot dispatch, never the device->host fetch + disk IO
+        # (utils/async_ckpt.py)
+        from forwardtacotron_tpu.utils.async_ckpt import \
+            AsyncCheckpointWriter
+        self._ckpt = AsyncCheckpointWriter()
         # multi-device: shard batches over 'data', wide weights over
         # 'model' (GSPMD; parallel/mesh.py). None = single device.
         self.mesh = mesh
@@ -165,6 +170,49 @@ class ForwardTrainer:
         m_loss_avg, dur_loss_avg = tc.Averager(), tc.Averager()
         duration_avg, pitch_loss_avg = tc.Averager(), tc.Averager()
 
+        # Async step loop: `step` is a host-side counter (one train_step
+        # == one step, the invariant resume_position already relies on),
+        # and each step's metrics are fetched one iteration LATE — after
+        # the next step has been dispatched. The old pattern
+        # (int(state.step) + float(metrics) every iteration) forced a
+        # full device round-trip per step, idling the TPU during host
+        # logging/TB IO; now fetch, logging, and the next upload overlap
+        # with device compute. Loss values in logs lag by one step.
+        step = current_step
+        pending = None  # (metrics, step, epoch disp, batch idx, mel shape)
+        last_t = time.time()
+
+        def flush_metrics(p) -> None:
+            nonlocal last_t
+            metrics, pstep, pe, pi, mel_shape = p
+            m_loss = float(metrics['mel_loss'])  # blocks on that step
+            dur_loss = float(metrics['dur_loss'])
+            pitch_loss = float(metrics['pitch_loss'])
+            m_loss_avg.add(m_loss)
+            dur_loss_avg.add(dur_loss)
+            pitch_loss_avg.add(pitch_loss)
+            now = time.time()
+            duration_avg.add(now - last_t)
+            last_t = now
+            speed = 1.0 / max(duration_avg.get(), 1e-9)
+            msg = (f'| Epoch: {pe}/{epochs} ({pi}/{total_iters}) '
+                   f'| Mel Loss: {m_loss_avg.get():#.4} '
+                   f'| Dur Loss: {dur_loss_avg.get():#.4} '
+                   f'| Pitch Loss: {pitch_loss_avg.get():#.4} '
+                   f'| {speed:#.2} steps/s | Step: {pstep // 1000}k | ')
+            w = self.writer
+            w.add_scalar('Perf/steps_per_sec', speed, pstep)
+            w.add_scalar('Perf/mel_frames_per_sec',
+                         speed * mel_shape[0] * mel_shape[1], pstep)
+            w.add_scalar('Mel_Loss/train', m_loss, pstep)
+            w.add_scalar('Pitch_Loss/train', pitch_loss, pstep)
+            w.add_scalar('Energy_Loss/train',
+                         float(metrics['energy_loss']), pstep)
+            w.add_scalar('Duration_Loss/train', dur_loss, pstep)
+            w.add_scalar('Params/batch_size', session.bs, pstep)
+            w.add_scalar('Params/learning_rate', session.lr, pstep)
+            stream(msg)
+
         for e in range(1, epochs + 1):
             epoch = epoch0 + e - 1
             start = offset0 if epoch == epoch0 else 0
@@ -172,51 +220,25 @@ class ForwardTrainer:
                 if hasattr(session.train_set, 'batches') \
                 else session.train_set
             for i, batch in enumerate(Prefetcher(batches), start + 1):
-                start = time.time()
-                step_rng = jax.random.fold_in(rng, int(state.step))
+                step_rng = jax.random.fold_in(rng, step)
                 jbatch = self._shard_batch(_batch_to_device(batch))
                 state, metrics = train_step(state, jbatch, step_rng)
-                step = int(state.step)
+                step += 1
                 self._tracer.tick(step)
-
-                m_loss = float(metrics['mel_loss'])
-                dur_loss = float(metrics['dur_loss'])
-                pitch_loss = float(metrics['pitch_loss'])
-                m_loss_avg.add(m_loss)
-                dur_loss_avg.add(dur_loss)
-                pitch_loss_avg.add(pitch_loss)
-                duration_avg.add(time.time() - start)
-                k = step // 1000
-                speed = 1.0 / max(duration_avg.get(), 1e-9)
-                msg = (f'| Epoch: {e}/{epochs} ({i}/{total_iters}) '
-                       f'| Mel Loss: {m_loss_avg.get():#.4} '
-                       f'| Dur Loss: {dur_loss_avg.get():#.4} '
-                       f'| Pitch Loss: {pitch_loss_avg.get():#.4} '
-                       f'| {speed:#.2} steps/s | Step: {k}k | ')
+                if pending is not None:
+                    flush_metrics(pending)
+                pending = (metrics, step, e, i,
+                           (batch['mel'].shape[0], batch['mel'].shape[1]))
 
                 if step % self.train_cfg['checkpoint_every'] == 0:
-                    save_checkpoint(
+                    self._ckpt.save(
                         state.save_variables, self.config,
                         self.paths.forward_checkpoints /
-                        f'forward_step{k}k.fjax',
+                        f'forward_step{step // 1000}k.fjax',
                         opt_state=state.opt_state, step=step)
 
                 if step % self.train_cfg['plot_every'] == 0:
                     self.generate_plots(model, state, session)
-
-                w = self.writer
-                w.add_scalar('Perf/steps_per_sec', speed, step)
-                w.add_scalar('Perf/mel_frames_per_sec',
-                             speed * batch['mel'].shape[0]
-                             * batch['mel'].shape[1], step)
-                w.add_scalar('Mel_Loss/train', m_loss, step)
-                w.add_scalar('Pitch_Loss/train', pitch_loss, step)
-                w.add_scalar('Energy_Loss/train',
-                             float(metrics['energy_loss']), step)
-                w.add_scalar('Duration_Loss/train', dur_loss, step)
-                w.add_scalar('Params/batch_size', session.bs, step)
-                w.add_scalar('Params/learning_rate', session.lr, step)
-                stream(msg)
 
                 if tc.preempted():
                     stream('\n| Preemption requested — saving '
@@ -225,8 +247,10 @@ class ForwardTrainer:
                 if step >= session.max_step:
                     break
             else:
+                if pending is not None:
+                    flush_metrics(pending)
+                    pending = None
                 val_out = self.evaluate(state, session.val_set)
-                step = int(state.step)
                 self.writer.add_scalar('Mel_Loss/val',
                                        val_out['mel_loss'], step)
                 self.writer.add_scalar('Duration_Loss/val',
@@ -235,7 +259,7 @@ class ForwardTrainer:
                                        val_out['pitch_loss'], step)
                 self.writer.add_scalar('Energy_Loss/val',
                                        val_out['energy_loss'], step)
-                save_checkpoint(state.save_variables, self.config,
+                self._ckpt.save(state.save_variables, self.config,
                                 self.paths.forward_checkpoints /
                                 'latest_model.fjax',
                                 opt_state=state.opt_state, step=step)
@@ -246,19 +270,23 @@ class ForwardTrainer:
                     self._top_k = tc.TopKTracker(
                         self.paths.forward_top_k,
                         k=int(self.train_cfg.get('keep_top_k', 3)),
-                        prefix='forward')
+                        prefix='forward', ckpt_writer=self._ckpt)
                 self._top_k.update(val_out['mel_loss'], state.save_variables,
                                    self.config, state.opt_state, step)
                 m_loss_avg.reset()
                 duration_avg.reset()
                 pitch_loss_avg.reset()
+                last_t = time.time()
                 print(' ')
                 continue
             break  # max_step reached
 
-        save_checkpoint(state.save_variables, self.config,
+        if pending is not None:
+            flush_metrics(pending)
+        self._ckpt.save(state.save_variables, self.config,
                         self.paths.forward_checkpoints / 'latest_model.fjax',
-                        opt_state=state.opt_state, step=int(state.step))
+                        opt_state=state.opt_state, step=step)
+        self._ckpt.wait()  # checkpoint durable before the session returns
         return state
 
     def evaluate(self, state: tc.TrainState, val_set) -> Dict[str, float]:

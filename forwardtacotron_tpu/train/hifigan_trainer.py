@@ -38,7 +38,6 @@ from forwardtacotron_tpu.train import common as tc
 from forwardtacotron_tpu.train.gan_losses import (
     discriminator_loss, feature_matching_loss,
     generator_adversarial_loss, mel_l1_loss)
-from forwardtacotron_tpu.utils.checkpoints import save_checkpoint
 from forwardtacotron_tpu.utils.decorators import ignore_exception
 from forwardtacotron_tpu.utils.display import (log_audio, simple_table,
                                                stream)
@@ -208,6 +207,10 @@ class HiFiGANTrainer:
             self.mesh = mesh_from_config(config)
         from forwardtacotron_tpu.utils.profiling import StepTraceController
         self._tracer = StepTraceController()
+        # background checkpoint writes (utils/async_ckpt.py)
+        from forwardtacotron_tpu.utils.async_ckpt import \
+            AsyncCheckpointWriter
+        self._ckpt = AsyncCheckpointWriter()
         self.top_k_models: List[Tuple] = []
         path_top_k = paths.hifigan_top_k / 'top_k.pkl'
         if os.path.exists(path_top_k):
@@ -316,6 +319,34 @@ class HiFiGANTrainer:
         eval_step = build_gan_eval_step(gen, self.wav_to_mel)
 
         loss_avg, duration_avg = tc.Averager(), tc.Averager()
+
+        # async step loop (same scheme as forward_trainer.train_session):
+        # host-side step counter + one-iteration-late metric fetch
+        step = current_step
+        pending = None
+        last_t = time.time()
+
+        def flush_metrics(p) -> None:
+            nonlocal last_t
+            metrics, pstep, pe, pi = p
+            gen_loss = float(metrics['gen_loss'])  # blocks on that step
+            loss_avg.add(gen_loss)
+            now = time.time()
+            duration_avg.add(now - last_t)
+            last_t = now
+            speed = 1.0 / max(duration_avg.get(), 1e-9)
+            msg = (f'| Epoch: {pe}/{epochs} ({pi}/{total_iters}) '
+                   f'| Gen: {loss_avg.get():.4} '
+                   f'| Disc: {float(metrics["disc_loss"]):.4} '
+                   f'| {speed:.1f} steps/s | Step: {pstep // 1000}k | ')
+            for name in ('disc_loss', 'gen_loss', 'gen_adv',
+                         'gen_fm', 'gen_mel'):
+                self.writer.add_scalar(f'Loss/{name}',
+                                       float(metrics[name]), pstep)
+            self.writer.add_scalar('Params/learning_rate',
+                                   session.lr, pstep)
+            stream(msg)
+
         for e in range(1, epochs + 1):
             epoch = epoch0 + e - 1
             start = offset0 if epoch == epoch0 else 0
@@ -323,39 +354,25 @@ class HiFiGANTrainer:
                 if hasattr(session.train_set, 'batches') \
                 else session.train_set
             for i, batch in enumerate(Prefetcher(batches), start + 1):
-                start = time.time()
                 state, metrics = train_step(
                     state, self._shard_batch(_to_jnp(batch)))
-                step = int(state.step)
+                step += 1
                 self._tracer.tick(step)
-                gen_loss = float(metrics['gen_loss'])
-                loss_avg.add(gen_loss)
-                duration_avg.add(time.time() - start)
-                speed = 1.0 / max(duration_avg.get(), 1e-9)
-                k = step // 1000
-                msg = (f'| Epoch: {e}/{epochs} ({i}/{total_iters}) '
-                       f'| Gen: {loss_avg.get():.4} '
-                       f'| Disc: {float(metrics["disc_loss"]):.4} '
-                       f'| {speed:.1f} steps/s | Step: {k}k | ')
+                if pending is not None:
+                    flush_metrics(pending)
+                pending = (metrics, step, e, i)
 
                 if step % self.train_cfg['gen_samples_every'] == 0:
                     mel_loss = self.generate_samples(gen, state, session)
                     if mel_loss is not None:
                         self.track_top_models(mel_loss, state, step)
                 if step % self.train_cfg['checkpoint_every'] == 0:
-                    save_checkpoint(state.variables, self.config,
+                    self._ckpt.save(state.variables, self.config,
                                     self.paths.hifigan_checkpoints /
-                                    f'hifigan_step{k}k.fjax',
+                                    f'hifigan_step{step // 1000}k.fjax',
                                     opt_state=(state.gen_opt,
                                                state.disc_opt),
                                     step=step)
-                for name in ('disc_loss', 'gen_loss', 'gen_adv',
-                             'gen_fm', 'gen_mel'):
-                    self.writer.add_scalar(f'Loss/{name}',
-                                           float(metrics[name]), step)
-                self.writer.add_scalar('Params/learning_rate',
-                                       session.lr, step)
-                stream(msg)
                 if tc.preempted():
                     stream('\n| Preemption requested — saving '
                            'latest_model and stopping cleanly.\n')
@@ -363,26 +380,32 @@ class HiFiGANTrainer:
                 if step >= session.max_step:
                     break
             else:
+                if pending is not None:
+                    flush_metrics(pending)
+                    pending = None
                 val_loss = self.evaluate(eval_step, state,
                                          session.val_set)
-                step = int(state.step)
                 self.writer.add_scalar('Loss/val_mel', val_loss, step)
-                save_checkpoint(state.variables, self.config,
+                self._ckpt.save(state.variables, self.config,
                                 self.paths.hifigan_checkpoints /
                                 'latest_model.fjax',
                                 opt_state=(state.gen_opt,
                                            state.disc_opt), step=step)
                 loss_avg.reset()
                 duration_avg.reset()
+                last_t = time.time()
                 print(' ')
                 continue
             break
 
-        save_checkpoint(state.variables, self.config,
+        if pending is not None:
+            flush_metrics(pending)
+        self._ckpt.save(state.variables, self.config,
                         self.paths.hifigan_checkpoints /
                         'latest_model.fjax',
                         opt_state=(state.gen_opt, state.disc_opt),
-                        step=int(state.step))
+                        step=step)
+        self._ckpt.wait()  # checkpoint durable before the session returns
         return state
 
     def evaluate(self, eval_step, state, val_set) -> float:
@@ -425,7 +448,7 @@ class HiFiGANTrainer:
                   f'weights.fjax')
         self.top_k_models.append((mel_loss, step, m_name))
         self.top_k_models.sort(key=lambda t: t[0])
-        save_checkpoint(state.generator_variables, self.config,
+        self._ckpt.save(state.generator_variables, self.config,
                         self.paths.hifigan_top_k / m_name,
                         opt_state=None, step=step)
         if len(self.top_k_models) > keep_top_k:

@@ -18,7 +18,6 @@ import optax
 from forwardtacotron_tpu.align.metrics import attention_score
 from forwardtacotron_tpu.data.dataset import Prefetcher, get_tts_datasets
 from forwardtacotron_tpu.train import common as tc
-from forwardtacotron_tpu.utils.checkpoints import save_checkpoint
 from forwardtacotron_tpu.utils.decorators import ignore_exception
 from forwardtacotron_tpu.utils.display import (log_audio, plot_attention,
                                                plot_mel, simple_table,
@@ -148,6 +147,10 @@ class TacoTrainer:
         from forwardtacotron_tpu.utils.profiling import (
             StepTraceController)
         self._tracer = StepTraceController()
+        # background checkpoint writes (utils/async_ckpt.py)
+        from forwardtacotron_tpu.utils.async_ckpt import \
+            AsyncCheckpointWriter
+        self._ckpt = AsyncCheckpointWriter()
         # multi-device: shard batches over 'data', wide weights over
         # 'model' (GSPMD; parallel/mesh.py). None = single device.
         self.mesh = mesh
@@ -241,6 +244,37 @@ class TacoTrainer:
 
         loss_avg, duration_avg = tc.Averager(), tc.Averager()
 
+        # async step loop: host-side step counter + one-iteration-late
+        # metric fetch so device compute overlaps host logging/upload
+        # (same scheme as forward_trainer.train_session)
+        step = current_step
+        pending = None
+        last_t = time.time()
+
+        def flush_metrics(p) -> None:
+            nonlocal last_t
+            metrics, att, mel_len, pstep, pe, pi = p
+            loss = float(metrics['loss'])  # blocks on that step
+            loss_avg.add(loss)
+            now = time.time()
+            duration_avg.add(now - last_t)
+            last_t = now
+            speed = 1.0 / max(duration_avg.get(), 1e-9)
+            msg = (f'| Epoch: {pe}/{epochs} ({pi}/{total_iters}) '
+                   f'| Loss: {loss_avg.get():#.4} '
+                   f'| {speed:#.2} steps/s | Step: {pstep // 1000}k | ')
+            _, att_score = attention_score(att, mel_len, r=session.r)
+            self.writer.add_scalar('Attention_Score/train',
+                                   float(jnp.mean(att_score)), pstep)
+            self.writer.add_scalar('Loss/train', loss, pstep)
+            self.writer.add_scalar('Params/reduction_factor',
+                                   session.r, pstep)
+            self.writer.add_scalar('Params/batch_size', session.bs,
+                                   pstep)
+            self.writer.add_scalar('Params/learning_rate', session.lr,
+                                   pstep)
+            stream(msg)
+
         for e in range(1, epochs + 1):
             epoch = epoch0 + e - 1
             start = offset0 if epoch == epoch0 else 0
@@ -248,42 +282,23 @@ class TacoTrainer:
                 if hasattr(session.train_set, 'batches') \
                 else session.train_set
             for i, batch in enumerate(Prefetcher(batches), start + 1):
-                start = time.time()
-                step_rng = jax.random.fold_in(rng, int(state.step))
+                step_rng = jax.random.fold_in(rng, step)
                 jbatch = self._shard_batch(_to_jnp(batch))
                 state, (metrics, att) = train_step(state, jbatch, step_rng)
-                step = int(state.step)
+                step += 1
                 self._tracer.tick(step)
-                loss = float(metrics['loss'])
-                loss_avg.add(loss)
-                duration_avg.add(time.time() - start)
-                k = step // 1000
-                speed = 1.0 / max(duration_avg.get(), 1e-9)
-                msg = (f'| Epoch: {e}/{epochs} ({i}/{total_iters}) '
-                       f'| Loss: {loss_avg.get():#.4} '
-                       f'| {speed:#.2} steps/s | Step: {k}k | ')
+                if pending is not None:
+                    flush_metrics(pending)
+                pending = (metrics, att, jbatch['mel_len'], step, e, i)
 
                 if step % self.train_cfg['checkpoint_every'] == 0:
-                    save_checkpoint(state.variables, self.config,
+                    self._ckpt.save(state.variables, self.config,
                                     self.paths.taco_checkpoints /
-                                    f'taco_step{k}k.fjax',
+                                    f'taco_step{step // 1000}k.fjax',
                                     opt_state=state.opt_state, step=step)
                 if step % self.train_cfg['plot_every'] == 0:
                     self.generate_plots(model, state, session)
 
-                _, att_score = attention_score(att,
-                                               jbatch['mel_len'],
-                                               r=session.r)
-                self.writer.add_scalar('Attention_Score/train',
-                                       float(jnp.mean(att_score)), step)
-                self.writer.add_scalar('Loss/train', loss, step)
-                self.writer.add_scalar('Params/reduction_factor',
-                                       session.r, step)
-                self.writer.add_scalar('Params/batch_size', session.bs,
-                                       step)
-                self.writer.add_scalar('Params/learning_rate', session.lr,
-                                       step)
-                stream(msg)
                 if tc.preempted():
                     stream('\n| Preemption requested — saving '
                            'latest_model and stopping cleanly.\n')
@@ -291,12 +306,14 @@ class TacoTrainer:
                 if step >= session.max_step:
                     break
             else:
+                if pending is not None:
+                    flush_metrics(pending)
+                    pending = None
                 val_loss, val_att = self.evaluate(eval_step, state,
                                                   session.val_set)
-                step = int(state.step)
                 self.writer.add_scalar('Loss/val', val_loss, step)
                 self.writer.add_scalar('Attention_Score/val', val_att, step)
-                save_checkpoint(state.variables, self.config,
+                self._ckpt.save(state.variables, self.config,
                                 self.paths.taco_checkpoints /
                                 'latest_model.fjax',
                                 opt_state=state.opt_state, step=step)
@@ -308,18 +325,22 @@ class TacoTrainer:
                     self._top_k = tc.TopKTracker(
                         self.paths.taco_top_k,
                         k=int(self.train_cfg.get('keep_top_k', 3)),
-                        prefix='taco')
+                        prefix='taco', ckpt_writer=self._ckpt)
                 self._top_k.update(-val_att, state.variables,
                                    self.config, state.opt_state, step)
                 loss_avg.reset()
                 duration_avg.reset()
+                last_t = time.time()
                 print(' ')
                 continue
             break
 
-        save_checkpoint(state.variables, self.config,
+        if pending is not None:
+            flush_metrics(pending)
+        self._ckpt.save(state.variables, self.config,
                         self.paths.taco_checkpoints / 'latest_model.fjax',
-                        opt_state=state.opt_state, step=int(state.step))
+                        opt_state=state.opt_state, step=step)
+        self._ckpt.wait()  # checkpoint durable before the session returns
         return state
 
     def evaluate(self, eval_step, state, val_set) -> Tuple[float, float]:

@@ -21,7 +21,6 @@ from forwardtacotron_tpu.data.dataset import Prefetcher, get_vocoder_datasets
 from forwardtacotron_tpu.models.wavernn import WaveRNN, generate_wav
 from forwardtacotron_tpu.ops.mol import discretized_mix_logistic_loss
 from forwardtacotron_tpu.train import common as tc
-from forwardtacotron_tpu.utils.checkpoints import save_checkpoint
 from forwardtacotron_tpu.utils.decorators import ignore_exception
 from forwardtacotron_tpu.utils.display import (log_audio, simple_table,
                                                stream)
@@ -105,6 +104,10 @@ class VocTrainer:
         self._writer = writer
         from forwardtacotron_tpu.utils.profiling import StepTraceController
         self._tracer = StepTraceController()
+        # background checkpoint writes (utils/async_ckpt.py)
+        from forwardtacotron_tpu.utils.async_ckpt import \
+            AsyncCheckpointWriter
+        self._ckpt = AsyncCheckpointWriter()
         # multi-device: shard batches over 'data', wide weights over
         # 'model' (GSPMD; parallel/mesh.py). None = single device.
         self.mesh = mesh
@@ -203,6 +206,32 @@ class VocTrainer:
         eval_step = build_voc_eval_step(model, self.dsp.voc_mode)
 
         loss_avg, duration_avg = tc.Averager(), tc.Averager()
+
+        # async step loop (same scheme as forward_trainer.train_session):
+        # host-side step counter + one-iteration-late metric fetch
+        step = current_step
+        pending = None
+        last_t = time.time()
+
+        def flush_metrics(p) -> None:
+            nonlocal last_t
+            metrics, pstep, pe, pi = p
+            loss = float(metrics['loss'])  # blocks on that step
+            loss_avg.add(loss)
+            now = time.time()
+            duration_avg.add(now - last_t)
+            last_t = now
+            speed = 1.0 / max(duration_avg.get(), 1e-9)
+            msg = (f'| Epoch: {pe}/{epochs} ({pi}/{total_iters}) '
+                   f'| Loss: {loss_avg.get():.4} '
+                   f'| {speed:.1f} steps/s | Step: {pstep // 1000}k | ')
+            self.writer.add_scalar('Loss/train', loss, pstep)
+            self.writer.add_scalar('Params/batch_size', session.bs,
+                                   pstep)
+            self.writer.add_scalar('Params/learning_rate', session.lr,
+                                   pstep)
+            stream(msg)
+
         for e in range(1, epochs + 1):
             epoch = epoch0 + e - 1
             start = offset0 if epoch == epoch0 else 0
@@ -210,35 +239,23 @@ class VocTrainer:
                 if hasattr(session.train_set, 'batches') \
                 else session.train_set
             for i, batch in enumerate(Prefetcher(batches), start + 1):
-                start = time.time()
                 state, metrics = train_step(state,
                                             self._shard_batch(_to_jnp(batch)))
-                step = int(state.step)
+                step += 1
                 self._tracer.tick(step)
-                loss = float(metrics['loss'])
-                loss_avg.add(loss)
-                duration_avg.add(time.time() - start)
-                speed = 1.0 / max(duration_avg.get(), 1e-9)
-                k = step // 1000
-                msg = (f'| Epoch: {e}/{epochs} ({i}/{total_iters}) '
-                       f'| Loss: {loss_avg.get():.4} '
-                       f'| {speed:.1f} steps/s | Step: {k}k | ')
+                if pending is not None:
+                    flush_metrics(pending)
+                pending = (metrics, step, e, i)
 
                 if step % self.train_cfg['gen_samples_every'] == 0:
                     mel_loss = self.generate_samples(model, state, session)
                     if mel_loss is not None:
                         self.track_top_models(mel_loss, state, step)
                 if step % self.train_cfg['checkpoint_every'] == 0:
-                    save_checkpoint(state.variables, self.config,
+                    self._ckpt.save(state.variables, self.config,
                                     self.paths.voc_checkpoints /
-                                    f'wave_step{k}k.fjax',
+                                    f'wave_step{step // 1000}k.fjax',
                                     opt_state=state.opt_state, step=step)
-                self.writer.add_scalar('Loss/train', loss, step)
-                self.writer.add_scalar('Params/batch_size', session.bs,
-                                       step)
-                self.writer.add_scalar('Params/learning_rate', session.lr,
-                                       step)
-                stream(msg)
                 if tc.preempted():
                     stream('\n| Preemption requested — saving '
                            'latest_model and stopping cleanly.\n')
@@ -246,22 +263,28 @@ class VocTrainer:
                 if step >= session.max_step:
                     break
             else:
+                if pending is not None:
+                    flush_metrics(pending)
+                    pending = None
                 val_loss = self.evaluate(eval_step, state, session.val_set)
-                step = int(state.step)
                 self.writer.add_scalar('Loss/val', val_loss, step)
-                save_checkpoint(state.variables, self.config,
+                self._ckpt.save(state.variables, self.config,
                                 self.paths.voc_checkpoints /
                                 'latest_model.fjax',
                                 opt_state=state.opt_state, step=step)
                 loss_avg.reset()
                 duration_avg.reset()
+                last_t = time.time()
                 print(' ')
                 continue
             break
 
-        save_checkpoint(state.variables, self.config,
+        if pending is not None:
+            flush_metrics(pending)
+        self._ckpt.save(state.variables, self.config,
                         self.paths.voc_checkpoints / 'latest_model.fjax',
-                        opt_state=state.opt_state, step=int(state.step))
+                        opt_state=state.opt_state, step=step)
+        self._ckpt.wait()  # checkpoint durable before the session returns
         return state
 
     def evaluate(self, eval_step, state, val_set) -> float:
@@ -306,7 +329,7 @@ class VocTrainer:
         m_name = f'model_loss{mel_loss:#0.5}_step{step}_weights.fjax'
         self.top_k_models.append((mel_loss, step, m_name))
         self.top_k_models.sort(key=lambda t: t[0])
-        save_checkpoint(state.variables, self.config,
+        self._ckpt.save(state.variables, self.config,
                         self.paths.voc_top_k / m_name,
                         opt_state=None, step=step)
         if len(self.top_k_models) > keep_top_k:

@@ -1,0 +1,110 @@
+"""AsyncCheckpointWriter (utils/async_ckpt.py): the step loop's
+non-blocking checkpoint path.
+
+The critical property is donation safety: the trainers' jitted steps
+donate the TrainState buffers (donate_argnums=(0,)), so by the time the
+background thread fetches the payload, the *original* arrays may have
+been invalidated. The writer snapshots on device first; these tests
+prove the written file holds the pre-donation values."""
+import pickle
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from forwardtacotron_tpu.utils.async_ckpt import AsyncCheckpointWriter
+from forwardtacotron_tpu.utils.checkpoints import (restore_checkpoint,
+                                                   save_checkpoint)
+
+
+def _tree(seed=0):
+    rng = np.random.RandomState(seed)
+    return {'params': {'w': jnp.asarray(rng.randn(8, 8), jnp.float32),
+                       'b': jnp.asarray(rng.randn(8), jnp.float32)},
+            'batch_stats': {}}
+
+
+def test_matches_sync_save(tmp_path):
+    tree = _tree()
+    w = AsyncCheckpointWriter()
+    w.save(tree, {'cfg': 1}, tmp_path / 'async.fjax', step=7)
+    w.close()
+    save_checkpoint(tree, {'cfg': 1}, tmp_path / 'sync.fjax', step=7)
+    a = restore_checkpoint(tmp_path / 'async.fjax')
+    s = restore_checkpoint(tmp_path / 'sync.fjax')
+    assert a['step'] == s['step'] == 7
+    assert a['config'] == s['config']
+    for ka, ks in zip(jax.tree.leaves(a['model']),
+                      jax.tree.leaves(s['model'])):
+        np.testing.assert_array_equal(ka, ks)
+
+
+def test_snapshot_survives_donation(tmp_path):
+    """Save, then immediately invalidate the saved buffers with a
+    donating jit step (exactly the trainer pattern) — the checkpoint
+    must hold the pre-donation values."""
+    tree = _tree(1)
+    want = jax.tree.map(np.asarray, tree)
+
+    donating_step = jax.jit(lambda t: jax.tree.map(
+        lambda x: x * 0 - 1.0, t), donate_argnums=(0,))
+
+    w = AsyncCheckpointWriter()
+    w.save(tree, {}, tmp_path / 'ck.fjax', step=3)
+    tree = donating_step(tree)   # invalidates the original buffers
+    jax.block_until_ready(tree)
+    w.close()
+    got = restore_checkpoint(tmp_path / 'ck.fjax')
+    for g, ww in zip(jax.tree.leaves(got['model']),
+                     jax.tree.leaves(want)):
+        np.testing.assert_array_equal(np.asarray(g), ww)
+
+
+def test_opt_state_round_trip(tmp_path):
+    import optax
+    tree = _tree(2)
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(tree['params'])
+    w = AsyncCheckpointWriter()
+    w.save(tree, {}, tmp_path / 'ck.fjax', opt_state=opt_state, step=1)
+    w.close()
+    got = restore_checkpoint(tmp_path / 'ck.fjax')
+    assert got['optim'] is not None
+    assert len(got['optim']) == len(jax.tree.leaves(opt_state))
+
+
+def test_last_save_wins(tmp_path):
+    w = AsyncCheckpointWriter()
+    for step in range(1, 5):
+        tree = {'params': {'w': jnp.full((4,), float(step))}}
+        w.save(tree, {}, tmp_path / 'latest.fjax', step=step)
+    w.close()
+    got = restore_checkpoint(tmp_path / 'latest.fjax')
+    assert got['step'] == 4
+    np.testing.assert_array_equal(np.asarray(got['model']['params']['w']),
+                                  np.full((4,), 4.0))
+
+
+def test_background_errors_surface_at_wait(tmp_path):
+    w = AsyncCheckpointWriter()
+    w.save(_tree(), {}, tmp_path / 'no_such_dir' / 'ck.fjax', step=1)
+    with pytest.raises(Exception):
+        w.wait()
+    # the writer stays usable after a failed save
+    w.save(_tree(), {}, tmp_path / 'ok.fjax', step=2)
+    w.close()
+    assert restore_checkpoint(tmp_path / 'ok.fjax')['step'] == 2
+
+
+def test_file_is_atomic_no_partial(tmp_path):
+    """save_checkpoint writes tmp-then-rename; a reader never sees a
+    torn file. Here: after close(), the path unpickles cleanly and no
+    .tmp remains."""
+    w = AsyncCheckpointWriter()
+    w.save(_tree(3), {}, tmp_path / 'ck.fjax', step=9)
+    w.close()
+    assert not list(tmp_path.glob('*.tmp'))
+    with open(tmp_path / 'ck.fjax', 'rb') as f:
+        payload = pickle.load(f)
+    assert payload['step'] == 9
