@@ -319,6 +319,74 @@ def export_wavernn(variables: Dict[str, Any], model_cfg: Dict[str, Any],
     return out
 
 
+# ----------------------------------------------------------------- hifigan
+
+def _weight_norm_pair(w: np.ndarray):
+    """Decompose a folded weight into torch weight_norm (dim=0) params
+    such that g * v / ||v|| reproduces w: v = w, g = ||w||."""
+    g = np.sqrt((w ** 2).sum(axis=tuple(range(1, w.ndim)), keepdims=True))
+    return _t(w), _t(g)
+
+
+def _put_wn_conv(out: Dict, name: str, p: Dict,
+                 transpose_conv: bool = False) -> None:
+    k = np.asarray(p['kernel'], np.float32)
+    if transpose_conv:
+        # inverse of hifigan._convt_params: (k, Cin, Cout) -> torch
+        # ConvTranspose1d (Cin, Cout, k) with taps un-flipped
+        w = np.transpose(k, (1, 2, 0))[:, :, ::-1].copy()
+    else:
+        # inverse of hifigan._conv_params: (k, Cin, Cout) -> (Cout, Cin, k)
+        w = np.transpose(k, (2, 1, 0)).copy()
+    v, g = _weight_norm_pair(w)
+    out[f'{name}.weight_v'] = v
+    out[f'{name}.weight_g'] = g
+    out[f'{name}.bias'] = _t(p['bias'])
+
+
+def export_hifigan_generator(variables: Dict[str, Any],
+                             model) -> Dict[str, Any]:
+    """Inverse of hifigan.convert_hifigan_generator: flax params ->
+    the OFFICIAL weight-normed `generator` state_dict (conv_pre / ups.N
+    / resblocks.N.convs{1,2}.M or convs.M / conv_post), so TPU-trained
+    generators load in the official HiFi-GAN repo
+    (`generator.load_state_dict(torch.load(p)['generator'])`).
+    weight_norm params are re-synthesized as v = w, g = ||w||
+    (numerically identical after the official fold)."""
+    params = variables.get('params', variables)
+    out: Dict[str, Any] = {}
+    _put_wn_conv(out, 'conv_pre', params['conv_pre'])
+    for i in range(len(model.upsample_rates)):
+        _put_wn_conv(out, f'ups.{i}', params[f'ups_{i}'],
+                     transpose_conv=True)
+    n_kernels = len(model.resblock_kernel_sizes)
+    n_blocks = len(model.upsample_rates) * n_kernels
+    for n in range(n_blocks):
+        blk = params[f'resblocks_{n}']
+        dils = model.resblock_dilation_sizes[n % n_kernels]
+        if model.resblock == '1':
+            for j in range(len(dils)):
+                _put_wn_conv(out, f'resblocks.{n}.convs1.{j}',
+                             blk[f'convs1_{j}'])
+                _put_wn_conv(out, f'resblocks.{n}.convs2.{j}',
+                             blk[f'convs2_{j}'])
+        else:
+            for j in range(len(dils)):
+                _put_wn_conv(out, f'resblocks.{n}.convs.{j}',
+                             blk[f'convs_{j}'])
+    _put_wn_conv(out, 'conv_post', params['conv_post'])
+    return out
+
+
+def save_hifigan_checkpoint(variables: Dict[str, Any], model,
+                            path) -> None:
+    """Write the official HiFi-GAN generator file format:
+    {'generator': state_dict}."""
+    import torch
+    torch.save({'generator': export_hifigan_generator(variables, model)},
+               str(path))
+
+
 # --------------------------------------------------------------- top level
 
 def detect_family(variables: Dict[str, Any],
@@ -333,6 +401,9 @@ def detect_family(variables: Dict[str, Any],
         return 'forward_tacotron'
     if 'dur_pred' in params and 'transformer' in params['dur_pred']:
         return 'fast_pitch'
+    if 'generator' in params or ('conv_pre' in params
+                                 and 'ups_0' in params):
+        return 'hifigan'
     raise ValueError('Unrecognized variables structure: cannot map to a '
                      'reference architecture')
 

@@ -209,3 +209,50 @@ def test_ema_weights_selected(tmp_path):
     w_ema = sd_ema['lin.weight'].numpy()
     w_raw = sd_raw['lin.weight'].numpy()
     np.testing.assert_allclose(w_ema, w_raw * 0.5, rtol=1e-6)
+
+
+def test_hifigan_export_official_format(tmp_path):
+    """TPU-side HiFi-GAN params -> the OFFICIAL weight-normed
+    {'generator': sd} file: strict-loads into a weight-normed torch
+    generator and reproduces identical audio."""
+    import torch
+    from tests.test_hifigan import TINY, _TorchGenerator
+    from forwardtacotron_tpu.models.hifigan import (HiFiGANGenerator,
+                                                    convert_hifigan_generator)
+    from forwardtacotron_tpu.models.torch_export import (
+        detect_family, export_hifigan_generator, save_hifigan_checkpoint)
+    import jax
+    import jax.numpy as jnp
+
+    torch.manual_seed(6)
+    n_mels = 12
+    tmodel = _TorchGenerator(TINY, n_mels=n_mels).eval()
+    model = HiFiGANGenerator.from_config(TINY)
+    sd0 = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    variables = convert_hifigan_generator(sd0, model)
+    assert detect_family(variables) == 'hifigan'
+
+    sd1 = export_hifigan_generator(variables, model)
+    tmodel2 = _TorchGenerator(TINY, n_mels=n_mels).eval()
+    tmodel2.load_state_dict(sd1)  # strict: full weight-norm key set
+
+    mel = np.random.RandomState(7).randn(1, n_mels, 9).astype(np.float32)
+    with torch.no_grad():
+        want = tmodel(torch.from_numpy(mel))[:, 0].numpy()
+        got = tmodel2(torch.from_numpy(mel))[:, 0].numpy()
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+    # file-format circle: write the official file, read it back through
+    # our own official-format loader
+    import json
+    p = tmp_path / 'g_02500000'
+    save_hifigan_checkpoint(variables, model, p)
+    payload = torch.load(p, map_location='cpu', weights_only=False)
+    assert set(payload.keys()) == {'generator'}
+    with open(tmp_path / 'config.json', 'w') as f:
+        json.dump(dict(TINY, num_mels=n_mels), f)
+    from forwardtacotron_tpu.models.hifigan import load_hifigan
+    model2, variables2 = load_hifigan(p)
+    for a, b in zip(jax.tree.leaves(variables), jax.tree.leaves(variables2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)

@@ -29,8 +29,11 @@ def main() -> None:
     parser.add_argument('--out', required=True, help='[path] output .pt')
     parser.add_argument('--family', default=None,
                         choices=['forward_tacotron', 'fast_pitch',
-                                 'tacotron', 'wavernn'],
-                        help='architecture (default: auto-detect)')
+                                 'tacotron', 'wavernn', 'hifigan'],
+                        help='architecture (default: auto-detect). '
+                             'hifigan writes the OFFICIAL '
+                             "{'generator': sd} format instead of the "
+                             'reference .pt')
     parser.add_argument('--no_ema', action='store_true',
                         help='export raw weights even when EMA weights '
                              'are tracked')
@@ -41,14 +44,24 @@ def main() -> None:
 
     from forwardtacotron_tpu.utils.checkpoints import restore_checkpoint
     from forwardtacotron_tpu.models.torch_export import (
-        save_torch_checkpoint)
+        detect_family, save_torch_checkpoint)
 
     payload = restore_checkpoint(Path(args.checkpoint))
     variables = dict(payload['model'])
-    family = save_torch_checkpoint(
-        variables, payload['config'], args.out,
-        step=int(payload.get('step', 0)), family=args.family,
-        use_ema=not args.no_ema, r=args.r)
+    family = args.family or detect_family(variables, payload['config'])
+    if family == 'hifigan':
+        # official HiFi-GAN generator format ({'generator': sd}), the
+        # file the official repo's inference loads directly
+        from forwardtacotron_tpu.models.hifigan import load_hifigan
+        from forwardtacotron_tpu.models.torch_export import (
+            save_hifigan_checkpoint)
+        model, gen_variables = load_hifigan(Path(args.checkpoint))
+        save_hifigan_checkpoint(gen_variables, model, args.out)
+    else:
+        save_torch_checkpoint(
+            variables, payload['config'], args.out,
+            step=int(payload.get('step', 0)), family=family,
+            use_ema=not args.no_ema, r=args.r)
     print(f'Exported {family} step {payload.get("step", 0)} '
           f'-> {args.out}')
 
