@@ -177,11 +177,9 @@ class AlignerTrainer:
         # async step loop: host-side counter + one-iteration-late metric
         # fetch (same scheme as forward_trainer.train_session)
         step = int(state.step)
-        pending = None
 
-        def flush_metrics(p) -> None:
+        def flush_metrics(metrics, pstep) -> None:
             nonlocal t0
-            metrics, pstep = p
             avg.add(float(metrics['loss']))  # blocks on that step
             if pstep % 10 == 0:
                 sps = 10 / max(time.time() - t0, 1e-9)
@@ -191,6 +189,8 @@ class AlignerTrainer:
                 self.writer.add_scalar('aligner/loss',
                                        avg.get(), pstep)
                 avg.reset()
+
+        deferred = tc.DeferredFlush(flush_metrics)
 
         while step < max_step and not tc.preempted():
             # mid-epoch exact resume (common.py: resume_position)
@@ -203,9 +203,7 @@ class AlignerTrainer:
                                             self._shard_batch(batch),
                                             rng)
                 step += 1
-                if pending is not None:
-                    flush_metrics(pending)
-                pending = (metrics, step)
+                deferred.push(metrics, step)
                 if step % ckpt_every == 0 or step >= max_step:
                     val = self._evaluate(eval_step, state, val_set)
                     self.writer.add_scalar('aligner/val_loss', val, step)
@@ -216,8 +214,7 @@ class AlignerTrainer:
                         opt_state=state.opt_state, step=step)
                 if step >= max_step or tc.preempted():
                     break
-        if pending is not None:
-            flush_metrics(pending)
+        deferred.flush()
         self._ckpt.wait()  # checkpoint durable before the session returns
         return state
 

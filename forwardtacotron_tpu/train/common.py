@@ -135,6 +135,33 @@ class VocSession:
         self.start_step = start_step
 
 
+class DeferredFlush:
+    """One-iteration-late metric fetch for the async step loops.
+
+    The trainers dispatch step k+1 BEFORE blocking on step k's device
+    metrics, so host logging/TB IO overlaps device compute. This holds
+    the single pending item and guarantees exactly-once flushing; the
+    trainer supplies the flush function (which is what actually calls
+    float() on the metrics and blocks)."""
+
+    def __init__(self, flush_fn) -> None:
+        self._fn = flush_fn
+        self._pending = None
+
+    def push(self, *item) -> None:
+        """Flush the previous step's item (blocking on its device
+        work), then hold this one."""
+        if self._pending is not None:
+            self._fn(*self._pending)
+        self._pending = item
+
+    def flush(self) -> None:
+        """Drain the held item (loop exits, epoch boundaries)."""
+        if self._pending is not None:
+            self._fn(*self._pending)
+            self._pending = None
+
+
 def resume_position(current_step: int, session_start: int,
                     iters_per_epoch: int) -> Tuple[int, int]:
     """Mid-epoch exact resume: where in the session's data stream step
@@ -424,9 +451,18 @@ class TopKTracker:
             self.ckpt_writer.save(variables, config,
                                   self.directory / name,
                                   opt_state=opt_state, step=step)
+            # the file must be durable BEFORE pruning (exists() checks
+            # on older files must see all prior writes of this
+            # single-threaded writer) and before the index references
+            # it (a hard kill must never leave top_k.pkl pointing at a
+            # file that was never written)
+            self.ckpt_writer.wait()
         else:
             save_checkpoint(variables, config, self.directory / name,
                             opt_state=opt_state, step=step)
+        # exact-resume replay (resume_position) can re-offer the same
+        # epoch boundary: replace, never duplicate, an existing entry
+        self.entries = [e for e in self.entries if e[2] != name]
         self.entries.append((float(score), int(step), name))
         self.entries.sort(key=lambda e: e[0])
         for _, _, old in self.entries[self.k:]:

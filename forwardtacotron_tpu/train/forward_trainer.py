@@ -179,12 +179,10 @@ class ForwardTrainer:
         # logging/TB IO; now fetch, logging, and the next upload overlap
         # with device compute. Loss values in logs lag by one step.
         step = current_step
-        pending = None  # (metrics, step, epoch disp, batch idx, mel shape)
         last_t = time.time()
 
-        def flush_metrics(p) -> None:
+        def flush_metrics(metrics, pstep, pe, pi, mel_shape) -> None:
             nonlocal last_t
-            metrics, pstep, pe, pi, mel_shape = p
             m_loss = float(metrics['mel_loss'])  # blocks on that step
             dur_loss = float(metrics['dur_loss'])
             pitch_loss = float(metrics['pitch_loss'])
@@ -213,6 +211,8 @@ class ForwardTrainer:
             w.add_scalar('Params/learning_rate', session.lr, pstep)
             stream(msg)
 
+        deferred = tc.DeferredFlush(flush_metrics)
+
         for e in range(1, epochs + 1):
             epoch = epoch0 + e - 1
             start = offset0 if epoch == epoch0 else 0
@@ -225,10 +225,9 @@ class ForwardTrainer:
                 state, metrics = train_step(state, jbatch, step_rng)
                 step += 1
                 self._tracer.tick(step)
-                if pending is not None:
-                    flush_metrics(pending)
-                pending = (metrics, step, e, i,
-                           (batch['mel'].shape[0], batch['mel'].shape[1]))
+                deferred.push(metrics, step, e, i,
+                              (batch['mel'].shape[0],
+                               batch['mel'].shape[1]))
 
                 if step % self.train_cfg['checkpoint_every'] == 0:
                     self._ckpt.save(
@@ -247,9 +246,7 @@ class ForwardTrainer:
                 if step >= session.max_step:
                     break
             else:
-                if pending is not None:
-                    flush_metrics(pending)
-                    pending = None
+                deferred.flush()
                 val_out = self.evaluate(state, session.val_set)
                 self.writer.add_scalar('Mel_Loss/val',
                                        val_out['mel_loss'], step)
@@ -281,8 +278,7 @@ class ForwardTrainer:
                 continue
             break  # max_step reached
 
-        if pending is not None:
-            flush_metrics(pending)
+        deferred.flush()
         self._ckpt.save(state.save_variables, self.config,
                         self.paths.forward_checkpoints / 'latest_model.fjax',
                         opt_state=state.opt_state, step=step)

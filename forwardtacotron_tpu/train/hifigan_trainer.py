@@ -18,7 +18,6 @@ shape.
 """
 from __future__ import annotations
 
-import os
 import time
 from typing import Any, Callable, Dict, List, Tuple
 
@@ -41,9 +40,7 @@ from forwardtacotron_tpu.train.gan_losses import (
 from forwardtacotron_tpu.utils.decorators import ignore_exception
 from forwardtacotron_tpu.utils.display import (log_audio, simple_table,
                                                stream)
-from forwardtacotron_tpu.utils.files import (parse_schedule,
-                                             pickle_binary,
-                                             unpickle_binary)
+from forwardtacotron_tpu.utils.files import parse_schedule
 from forwardtacotron_tpu.utils.paths import Paths
 
 
@@ -211,10 +208,13 @@ class HiFiGANTrainer:
         from forwardtacotron_tpu.utils.async_ckpt import \
             AsyncCheckpointWriter
         self._ckpt = AsyncCheckpointWriter()
-        self.top_k_models: List[Tuple] = []
-        path_top_k = paths.hifigan_top_k / 'top_k.pkl'
-        if os.path.exists(path_top_k):
-            self.top_k_models = unpickle_binary(path_top_k)
+        # unified top-k tracker (common.py): only qualifying scores are
+        # saved at all, files land via the async writer, index written
+        # after the file is durable; reads any pre-existing top_k.pkl
+        self._top_k = tc.TopKTracker(
+            paths.hifigan_top_k,
+            k=int(self.train_cfg.get('keep_top_k', 3)),
+            prefix='hifigan', ckpt_writer=self._ckpt)
         from forwardtacotron_tpu.dsp.stft import wav_to_mel_fn
         self.wav_to_mel = wav_to_mel_fn(dsp.mel_basis, dsp.n_fft,
                                         dsp.hop_length, dsp.win_length)
@@ -323,12 +323,10 @@ class HiFiGANTrainer:
         # async step loop (same scheme as forward_trainer.train_session):
         # host-side step counter + one-iteration-late metric fetch
         step = current_step
-        pending = None
         last_t = time.time()
 
-        def flush_metrics(p) -> None:
+        def flush_metrics(metrics, pstep, pe, pi) -> None:
             nonlocal last_t
-            metrics, pstep, pe, pi = p
             gen_loss = float(metrics['gen_loss'])  # blocks on that step
             loss_avg.add(gen_loss)
             now = time.time()
@@ -347,6 +345,8 @@ class HiFiGANTrainer:
                                    session.lr, pstep)
             stream(msg)
 
+        deferred = tc.DeferredFlush(flush_metrics)
+
         for e in range(1, epochs + 1):
             epoch = epoch0 + e - 1
             start = offset0 if epoch == epoch0 else 0
@@ -358,9 +358,7 @@ class HiFiGANTrainer:
                     state, self._shard_batch(_to_jnp(batch)))
                 step += 1
                 self._tracer.tick(step)
-                if pending is not None:
-                    flush_metrics(pending)
-                pending = (metrics, step, e, i)
+                deferred.push(metrics, step, e, i)
 
                 if step % self.train_cfg['gen_samples_every'] == 0:
                     mel_loss = self.generate_samples(gen, state, session)
@@ -380,9 +378,7 @@ class HiFiGANTrainer:
                 if step >= session.max_step:
                     break
             else:
-                if pending is not None:
-                    flush_metrics(pending)
-                    pending = None
+                deferred.flush()
                 val_loss = self.evaluate(eval_step, state,
                                          session.val_set)
                 self.writer.add_scalar('Loss/val_mel', val_loss, step)
@@ -398,8 +394,7 @@ class HiFiGANTrainer:
                 continue
             break
 
-        if pending is not None:
-            flush_metrics(pending)
+        deferred.flush()
         self._ckpt.save(state.variables, self.config,
                         self.paths.hifigan_checkpoints /
                         'latest_model.fjax',
@@ -443,19 +438,7 @@ class HiFiGANTrainer:
 
     def track_top_models(self, mel_loss: float, state, step: int
                          ) -> None:
-        keep_top_k = self.train_cfg['keep_top_k']
-        m_name = (f'model_loss{mel_loss:#0.5}_step{step}_'
-                  f'weights.fjax')
-        self.top_k_models.append((mel_loss, step, m_name))
-        self.top_k_models.sort(key=lambda t: t[0])
-        self._ckpt.save(state.generator_variables, self.config,
-                        self.paths.hifigan_top_k / m_name,
-                        opt_state=None, step=step)
-        if len(self.top_k_models) > keep_top_k:
-            for (_, _, name) in self.top_k_models[keep_top_k:]:
-                stale = self.paths.hifigan_top_k / name
-                if stale.exists():
-                    os.remove(stale)
-            self.top_k_models = self.top_k_models[:keep_top_k]
-        pickle_binary(self.top_k_models,
-                      self.paths.hifigan_top_k / 'top_k.pkl')
+        """Top-k generator checkpoints by generated mel-L1, via the
+        unified tracker (common.py:TopKTracker)."""
+        self._top_k.update(mel_loss, state.generator_variables,
+                           self.config, None, step)

@@ -248,12 +248,10 @@ class TacoTrainer:
         # metric fetch so device compute overlaps host logging/upload
         # (same scheme as forward_trainer.train_session)
         step = current_step
-        pending = None
         last_t = time.time()
 
-        def flush_metrics(p) -> None:
+        def flush_metrics(metrics, att, mel_len, pstep, pe, pi) -> None:
             nonlocal last_t
-            metrics, att, mel_len, pstep, pe, pi = p
             loss = float(metrics['loss'])  # blocks on that step
             loss_avg.add(loss)
             now = time.time()
@@ -275,6 +273,8 @@ class TacoTrainer:
                                    pstep)
             stream(msg)
 
+        deferred = tc.DeferredFlush(flush_metrics)
+
         for e in range(1, epochs + 1):
             epoch = epoch0 + e - 1
             start = offset0 if epoch == epoch0 else 0
@@ -287,9 +287,7 @@ class TacoTrainer:
                 state, (metrics, att) = train_step(state, jbatch, step_rng)
                 step += 1
                 self._tracer.tick(step)
-                if pending is not None:
-                    flush_metrics(pending)
-                pending = (metrics, att, jbatch['mel_len'], step, e, i)
+                deferred.push(metrics, att, jbatch['mel_len'], step, e, i)
 
                 if step % self.train_cfg['checkpoint_every'] == 0:
                     self._ckpt.save(state.variables, self.config,
@@ -306,9 +304,7 @@ class TacoTrainer:
                 if step >= session.max_step:
                     break
             else:
-                if pending is not None:
-                    flush_metrics(pending)
-                    pending = None
+                deferred.flush()
                 val_loss, val_att = self.evaluate(eval_step, state,
                                                   session.val_set)
                 self.writer.add_scalar('Loss/val', val_loss, step)
@@ -335,8 +331,7 @@ class TacoTrainer:
                 continue
             break
 
-        if pending is not None:
-            flush_metrics(pending)
+        deferred.flush()
         self._ckpt.save(state.variables, self.config,
                         self.paths.taco_checkpoints / 'latest_model.fjax',
                         opt_state=state.opt_state, step=step)

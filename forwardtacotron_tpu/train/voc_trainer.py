@@ -8,7 +8,6 @@ generation uses the scan sampler (models/wavernn.py).
 """
 from __future__ import annotations
 
-import os
 import time
 from typing import Any, Callable, Dict, List, Tuple
 
@@ -24,8 +23,7 @@ from forwardtacotron_tpu.train import common as tc
 from forwardtacotron_tpu.utils.decorators import ignore_exception
 from forwardtacotron_tpu.utils.display import (log_audio, simple_table,
                                                stream)
-from forwardtacotron_tpu.utils.files import (parse_schedule, pickle_binary,
-                                             unpickle_binary)
+from forwardtacotron_tpu.utils.files import parse_schedule
 from forwardtacotron_tpu.utils.paths import Paths
 
 
@@ -114,10 +112,12 @@ class VocTrainer:
         if self.mesh is None and len(jax.devices()) > 1:
             from forwardtacotron_tpu.parallel.mesh import mesh_from_config
             self.mesh = mesh_from_config(config)
-        self.top_k_models: List[Tuple] = []
-        path_top_k = paths.voc_top_k / 'top_k.pkl'
-        if os.path.exists(path_top_k):
-            self.top_k_models = unpickle_binary(path_top_k)
+        # unified top-k tracker (common.py): only qualifying scores are
+        # saved at all, files land via the async writer, index written
+        # after the file is durable; reads any pre-existing top_k.pkl
+        self._top_k = tc.TopKTracker(
+            paths.voc_top_k, k=int(self.train_cfg.get('keep_top_k', 3)),
+            prefix='wave', ckpt_writer=self._ckpt)
 
     @property
     def writer(self):
@@ -210,12 +210,10 @@ class VocTrainer:
         # async step loop (same scheme as forward_trainer.train_session):
         # host-side step counter + one-iteration-late metric fetch
         step = current_step
-        pending = None
         last_t = time.time()
 
-        def flush_metrics(p) -> None:
+        def flush_metrics(metrics, pstep, pe, pi) -> None:
             nonlocal last_t
-            metrics, pstep, pe, pi = p
             loss = float(metrics['loss'])  # blocks on that step
             loss_avg.add(loss)
             now = time.time()
@@ -232,6 +230,8 @@ class VocTrainer:
                                    pstep)
             stream(msg)
 
+        deferred = tc.DeferredFlush(flush_metrics)
+
         for e in range(1, epochs + 1):
             epoch = epoch0 + e - 1
             start = offset0 if epoch == epoch0 else 0
@@ -243,9 +243,7 @@ class VocTrainer:
                                             self._shard_batch(_to_jnp(batch)))
                 step += 1
                 self._tracer.tick(step)
-                if pending is not None:
-                    flush_metrics(pending)
-                pending = (metrics, step, e, i)
+                deferred.push(metrics, step, e, i)
 
                 if step % self.train_cfg['gen_samples_every'] == 0:
                     mel_loss = self.generate_samples(model, state, session)
@@ -263,9 +261,7 @@ class VocTrainer:
                 if step >= session.max_step:
                     break
             else:
-                if pending is not None:
-                    flush_metrics(pending)
-                    pending = None
+                deferred.flush()
                 val_loss = self.evaluate(eval_step, state, session.val_set)
                 self.writer.add_scalar('Loss/val', val_loss, step)
                 self._ckpt.save(state.variables, self.config,
@@ -279,8 +275,7 @@ class VocTrainer:
                 continue
             break
 
-        if pending is not None:
-            flush_metrics(pending)
+        deferred.flush()
         self._ckpt.save(state.variables, self.config,
                         self.paths.voc_checkpoints / 'latest_model.fjax',
                         opt_state=state.opt_state, step=step)
@@ -323,19 +318,7 @@ class VocTrainer:
         return mel_loss
 
     def track_top_models(self, mel_loss: float, state, step: int) -> None:
-        """Keep the top-k checkpoints by generated mel-L1, pruning files
-        (voc_trainer.py:204-226)."""
-        keep_top_k = self.train_cfg['keep_top_k']
-        m_name = f'model_loss{mel_loss:#0.5}_step{step}_weights.fjax'
-        self.top_k_models.append((mel_loss, step, m_name))
-        self.top_k_models.sort(key=lambda t: t[0])
-        self._ckpt.save(state.variables, self.config,
-                        self.paths.voc_top_k / m_name,
-                        opt_state=None, step=step)
-        if len(self.top_k_models) > keep_top_k:
-            for (_, _, name) in self.top_k_models[keep_top_k:]:
-                stale = self.paths.voc_top_k / name
-                if stale.exists():
-                    os.remove(stale)
-            self.top_k_models = self.top_k_models[:keep_top_k]
-        pickle_binary(self.top_k_models, self.paths.voc_top_k / 'top_k.pkl')
+        """Keep the top-k checkpoints by generated mel-L1
+        (voc_trainer.py:204-226), via the unified tracker."""
+        self._top_k.update(mel_loss, state.variables, self.config,
+                           None, step)

@@ -70,10 +70,15 @@ class AsyncCheckpointWriter:
              path, opt_state: Any = None, step: int = 0,
              backend: str = None) -> None:
         """Snapshot on device and hand off to the writer thread.
-        Blocks only if the previous save hasn't finished yet."""
-        self.wait()  # <=1 in flight; re-raises prior failures
+
+        The snapshot (a ~1 ms dispatch) happens BEFORE draining any
+        in-flight save, so back-to-back saves (latest_model + top-k at
+        an epoch boundary) don't stall the caller for the previous
+        fetch+write — at the cost of at most two payloads alive at
+        once. Blocks only if a previous save is still running."""
         snap_v = _snapshot(variables)
         snap_o = None if opt_state is None else _snapshot(opt_state)
+        self.wait()  # <=1 in flight; re-raises prior failures
         with self._lock:
             self._inflight = self._pool.submit(
                 save_checkpoint, snap_v, config, path,

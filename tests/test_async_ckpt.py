@@ -108,3 +108,51 @@ def test_file_is_atomic_no_partial(tmp_path):
     with open(tmp_path / 'ck.fjax', 'rb') as f:
         payload = pickle.load(f)
     assert payload['step'] == 9
+
+
+def test_topk_with_async_writer_no_orphans(tmp_path):
+    """With the async writer, top-k pruning must still see every file
+    (the save is made durable before pruning/indexing), non-qualifying
+    offers must write NO file, and an exact-resume replay of the same
+    boundary must not duplicate index entries."""
+    from forwardtacotron_tpu.train.common import TopKTracker
+    w = AsyncCheckpointWriter()
+    t = TopKTracker(tmp_path, k=2, prefix='fw', ckpt_writer=w)
+    variables = {'params': {'x': jnp.ones(4)}}
+    assert t.update(3.0, variables, {}, None, step=10)
+    assert t.update(1.0, variables, {}, None, step=20)
+    assert t.update(2.0, variables, {}, None, step=30)   # evicts 3.0
+    assert not t.update(9.0, variables, {}, None, step=40)  # no file
+    w.wait()
+    files = sorted(p.name for p in tmp_path.glob('*.fjax'))
+    assert len(files) == 2, files       # no orphans, loser pruned
+    assert not any('step10' in f or 'step40' in f for f in files)
+    # exact-resume replay: a boundary whose score ties the current max
+    # is simply rejected (nothing to redo)...
+    assert not t.update(2.0, variables, {}, None, step=30)
+    # ...and replaying the BEST boundary passes the gate but must
+    # replace its own entry, never duplicate it
+    assert t.update(1.0, variables, {}, None, step=20)
+    assert len(t.entries) == 2
+    assert len(sorted(tmp_path.glob('*.fjax'))) == 2
+    # index durability ordering: every indexed file exists on disk
+    for _, _, name in t.entries:
+        assert (tmp_path / name).exists()
+    w.close()
+
+
+def test_back_to_back_saves_both_land(tmp_path):
+    """Epoch boundaries issue latest + top-k saves in a row; the
+    snapshot-first ordering must still write both files correctly."""
+    w = AsyncCheckpointWriter()
+    t1 = {'params': {'w': jnp.full((4,), 1.0)}}
+    t2 = {'params': {'w': jnp.full((4,), 2.0)}}
+    w.save(t1, {}, tmp_path / 'a.fjax', step=1)
+    w.save(t2, {}, tmp_path / 'b.fjax', step=2)   # immediately after
+    w.close()
+    a = restore_checkpoint(tmp_path / 'a.fjax')
+    b = restore_checkpoint(tmp_path / 'b.fjax')
+    np.testing.assert_array_equal(np.asarray(a['model']['params']['w']),
+                                  np.full((4,), 1.0))
+    np.testing.assert_array_equal(np.asarray(b['model']['params']['w']),
+                                  np.full((4,), 2.0))
