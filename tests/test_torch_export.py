@@ -256,3 +256,35 @@ def test_hifigan_export_official_format(tmp_path):
     for a, b in zip(jax.tree.leaves(variables), jax.tree.leaves(variables2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-7)
+
+
+def test_export_torch_cli(tmp_path):
+    """tools/export_torch.py end to end as a subprocess: tiny .fjax in,
+    reference-format .pt out, auto-detected family."""
+    import subprocess
+    import torch
+    sys.path.insert(0, str(REFERENCE))
+    from models.forward_tacotron import ForwardTacotron as TorchFT
+    from forwardtacotron_tpu.models.torch_compat import (
+        convert_forward_tacotron)
+    from forwardtacotron_tpu.utils.checkpoints import save_checkpoint
+
+    torch.manual_seed(8)
+    tmodel = TorchFT(num_chars=120, **FWD_CFG)
+    variables, _ = convert_forward_tacotron(tmodel.state_dict(), FWD_CFG)
+    config = {'tts_model': 'forward_tacotron',
+              'forward_tacotron': {'model': dict(FWD_CFG)}}
+    ck = tmp_path / 'tiny.fjax'
+    save_checkpoint(variables, config, ck, step=11)
+
+    repo = Path(__file__).parent.parent
+    out = tmp_path / 'tiny.pt'
+    proc = subprocess.run(
+        [sys.executable, str(repo / 'tools' / 'export_torch.py'),
+         '--checkpoint', str(ck), '--out', str(out)],
+        capture_output=True, text=True, timeout=300)
+    assert proc.returncode == 0, proc.stderr
+    assert 'forward_tacotron' in proc.stdout
+    payload = torch.load(out, map_location='cpu', weights_only=False)
+    tmodel.load_state_dict(payload['model'])
+    assert tmodel.get_step() == 11
