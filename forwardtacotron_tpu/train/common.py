@@ -447,29 +447,38 @@ class TopKTracker:
                 and score >= max(e[0] for e in self.entries):
             return False
         name = f'{self.prefix}_step{step}_score{score:.5f}.fjax'
+        # Update the in-memory leaderboard synchronously (later update()
+        # calls must see it); exact-resume replay (resume_position) can
+        # re-offer the same epoch boundary: replace, never duplicate.
+        new_entries = [e for e in self.entries if e[2] != name]
+        new_entries.append((float(score), int(step), name))
+        new_entries.sort(key=lambda e: e[0])
+        pruned = [old for _, _, old in new_entries[self.k:]]
+        self.entries = new_entries[:self.k]
+        kept = list(self.entries)
+        directory, index_path = self.directory, self.index_path
+
+        def finalize():
+            # Prune + index persistence. Crash-safety invariant: the
+            # index must never reference a file that was never written,
+            # so this runs strictly AFTER the new checkpoint's atomic
+            # rename — on the (single, ordered) writer thread in the
+            # async path, inline in the sync path. The step loop never
+            # blocks on the fetch+serialize either way.
+            for old in pruned:
+                try:
+                    os.remove(directory / old)
+                except OSError:
+                    pass
+            pickle_binary(kept, index_path)
+
         if self.ckpt_writer is not None:
             self.ckpt_writer.save(variables, config,
                                   self.directory / name,
-                                  opt_state=opt_state, step=step)
-            # the file must be durable BEFORE pruning (exists() checks
-            # on older files must see all prior writes of this
-            # single-threaded writer) and before the index references
-            # it (a hard kill must never leave top_k.pkl pointing at a
-            # file that was never written)
-            self.ckpt_writer.wait()
+                                  opt_state=opt_state, step=step,
+                                  on_complete=finalize)
         else:
             save_checkpoint(variables, config, self.directory / name,
                             opt_state=opt_state, step=step)
-        # exact-resume replay (resume_position) can re-offer the same
-        # epoch boundary: replace, never duplicate, an existing entry
-        self.entries = [e for e in self.entries if e[2] != name]
-        self.entries.append((float(score), int(step), name))
-        self.entries.sort(key=lambda e: e[0])
-        for _, _, old in self.entries[self.k:]:
-            try:
-                os.remove(self.directory / old)
-            except OSError:
-                pass
-        self.entries = self.entries[:self.k]
-        pickle_binary(self.entries, self.index_path)
+            finalize()
         return True

@@ -68,21 +68,32 @@ class AsyncCheckpointWriter:
 
     def save(self, variables: Dict[str, Any], config: Dict[str, Any],
              path, opt_state: Any = None, step: int = 0,
-             backend: str = None) -> None:
+             backend: str = None, on_complete=None) -> None:
         """Snapshot on device and hand off to the writer thread.
 
         The snapshot (a ~1 ms dispatch) happens BEFORE draining any
         in-flight save, so back-to-back saves (latest_model + top-k at
         an epoch boundary) don't stall the caller for the previous
         fetch+write — at the cost of at most two payloads alive at
-        once. Blocks only if a previous save is still running."""
+        once. Blocks only if a previous save is still running.
+
+        `on_complete` (optional, zero-arg) runs ON THE WRITER THREAD
+        strictly after this save's atomic rename succeeds — the hook
+        for durability-ordered follow-ups (top-k prune + index write,
+        TopKTracker) without stalling the step loop. It is skipped if
+        the save fails (the failure surfaces via the next wait())."""
         snap_v = _snapshot(variables)
         snap_o = None if opt_state is None else _snapshot(opt_state)
         self.wait()  # <=1 in flight; re-raises prior failures
+
+        def job():
+            save_checkpoint(snap_v, config, path,
+                            opt_state=snap_o, step=step, backend=backend)
+            if on_complete is not None:
+                on_complete()
+
         with self._lock:
-            self._inflight = self._pool.submit(
-                save_checkpoint, snap_v, config, path,
-                opt_state=snap_o, step=step, backend=backend)
+            self._inflight = self._pool.submit(job)
 
     def wait(self) -> None:
         """Drain the in-flight save; re-raise its exception if it

@@ -141,6 +141,62 @@ def test_topk_with_async_writer_no_orphans(tmp_path):
     w.close()
 
 
+def test_topk_update_does_not_block_on_serialize(tmp_path, monkeypatch):
+    """Round-4 fix: TopKTracker.update must stall the step loop only
+    for the on-device snapshot dispatch — the fetch/serialize AND the
+    prune + index write all happen on the writer thread. Proven by
+    parking the writer thread on a gate: if update() waited for
+    durability (the old `wait()` call), it would deadlock until the
+    gate times out and the elapsed-time assertion would fail."""
+    import threading
+    import time
+
+    from forwardtacotron_tpu.train.common import TopKTracker
+    from forwardtacotron_tpu.utils import async_ckpt as ac
+
+    gate = threading.Event()
+    real_save = ac.save_checkpoint
+
+    def slow_save(*a, **kw):
+        gate.wait(30)
+        return real_save(*a, **kw)
+
+    monkeypatch.setattr(ac, 'save_checkpoint', slow_save)
+    w = AsyncCheckpointWriter()
+    t = TopKTracker(tmp_path, k=1, prefix='fw', ckpt_writer=w)
+    variables = {'params': {'x': jnp.ones(4)}}
+    t0 = time.monotonic()
+    assert t.update(1.0, variables, {}, None, step=5)
+    elapsed = time.monotonic() - t0
+    assert elapsed < 15.0, \
+        f'update() blocked {elapsed:.1f}s — waited for the serialize'
+    # in-memory leaderboard is current immediately...
+    assert len(t.entries) == 1
+    # ...but nothing is durable yet: the index write is ordered AFTER
+    # the checkpoint file lands (crash-safety invariant)
+    assert not t.index_path.exists()
+    gate.set()
+    w.wait()
+    assert t.index_path.exists()
+    assert (tmp_path / t.entries[0][2]).exists()
+    w.close()
+
+
+def test_topk_index_never_references_failed_save(tmp_path):
+    """If the checkpoint write fails, finalize (prune + index) must not
+    run: top_k.pkl never points at a file that was never written."""
+    from forwardtacotron_tpu.train.common import TopKTracker
+    w = AsyncCheckpointWriter()
+    missing = tmp_path / 'no_such_dir'
+    t = TopKTracker(missing, k=1, prefix='fw', ckpt_writer=w)
+    variables = {'params': {'x': jnp.ones(4)}}
+    assert t.update(1.0, variables, {}, None, step=5)
+    with pytest.raises(Exception):
+        w.wait()
+    assert not t.index_path.exists()
+    w.close()
+
+
 def test_back_to_back_saves_both_land(tmp_path):
     """Epoch boundaries issue latest + top-k saves in a row; the
     snapshot-first ordering must still write both files correctly."""
