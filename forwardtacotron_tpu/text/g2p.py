@@ -146,6 +146,16 @@ _LEXICON = {
     'ready': 'ɹɛdi', 'weather': 'wɛðɚ', 'whether': 'wɛðɚ', 'heavy': 'hɛvi',
     'breakfast': 'bɹɛkfəst', 'sweat': 'swɛt', 'spread': 'spɹɛd',
     'threat': 'θɹɛt', 'wealth': 'wɛlθ', 'meant': 'mɛnt', 'breath': 'bɹɛθ',
+    # noun/verb orthographic collisions: -ing/-ed attach to the e-verb
+    # (breathe/bathe/clothe), but the bare noun stem wins the lexicon
+    # lookup — pin the inflected verb forms explicitly
+    'breathe': 'bɹiːð', 'breathing': 'bɹiːðɪŋ', 'breathed': 'bɹiːðd',
+    'bathe': 'beɪð', 'bathing': 'beɪðɪŋ', 'bathed': 'beɪðd',
+    'clothe': 'kloʊð', 'clothing': 'kloʊðɪŋ', 'clothed': 'kloʊðd',
+    # round-4 expanded-eval additions: stems the rule scan renders
+    # wrong and morphology composes over
+    'temperature': 'tɛmpɹətʃɚ', 'plunge': 'plʌndʒ', 'worse': 'wɜːs',
+    'moss': 'mɔːs', 'chimney': 'tʃɪmni',
     'weapon': 'wɛpən', 'pleasant': 'plɛzənt', 'jealous': 'dʒɛləs',
     'leather': 'lɛðɚ', 'feather': 'fɛðɚ', 'steady': 'stɛdi',
     'ahead': 'əhɛd', 'break': 'bɹeɪk', 'steak': 'steɪk', 'glove': 'ɡlʌv',
@@ -508,6 +518,18 @@ def _has_vowel(s: str) -> bool:
     return any(c in 'aeiouy' for c in s)
 
 
+def _sib_e_stem(s: str) -> bool:
+    """True when a stripped stem ending in single s/z spells an e-verb
+    (nurse, noise, close, raise) rather than a geminate or Latinate
+    ending (glass, focus, basis — where 'us'/'is' follows a
+    consonant)."""
+    if not s or s[-1] not in 'sz' or s.endswith(('ss', 'zz')):
+        return False
+    if s[-2:] in ('us', 'is') and (len(s) < 3 or s[-3] not in 'aeiou'):
+        return False
+    return True
+
+
 # GA t-flapping (espeak-ng en-us emits ɾ; it is in the reference
 # symbol inventory for exactly that reason, symbols.py:15). Applied as
 # a post-pass over every word so lexicon entries, morphology composites
@@ -547,12 +569,17 @@ def _flap(ipa: str) -> str:
     return ''.join(out)
 
 
-def _try_morphology(w: str):
+def _try_morphology(w: str, depth: int = 0):
     """Decompose inflections/derivations so stems reuse the lexicon and
     the magic-e logic: makes -> make+s, hated -> hate+ᵻd,
-    making -> make+ɪŋ, cities -> city+z, kindness -> kind+nəs."""
+    making -> make+ɪŋ, cities -> city+z, kindness -> kind+nəs.
+
+    Stems may themselves be morphologically complex one level deep
+    (statements -> statement -> state+ment, weaknesses -> weakness ->
+    weak+nəs): round-4 expanded-set eval showed the old single-level
+    limit rule-scanned such stems raw (stætɛmɛnts)."""
     def stem(s: str) -> str:
-        return _word_to_phonemes(s, depth=1)
+        return _word_to_phonemes(s, depth=depth + 1)
 
     # closed compounds of two lexicon words: newspaper, classroom,
     # himself, understand (min lengths keep car+pet class false splits
@@ -569,7 +596,16 @@ def _try_morphology(w: str):
                        or w.endswith(('ches', 'shes'))):
         if w[:-1] in _LEXICON:  # sibilant stem keeps its e: browses
             return _LEXICON[w[:-1]] + 'ᵻz'
+        if w[-3] in 'sz' and len(w) > 4 and w[-4] in 'aeiourln':
+            # vowel (or r/l/n) + s/z + es spells an e-stem: roses =
+            # rose+s, nurses = nurse+s, responses = response+s
+            # (vs boxes/glasses = cluster/geminate + es)
+            return stem(w[:-1]) + 'ᵻz'
         return stem(w[:-2]) + 'ᵻz'
+    if w.endswith(('us', 'is')) and len(w) > 4 and w[:-1] in _LEXICON:
+        # u/i-final lexicon stems still pluralize: menus, taxis
+        ipa = _LEXICON[w[:-1]]
+        return ipa + _plural_suffix(ipa)
     if w.endswith('s') and not w.endswith(('ss', 'us', 'is')) \
             and len(w) > 3 and _has_vowel(w[:-1]):
         ipa = stem(w[:-1])
@@ -577,26 +613,90 @@ def _try_morphology(w: str):
     if w.endswith('ied') and len(w) > 4:
         return stem(w[:-3] + 'y') + 'd'   # studied -> study+d
     if w.endswith('ed') and len(w) >= 4 and _has_vowel(w[:-2]):
-        if w[:-2] in _LEXICON:  # walked -> walk (lexicon stem)
-            ipa = _LEXICON[w[:-2]]
-        elif len(w) > 5 and w[-3] == w[-4] and w[-3] not in 'aeiou':
-            ipa = stem(w[:-3])  # stopped -> stop
+        # Stem policy (round-4 rewrite, driven by the expanded-set
+        # eval): English orthography determines the stem in most
+        # cases — 'ed' after a consonant CLUSTER or after a vowel
+        # digraph can only be stem+ed (boxed, crawled, haired,
+        # jumped), while single-consonant CVCe patterns are e-verbs
+        # (hated, cared: car+ed would double to 'carred'). Soft-c/g,
+        # syllabic-l and sibilant-e stems restore their 'e' exactly
+        # like the -ing rule below.
+        c3 = w[-3]
+        c4 = w[-4] if len(w) >= 4 else ''
+        c5 = w[-5] if len(w) >= 5 else ''
+        cvce = (c3 not in 'aeiouxwy' and c4 in 'aeiou'
+                and (c5 == '' or c5 not in 'aeiou'
+                     or (c5 == 'u' and len(w) >= 6 and w[-6] == 'q')))
+        s2, s1 = w[:-2], w[:-1]
+        if len(w) > 5 and c3 == c4 and c3 not in 'aeiou':
+            # doubled consonant: stopped -> stop; but geminate-spelled
+            # stems keep both letters (glassed -> glass, added -> add)
+            if w[:-3] in _LEXICON:
+                ipa = _LEXICON[w[:-3]]
+            elif s2 in _LEXICON:
+                ipa = _LEXICON[s2]
+            elif c3 in 'sz':
+                ipa = stem(s2)          # glassed, buzzed
+            else:
+                ipa = stem(w[:-3])      # stopped, planned
+        elif s1 in _LEXICON:
+            ipa = _LEXICON[s1]          # cared -> care, eyed -> eye
+        elif s2 in _LEXICON and not (cvce and len(s2) <= 3):
+            # walked, visited; but short CVC stems (car/cut/hop) can't
+            # take bare -ed without doubling -> fall to the e-verb
+            ipa = _LEXICON[s2]
+        elif w.endswith('eed'):
+            ipa = stem(s1)              # freed -> free
+        elif w.endswith('ued'):
+            ipa = stem(s1)              # glued, argued, continued
+        elif c3 in 'aouy':
+            ipa = stem(s2)              # played, echoed
+        elif s2.endswith(('c', 'dg', 'gu')) \
+                or (s2[-1] == 'l' and len(s2) >= 2
+                    and s2[-2] in 'bcdfgkpstvz') \
+                or _sib_e_stem(s2):
+            ipa = stem(s1)              # danced, judged, tabled, nursed
+        elif not cvce:
+            ipa = stem(s2)              # boxed, crawled, haired
         else:
-            # keep the e on the stem: 'hated' -> 'hate' (magic e),
-            # 'wanted' -> 'wante' (silent e)
-            ipa = stem(w[:-1])
+            # CVC + ed, stem unknown: magic-e stems (hated/named)
+            # outnumber visit-class polysyllables at this fallback
+            ipa = stem(s1)
         return ipa + _past_suffix(ipa)
     if w.endswith('ing') and len(w) >= 5 and _has_vowel(w[:-3]):
         s = w[:-3]
-        if s in _LEXICON:
+        # short-CVC lexicon stems can't take bare -ing without
+        # doubling (cutting/carring) — 'cuting'/'caring' are e-verbs
+        cvc_short = (len(s) <= 3 and s[-1] not in 'aeiouxwy'
+                     and len(s) >= 2 and s[-2] in 'aeiou')
+        if s in _LEXICON and not cvc_short:
             return _LEXICON[s] + 'ɪŋ'
         if s + 'e' in _LEXICON:
             return _LEXICON[s + 'e'] + 'ɪŋ'
-        if len(s) > 2 and s[-1] == s[-2] and s[:-1] in _LEXICON:
+        if len(s) > 2 and s[-1] == s[-2] and s[:-1] in _LEXICON \
+                and s[-1] not in 'sz':
             return _LEXICON[s[:-1]] + 'ɪŋ'  # running -> run
-        if len(s) >= 3 and s[-1] not in 'aeiou' and s[-2] in 'aeiou' \
+        if len(s) > 2 and s[-1] == s[-2] and s[-1] not in 'aeiousz':
+            return stem(s[:-1]) + 'ɪŋ'      # nodding -> nod (rules)
+        if len(s) > 2 and s[-1] == s[-2] and s[-1] in 'sz':
+            return stem(s) + 'ɪŋ'           # glassing, buzzing:
+        #                                     geminate spelling stays
+        # e-restoration classes (round-4 expanded-set eval): soft c/g
+        # stems (dancing -> dance, judging -> judge, colleaguing ->
+        # colleague) and syllabic-l stems (candling -> candle,
+        # bottling -> bottle) drop a real 'e' that changes the sound
+        if s.endswith(('c', 'dg', 'gu')):
+            return stem(s + 'e') + 'ɪŋ'
+        if s[-1] == 'l' and len(s) >= 2 and s[-2] in 'bcdfgkpstvz':
+            return stem(s + 'e') + 'ɪŋ'     # candle-class syllabic l
+        if _sib_e_stem(s):
+            return stem(s + 'e') + 'ɪŋ'     # nursing, raising, closing
+        if s[-1] == 'u':
+            return stem(s + 'e') + 'ɪŋ'     # gluing, arguing
+        if len(s) >= 3 and s[-1] not in 'aeioux' and s[-2] in 'aeiou' \
                 and s[-3] not in 'aeiou':
             return stem(s + 'e') + 'ɪŋ'  # open syllable: making
+        #                                  (x excluded: boxing, mixing)
         return stem(s) + 'ɪŋ'
     # comparative/agentive -er over known stems: smaller, bigger,
     # later, happier (unknown stems fall through to the rule scan,
@@ -616,6 +716,9 @@ def _try_morphology(w: str):
             return _LEXICON[s + 'e'] + 'ɚ'  # later -> late+ɚ
         if len(s) > 2 and s[-1] == s[-2] and s[:-1] in _LEXICON:
             return _LEXICON[s[:-1]] + 'ɚ'   # bigger -> big+ɚ
+    if w.endswith('ically') and len(w) > 7:
+        # magically = magic + ally with a reduced 'a' (espeak: əli)
+        return stem(w[:-4]) + 'əli'
     for suf, ipa_suf in [('ness', 'nəs'), ('ment', 'mənt'),
                          ('ful', 'fəl'), ('less', 'ləs'), ('ly', 'li'),
                          ('est', 'ɪst')]:
@@ -637,8 +740,8 @@ def _word_to_phonemes(word: str, depth: int = 0) -> str:
     lower = word.lower()
     if lower in _LEXICON:
         return _LEXICON[lower]
-    if depth == 0:
-        morph = _try_morphology(lower)
+    if depth < 2:
+        morph = _try_morphology(lower, depth)
         if morph is not None:
             return morph
     out = []

@@ -198,3 +198,45 @@ def test_extended_cleaner_selectable_from_config():
     c = Cleaner('english_cleaners_extended', use_phonemes=False,
                 lang='en-us')
     assert c('At 8:15 it starts.') == 'At eight fifteen it starts.'
+
+
+def test_g2p_expanded_corpus_ratchet():
+    """Corpus-scale evaluation (round 4): ~1,900 morphologically
+    expanded unseen forms (tests/resources/g2p_expanded.tsv, built by
+    tools/g2p_morph_expand.py from the curated base IPA with
+    composition phonology written independently of text/g2p.py).
+    Measured 0.885 word acc at generation time; the round-4 stemming
+    rewrite (-ed policy, e-restoration classes, nested morphology)
+    brought it to 1.0. Floors ratchet from there."""
+    import pathlib
+    import sys
+    sys.path.insert(0, 'tools')
+    from eval_g2p import evaluate, load_golden
+    path = (pathlib.Path(__file__).parent / 'resources'
+            / 'g2p_expanded.tsv')
+    out = evaluate(load_golden(path))
+    assert out['overall']['n'] >= 1800
+    assert out['overall']['word_acc'] >= 0.995, out['overall']
+    assert out['overall']['per'] <= 0.002, out['overall']
+
+
+def test_g2p_morph_expand_tool_is_current():
+    """The committed expanded TSV must match what the generator
+    produces (regenerating must be reproducible and the committed
+    artifact not hand-drifted)."""
+    import pathlib
+    import sys
+    sys.path.insert(0, 'tools')
+    import g2p_morph_expand as gx
+    rows = gx.expand()
+    committed = {}
+    path = (pathlib.Path(__file__).parent / 'resources'
+            / 'g2p_expanded.tsv')
+    for ln in path.read_text().splitlines():
+        ln = ln.strip()
+        if not ln or ln.startswith('#'):
+            continue
+        word, ipa = ln.split('\t')
+        committed[word] = ipa
+    generated = {form: gold for form, gold, _ in rows}
+    assert generated == committed
