@@ -90,3 +90,25 @@ def test_estimate_f0_matches_true_contour(dsp, golden_wav):
     for s in (1, 2):
         far_unvoiced &= ~np.roll(voiced, s) & ~np.roll(voiced, -s)
     assert (f0[far_unvoiced] > 0).mean() < 0.1, 'pitch hallucinated'
+
+
+def test_f0_quantified_bound():
+    """Round-4 deviation bound (PARITY.md #3): the NAC tracker's
+    agreement with the fixture's constructed ground truth AND with an
+    independent float64 YIN oracle (tools/f0_bound.py), pinned as a
+    regression. Floors chosen just under the measured values
+    (1.000 / 3.1 cents vs truth; 0.902 / 10.4 cents vs YIN)."""
+    import sys
+    sys.path.insert(0, str(ROOT / 'tools'))
+    from f0_bound import run
+    out = run()
+    nt = out['nac_vs_truth']
+    assert nt['vuv_agreement'] >= 0.99, nt
+    assert nt['cents_rmse_voiced'] <= 5.0, nt
+    ny = out['nac_vs_yin']
+    assert ny['vuv_agreement'] >= 0.85, ny
+    assert ny['cents_rmse_voiced'] <= 20.0, ny
+    # the independent oracle itself stays sane against truth (guards
+    # against the oracle silently degrading and masking a regression)
+    yt = out['yin_vs_truth']
+    assert yt['cents_rmse_voiced'] <= 20.0, yt
