@@ -213,3 +213,6 @@ def test_extract_step_and_scores_shapes():
     align_s, sharp_s = attention_score(att, mel_len, r=1)
     assert np.isfinite(np.asarray(align_s)).all()
     assert np.isfinite(np.asarray(sharp_s)).all()
+
+
+pytestmark = pytest.mark.slow  # heavyweight tier (see pyproject)

@@ -3,6 +3,7 @@ train_forward, no Tacotron teacher anywhere. The aligner must produce
 the same artifact contract the teacher does (alg/ + att_score_dict.pkl
 + phon_pitch/ + phon_energy/) so the forward student trains unchanged.
 """
+import pytest  # noqa: E402
 import wave
 from pathlib import Path
 
@@ -74,3 +75,6 @@ def test_aligner_pipeline_cli(tmp_path):
     assert len(outs) == 1
     with wave.open(str(outs[0]), 'rb') as f:
         assert f.getnframes() > 1000
+
+
+pytestmark = pytest.mark.slow  # heavyweight tier (see pyproject)

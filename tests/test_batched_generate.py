@@ -1,5 +1,6 @@
 """Batched padded-bucket generation: per-item lengths must behave like
 independent single-item runs (the masking contract of the models)."""
+import pytest  # noqa: E402
 import numpy as np
 
 import jax
@@ -70,3 +71,6 @@ def test_fused_series_matches_unfused():
     for k in un:
         np.testing.assert_allclose(np.asarray(fu[k]), np.asarray(un[k]),
                                    atol=1e-6)
+
+
+pytestmark = pytest.mark.slow  # heavyweight tier (see pyproject)

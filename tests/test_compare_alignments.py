@@ -1,5 +1,6 @@
 """Alignment-comparison tool: pair metrics, directory aggregation, and
 the CLI surface (table + JSON modes)."""
+import pytest  # noqa: E402
 import json
 import subprocess
 import sys
@@ -68,3 +69,6 @@ def test_compare_dirs_and_cli(tmp_path):
         capture_output=True, text=True, timeout=120)
     assert r.returncode == 0, r.stderr
     assert 'items compared' in r.stdout
+
+
+pytestmark = pytest.mark.slow  # heavyweight tier (see pyproject)

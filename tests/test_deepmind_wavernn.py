@@ -76,3 +76,6 @@ def test_cell_parity_vs_torch():
     np.testing.assert_allclose(np.asarray(j_c), t_c.numpy(), atol=1e-5)
     np.testing.assert_allclose(np.asarray(j_f), t_f.numpy(), atol=1e-5)
     np.testing.assert_allclose(np.asarray(j_h), t_h.numpy(), atol=1e-5)
+
+
+pytestmark = pytest.mark.slow  # heavyweight tier (see pyproject)

@@ -1,6 +1,8 @@
 """EMA weight tracking (beyond-reference, training.ema_decay > 0):
 update math, checkpoint roundtrip, and inference-time preference of the
 smoothed weights."""
+import pytest
+
 import numpy as np
 
 import jax
@@ -145,3 +147,6 @@ def test_ema_state_shardings_mirror_params():
         batch, pmesh.batch_shardings(mesh, batch)), jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics['loss']))
     assert out.ema_params is not None
+
+
+pytestmark = pytest.mark.slow  # heavyweight tier (see pyproject)

@@ -215,3 +215,6 @@ def test_eval_tts_cli_mel_mode(tmp_path):
     assert proc.returncode == 0, proc.stderr[-2000:]
     line = json.loads(proc.stdout.strip().splitlines()[-1])
     assert 0 < line['value'] < 10.0
+
+
+pytestmark = pytest.mark.slow  # heavyweight tier (see pyproject)

@@ -297,3 +297,6 @@ def test_exported_synthesize_long(tmp_path):
              for s in ('One two.', 'Three four!', 'Five.')]
     gap = int(22050 * 50.0 / 1000.0)
     assert len(pcm) == sum(len(p) for p in parts) + 2 * gap
+
+
+pytestmark = pytest.mark.slow  # heavyweight tier (see pyproject)

@@ -1,4 +1,5 @@
 """Device-side fold gather must equal the numpy fold_with_overlap."""
+import pytest  # noqa: E402
 import numpy as np
 
 import jax.numpy as jnp
@@ -14,3 +15,6 @@ def test_fold_device_matches_numpy():
         ref = fold_with_overlap(x, target, overlap)
         dev = np.asarray(fold_device(jnp.asarray(x), target, overlap))
         np.testing.assert_allclose(dev, ref, atol=1e-6)
+
+
+pytestmark = pytest.mark.slow  # heavyweight tier (see pyproject)

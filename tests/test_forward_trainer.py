@@ -197,3 +197,6 @@ def test_step_trace_controller(tmp_path, monkeypatch):
     assert t._done
     files = [p for p in pathlib.Path(tmp_path).rglob('*') if p.is_file()]
     assert files, 'no trace files written'
+
+
+pytestmark = pytest.mark.slow  # heavyweight tier (see pyproject)

@@ -5,6 +5,7 @@ update — with duplicated micro-batches and dropout off, the updated
 params must bit-match a single-micro-batch step. remat=True must not
 change the math (only the backward-pass memory schedule).
 """
+import pytest  # noqa: E402
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -107,3 +108,6 @@ def test_grad_accum_with_remat_and_bf16_runs():
     s, m = step(state, double, jax.random.PRNGKey(3))
     assert int(s.step) == 1
     assert np.isfinite(float(m['loss']))
+
+
+pytestmark = pytest.mark.slow  # heavyweight tier (see pyproject)

@@ -261,3 +261,6 @@ class _NullWriter:
 
     def add_figure(self, *a, **k):
         pass
+
+
+pytestmark = pytest.mark.slow  # heavyweight tier (see pyproject)

@@ -8,6 +8,7 @@ global ('data','model') mesh with per-process batch feeding via
 all (SURVEY.md §2.3); this guards the beyond-parity multi-host path
 that single-process tests cannot reach.
 """
+import pytest  # noqa: E402
 import os
 import subprocess
 import sys
@@ -27,3 +28,6 @@ def test_two_process_training_matches_single_process():
         capture_output=True, text=True, timeout=560, env=env, cwd=REPO)
     assert out.returncode == 0, out.stdout + out.stderr
     assert 'MULTIHOST-DRYRUN-OK' in out.stdout, out.stdout
+
+
+pytestmark = pytest.mark.slow  # heavyweight tier (see pyproject)

@@ -5,6 +5,7 @@ collation 'speaker' field -> model conditioning — plus the invariant
 that n_speakers == 1 adds NO parameters, so reference-converted
 checkpoints keep loading unchanged.
 """
+import pytest  # noqa: E402
 import sys
 from pathlib import Path
 
@@ -395,3 +396,6 @@ def test_recipe_tolerates_blank_lines(tmp_path):
     text_dict, speaker_dict = multispeaker(tmp_path)
     assert set(text_dict) == {'a1', 'a2'}
     assert speaker_dict == {'a1': 1, 'a2': 0}
+
+
+pytestmark = pytest.mark.slow  # heavyweight tier (see pyproject)

@@ -109,3 +109,6 @@ def test_generate_fast_path_through_model(monkeypatch):
     np.testing.assert_allclose(np.asarray(fast['mel_post'])[:, :ml],
                                np.asarray(slow['mel_post'])[:, :ml],
                                atol=2e-2)  # kernel defaults to bf16
+
+
+pytestmark = pytest.mark.slow  # heavyweight tier (see pyproject)

@@ -152,3 +152,6 @@ def test_mol_sampling_mode_runs_and_is_in_range():
         # logistic noise is degenerate on CPU; randomness is asserted
         # on real TPU only
         assert out.std() > 0
+
+
+pytestmark = pytest.mark.slow  # heavyweight tier (see pyproject)

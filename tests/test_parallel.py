@@ -1,6 +1,7 @@
 """Multi-device sharding tests on the virtual 8-device CPU mesh:
 mesh construction, sharding rules, sharded train step execution, and
 data-parallel loss equivalence vs single-device."""
+import pytest  # noqa: E402
 import numpy as np
 
 import jax
@@ -392,3 +393,6 @@ def test_sharded_aligner_train_step_matches_single_device():
                     jax.tree.leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-4)
+
+
+pytestmark = pytest.mark.slow  # heavyweight tier (see pyproject)

@@ -17,6 +17,7 @@ and consumed by the next, via subprocesses so the argparse surfaces
 and checkpoint-discovery defaults are exercised too. Checkpoints and
 model outputs are rooted at the tmpdir via FTT_BASE.
 """
+import pytest  # noqa: E402
 import subprocess
 import sys
 import wave
@@ -266,3 +267,6 @@ def test_multispeaker_pipeline_cli(tmp_path):
     import wave
     with wave.open(str(outs[0])) as w:
         assert w.getnframes() > 0
+
+
+pytestmark = pytest.mark.slow  # heavyweight tier (see pyproject)

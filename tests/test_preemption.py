@@ -93,3 +93,6 @@ def test_preemption_stops_training_and_saves_latest(tiny_config):  # noqa: F811
     state2 = trainer2.train(model, state=resumed,
                             max_steps_override=step + 3)
     assert int(state2.step) == step + 3
+
+
+pytestmark = pytest.mark.slow  # heavyweight tier (see pyproject)

@@ -281,3 +281,6 @@ def test_split_sentences_preserves_characters(text):
     squash = lambda s: ''.join(s.split())
     assert squash(''.join(parts)) == squash(text)
     assert all(p.strip() for p in parts)
+
+
+pytestmark = pytest.mark.slow  # heavyweight tier (see pyproject)

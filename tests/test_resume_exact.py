@@ -173,3 +173,6 @@ def test_forward_training_resume_bit_exact(tmp_path):
     assert len(flat_a) == len(flat_b)
     for a, b in zip(flat_a, flat_b):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+pytestmark = pytest.mark.slow  # heavyweight tier (see pyproject)

@@ -609,3 +609,6 @@ def test_serving_fast_pitch_checkpoint(tmp_path):
                    max_wait_ms=20.0, mel_bucket=128) as srv:
         pcm = srv.synthesize('FastPitch serves too.', timeout=600)
     assert pcm.dtype == np.int16 and len(pcm) > 0
+
+
+pytestmark = pytest.mark.slow  # heavyweight tier (see pyproject)

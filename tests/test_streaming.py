@@ -1,5 +1,6 @@
 """Streaming synthesis: incremental chunk emission must reproduce the
 one-shot generate_wav bookkeeping exactly (fold/crossfade/fade-out)."""
+import pytest  # noqa: E402
 import numpy as np
 
 import jax
@@ -108,3 +109,6 @@ def test_write_wav_streaming(tmp_path):
         assert w.getframerate() == 8000
         data = np.frombuffer(w.readframes(150), dtype='<i2')
     assert data[0] == -32767 and abs(int(data[99])) >= 32700
+
+
+pytestmark = pytest.mark.slow  # heavyweight tier (see pyproject)

@@ -2,6 +2,7 @@
 notebook_utils/synthesize.py in the reference): construct from saved
 checkpoints, synthesize via griffinlim and mel-export modes, and honor
 the pitch/energy scaling knobs."""
+import pytest  # noqa: E402
 import numpy as np
 
 import jax
@@ -53,3 +54,27 @@ def test_synthesizer_griffinlim_and_mel_export(tmp_path):
     assert not np.allclose(m1, m2)
     m3 = syn('Hello there.', voc_model='melgan', pitch_scale=2.0)
     assert not np.allclose(m1, m3)
+
+
+def test_notebook_artifact_is_valid():
+    """notebooks/synthesize.ipynb (parity with the reference's notebook
+    artifact, /root/reference/notebooks/synthesize.ipynb): valid
+    nbformat-4 JSON, every code cell syntactically valid, and the cells
+    drive the real Synthesizer API."""
+    import json
+    import os
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, 'notebooks', 'synthesize.ipynb')) as f:
+        nb = json.load(f)
+    assert nb['nbformat'] == 4
+    code = [''.join(c['source']) for c in nb['cells']
+            if c['cell_type'] == 'code']
+    assert code, 'notebook has no code cells'
+    for i, src in enumerate(code):
+        compile(src, f'synthesize.ipynb cell {i}', 'exec')
+    joined = '\n'.join(code)
+    assert 'from notebook_utils.synthesize import Synthesizer' in joined
+    assert 'griffinlim' in joined
+
+
+pytestmark = pytest.mark.slow  # heavyweight tier (see pyproject)

@@ -1,6 +1,7 @@
 """Tacotron teacher train step smoke test (CPU, small shapes): one
 optimization step with dropout/zoneout rngs, finite loss, BN stats
 update, r-dependent output shapes."""
+import pytest  # noqa: E402
 import numpy as np
 
 import jax
@@ -179,3 +180,6 @@ def test_taco_grad_accum_matches_single_micro_batch():
                                rtol=1e-4)
     assert np.isfinite(float(m2['loss']))
     assert int(s2.step) == 1
+
+
+pytestmark = pytest.mark.slow  # heavyweight tier (see pyproject)

@@ -1,4 +1,5 @@
 """WaveRNN trainer smoke test on a tiny synthetic dataset (CPU)."""
+import pytest  # noqa: E402
 import numpy as np
 import yaml
 
@@ -100,3 +101,6 @@ def test_voc_train_step_remat_matches_plain():
                     jax.tree.leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-6)
+
+
+pytestmark = pytest.mark.slow  # heavyweight tier (see pyproject)

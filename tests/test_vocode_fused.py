@@ -2,6 +2,7 @@
 must match the stepwise generate_wav pipeline: same fold, sampling
 trajectory (same PRNG key), mu-law decode, crossfade and fade-out —
 only f32-on-device vs f64-on-host rounding may differ."""
+import pytest  # noqa: E402
 import numpy as np
 
 import jax
@@ -160,3 +161,6 @@ def test_vocode_batch_sharded_over_mesh():
     for mel, o in zip(mels, outs):
         assert o.dtype == np.int16
         assert o.shape == ((mel.shape[1] - 1) * TINY['hop_length'],)
+
+
+pytestmark = pytest.mark.slow  # heavyweight tier (see pyproject)

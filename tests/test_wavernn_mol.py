@@ -1,5 +1,6 @@
 """WaveRNN MOL mode: training loss + scan sampling end to end (the
 RAW path is covered by the parity and Pallas tests)."""
+import pytest  # noqa: E402
 import numpy as np
 
 import jax
@@ -64,3 +65,6 @@ def test_generate_wav_mol_path():
                        overlap=8, mu_law=True)  # mu_law ignored in MOL
     assert np.isfinite(wav).all()
     assert len(wav) == (24 - 1) * 4
+
+
+pytestmark = pytest.mark.slow  # heavyweight tier (see pyproject)

@@ -139,3 +139,6 @@ def test_sample_scan_consistent_with_forward():
     p_taken = np.take_along_axis(np.asarray(probs), cls[..., None],
                                  axis=-1)
     assert np.all(p_taken > 1e-6)
+
+
+pytestmark = pytest.mark.slow  # heavyweight tier (see pyproject)
