@@ -60,6 +60,75 @@ def _pipelined_time(call, inputs) -> float:
     return (time.perf_counter() - t0) / len(inputs)
 
 
+def _repeat_device_seconds(run_k, k_lo: int = 1, k_hi: int = 9,
+                           reps: int = 3) -> float:
+    """Tunnel-proof per-iteration device seconds.
+
+    `run_k(k, seed)` must execute its workload k times inside ONE
+    jitted program (lax.fori_loop with a TRACED trip count — one
+    compile for all k) and return a scalar checksum that data-depends
+    on every iteration. Timing t(k_hi) and t(k_lo) each includes
+    exactly one dispatch + one host round-trip, so
+    (t_hi - t_lo) / (k_hi - k_lo) is pure device time per iteration —
+    immune to tunnel round-trip latency, relay memoization (the seed
+    varies per call), and fetch bandwidth. This is the number that
+    distinguishes a code regression from a tunnel regression."""
+    np.asarray(run_k(k_lo, 101))   # compile + warm both trip counts
+    np.asarray(run_k(k_hi, 102))
+    lo, hi = [], []
+    for i in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(run_k(k_lo, 200 + i))
+        lo.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        np.asarray(run_k(k_hi, 300 + i))
+        hi.append(time.perf_counter() - t0)
+    lo_m = sorted(lo)[len(lo) // 2]
+    hi_m = sorted(hi)[len(hi) // 2]
+    return max(hi_m - lo_m, 0.0) / (k_hi - k_lo)
+
+
+# bf16 peak TFLOP/s per chip by device kind (public figures); used for
+# MFU. Matched by substring against jax device_kind.
+_PEAK_BF16_TFLOPS = (
+    ('v6 lite', 918.0), ('v6e', 918.0),
+    ('v5p', 459.0),
+    ('v5 lite', 197.0), ('v5e', 197.0), ('v5litepod', 197.0),
+    ('v4', 275.0),
+)
+
+
+def _peak_bf16_tflops() -> float:
+    import jax
+    kind = getattr(jax.devices()[0], 'device_kind', '').lower()
+    for key, peak in _PEAK_BF16_TFLOPS:
+        if key in kind:
+            return peak
+    return 197.0  # default to v5e (the bench target platform)
+
+
+def _xla_flops(jitted, *args) -> float:
+    """Analytic FLOPs of one execution from XLA's cost analysis
+    (compiled when the backend supports it, HLO-level otherwise).
+    Returns 0.0 when unavailable."""
+    try:
+        lowered = jitted.lower(*args)
+    except Exception:
+        return 0.0
+    for stage in ('compile', None):
+        try:
+            obj = lowered.compile() if stage == 'compile' else lowered
+            cost = obj.cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            flops = float(cost.get('flops', 0.0))
+            if flops > 0:
+                return flops
+        except Exception:
+            continue
+    return 0.0
+
+
 def _wait_for_backend(max_wait_s: float = 1800.0):
     """Retry backend init while the accelerator is UNAVAILABLE (the
     tunnel wedges for ~an hour after a killed device process) so a
@@ -86,6 +155,16 @@ def main() -> None:
     import jax.numpy as jnp
     from forwardtacotron_tpu.utils.files import read_config
     from forwardtacotron_tpu.models.forward_tacotron import ForwardTacotron
+
+    # Persistent XLA compile cache: repeat bench runs (and the driver's
+    # end-of-round run) skip minutes of recompilation.
+    try:
+        jax.config.update('jax_compilation_cache_dir',
+                          '/tmp/ftt_bench_xla_cache')
+        jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 0)
+    except Exception:
+        pass
 
     _wait_for_backend(float(os.environ.get('FTT_BENCH_WAIT_S', 1800)))
     config = read_config('config.yaml')
@@ -133,6 +212,29 @@ def main() -> None:
     audio_seconds = mel_len * hop / sr
     rtf = dt / audio_seconds
 
+    # device-time RTF (tunnel-proof): k generations chained in ONE
+    # program; the per-iteration input derives from the loop index so
+    # every iteration does real, distinct work
+    def _mel_rep(B_rep, xl):
+        def rep(variables, k, key):
+            def body(i, acc):
+                ki = jax.random.fold_in(key, i)
+                xi = jax.random.randint(ki, (B_rep, Tx), 1, 60, jnp.int32)
+                return acc + gen(variables, xi, xl)[0]
+            return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
+        jit_rep = jax.jit(rep)
+        return lambda k, seed: jit_rep(variables, k,
+                                       jax.random.PRNGKey(seed))
+
+    try:
+        dt_dev = _repeat_device_seconds(_mel_rep(1, x_len))
+        rtf_device = dt_dev / audio_seconds
+    except Exception as e:  # device-RTF extras must never cost the headline
+        dt_dev, rtf_device = 0.0, 0.0
+        device_rtf_error = f'{type(e).__name__}: {e}'
+    else:
+        device_rtf_error = None
+
     # secondary: batched serving throughput (mel frames / sec / chip)
     B, nb = 32, 8
     xbs = [jnp.asarray(rs.randint(1, 60, size=(B, Tx)), jnp.int32)
@@ -142,13 +244,34 @@ def main() -> None:
     dtb = _pipelined_time(lambda xi: gen(variables, xi, xlb)[0], xbs)
     frames_per_sec = B * mel_len / dtb
 
+    # batched device time + inference MFU (analytic FLOPs from XLA's
+    # cost analysis vs the chip's bf16 peak — an efficiency upper
+    # bound; the serving path computes in f32)
+    try:
+        dtb_dev = _repeat_device_seconds(_mel_rep(B, xlb), k_lo=1, k_hi=5)
+        frames_per_sec_dev = B * mel_len / dtb_dev
+    except Exception as e:
+        dtb_dev, frames_per_sec_dev = 0.0, 0.0
+        if device_rtf_error is None:
+            device_rtf_error = f'{type(e).__name__}: {e}'
+    gen_flops = _xla_flops(gen, variables, xbs[0], xlb)
+    peak = _peak_bf16_tflops()
+    infer_mfu = (gen_flops / dtb_dev / (peak * 1e12)
+                 if gen_flops and dtb_dev else 0.0)
+
     extra = {
         'batch1_latency_ms': round(dt * 1000, 3),
         'batch1_latency_pipelined_ms': round(dt_piped * 1000, 3),
         'batch1_rtf_pipelined': round(dt_piped / audio_seconds, 6),
+        'batch1_mel_rtf_device': round(rtf_device, 6),
+        'batch1_latency_device_ms': round(dt_dev * 1000, 3),
         'mel_frames': mel_len,
         'audio_seconds': round(audio_seconds, 2),
         'batched32_mel_frames_per_sec': int(frames_per_sec),
+        'batched32_mel_frames_per_sec_device': int(frames_per_sec_dev),
+        'infer_flops_per_batch32': int(gen_flops),
+        'infer_mfu': round(infer_mfu, 4),
+        'peak_bf16_tflops': peak,
         'device': str(jax.devices()[0]),
         'methodology': 'varying inputs per call; execution forced via '
                        'fetched checksums that data-depend on the full '
@@ -158,6 +281,8 @@ def main() -> None:
         'reference_note': 'reference ~0.04 s/utterance on RTX 2080 '
                           '(README.md:15); target rtf < 0.005',
     }
+    if device_rtf_error:
+        extra['device_rtf_error'] = device_rtf_error
     try:
         extra.update(_bench_wavernn(config))
     except Exception as e:  # never fail the headline metric
@@ -170,6 +295,10 @@ def main() -> None:
         extra.update(_bench_hifigan())
     except Exception as e:
         extra['hifigan_bench_error'] = f'{type(e).__name__}: {e}'
+    try:
+        extra.update(_bench_hifigan_train(config))
+    except Exception as e:
+        extra['hifigan_train_bench_error'] = f'{type(e).__name__}: {e}'
     if os.environ.get('BENCH_FULL'):  # FastPitch adds minutes of compile
         try:
             extra.update(_bench_fastpitch(config))
@@ -220,10 +349,12 @@ def _bench_training(config, model, variables) -> dict:
         step=jnp.asarray(0, jnp.int32))
 
     out = {'train_batch': [B, Tx, Tm]}
+    import optax
+    peak = _peak_bf16_tflops()
     for name, cfg in [('', train_cfg),
                       ('_bf16', dict(train_cfg, precision='bf16'))]:
-        step_fn = jax.jit(tc.build_forward_train_step(model, optimizer,
-                                                      cfg))
+        raw_step = tc.build_forward_train_step(model, optimizer, cfg)
+        step_fn = jax.jit(raw_step)
         # two warmup calls: the first output state's dtypes differ from
         # optimizer.init's (weak types), causing exactly one retrace
         state, m = step_fn(state0, batches[0], key)
@@ -239,6 +370,37 @@ def _bench_training(config, model, variables) -> dict:
         dt = (time.perf_counter() - t0) / n
         out[f'train{name}_steps_per_sec'] = round(1.0 / dt, 2)
         out[f'train{name}_mel_frames_per_sec'] = int(B * Tm / dt)
+
+        # analytic FLOPs per step (XLA cost analysis of the compiled
+        # fwd+bwd+optimizer program) + tunnel-proof device step time
+        # -> MFU vs the chip's bf16 peak
+        flops = _xla_flops(step_fn, state, batches[0], key)
+
+        def steps_k(st, k, kk, _step=raw_step, _b=batches[0]):
+            def body(i, s):
+                s2, _ = _step(s, _b, jax.random.fold_in(kk, i))
+                return s2
+            final = jax.lax.fori_loop(0, k, body, st)
+            return optax.global_norm(final.params)
+
+        if flops:
+            out[f'train{name}_flops_per_step'] = int(flops)
+        try:
+            jit_k = jax.jit(steps_k)
+            dt_dev = _repeat_device_seconds(
+                lambda k, seed, _f=jit_k, _st=state:
+                _f(_st, k, jax.random.PRNGKey(seed)),
+                k_lo=1, k_hi=9, reps=2)
+        except Exception as e:  # keep the wall numbers on any failure
+            out[f'train{name}_device_error'] = f'{type(e).__name__}: {e}'
+            continue
+        out[f'train{name}_device_step_ms'] = round(dt_dev * 1000, 2)
+        out[f'train{name}_device_steps_per_sec'] = round(1.0 / dt_dev, 2)
+        if flops:
+            out[f'train{name}_achieved_tflops'] = round(
+                flops / dt_dev / 1e12, 2)
+            out[f'train{name}_mfu'] = round(
+                flops / dt_dev / (peak * 1e12), 4)
     return out
 
 
@@ -330,6 +492,88 @@ def _bench_hifigan() -> dict:
                 T * model.hop_length / piped / 1e6, 2)}
 
 
+def _bench_hifigan_train(config) -> dict:
+    """Adversarial HiFi-GAN training step (generator + MPD/MSD, LSGAN +
+    feature-matching + mel-L1, train/hifigan_trainer.py) — device step
+    time and MFU on a production V1 generator at B=8 x 8192 samples."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from forwardtacotron_tpu.dsp.audio import DSP
+    from forwardtacotron_tpu.dsp.stft import wav_to_mel_fn
+    from forwardtacotron_tpu.models.gan_discriminators import (
+        HiFiGANDiscriminators)
+    from forwardtacotron_tpu.models.hifigan import (HiFiGANGenerator,
+                                                    V1_CONFIG)
+    from forwardtacotron_tpu.train import hifigan_trainer as ht
+
+    dsp = DSP.from_config(config)
+    wav_to_mel = wav_to_mel_fn(dsp.mel_basis, dsp.n_fft, dsp.hop_length,
+                               dsp.win_length)
+    gen = HiFiGANGenerator.from_config(V1_CONFIG)
+    disc = HiFiGANDiscriminators()
+    B, seg = 8, 8192
+    frames = seg // gen.hop_length
+    rng = np.random.RandomState(0)
+
+    def make_batch(i):
+        r = np.random.RandomState(100 + i)
+        return {'mel': jnp.asarray(r.randn(B, frames, 80), jnp.float32),
+                'audio': jnp.asarray(0.1 * r.randn(B, seg), jnp.float32)}
+
+    cpu = jax.local_devices(backend='cpu')[0]
+    with jax.default_device(cpu):
+        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+        gen_vars = gen.init(k1, jnp.zeros((1, frames, 80)))
+        disc_vars = disc.init(k2, jnp.zeros((1, seg)), jnp.zeros((1, seg)))
+    gen_opt = ht.make_gan_optimizer()
+    disc_opt = ht.make_gan_optimizer()
+    state = ht.GANTrainState(
+        gen_params=gen_vars['params'], disc_params=disc_vars['params'],
+        gen_opt=gen_opt.init(gen_vars['params']),
+        disc_opt=disc_opt.init(disc_vars['params']),
+        step=jnp.asarray(0, jnp.int32))
+    state = jax.device_put(state, jax.devices()[0])
+    raw_step = ht.build_gan_train_step(gen, disc, gen_opt, disc_opt,
+                                       wav_to_mel)
+    step_fn = jax.jit(raw_step)
+    state, m = step_fn(state, make_batch(0))
+    state, m = step_fn(state, make_batch(1))
+    np.asarray(m['gen_loss'])
+    n = 6
+    t0 = time.perf_counter()
+    for i in range(n):
+        state, m = step_fn(state, make_batch(2 + i))
+    np.asarray(m['gen_loss'])
+    dt = (time.perf_counter() - t0) / n
+
+    flops = _xla_flops(step_fn, state, make_batch(0))
+    batch0 = make_batch(0)
+
+    def steps_k(st, k, seed):
+        def body(i, s):
+            b = {'mel': batch0['mel'],
+                 'audio': batch0['audio'] + 1e-6 * (seed + i)}
+            s2, _ = raw_step(s, b)
+            return s2
+        final = jax.lax.fori_loop(0, k, body, st)
+        return optax.global_norm(final.gen_params)
+
+    jit_k = jax.jit(steps_k)
+    dt_dev = _repeat_device_seconds(
+        lambda k, seed: jit_k(state, k, jnp.asarray(seed, jnp.float32)),
+        k_lo=1, k_hi=5, reps=2)
+    peak = _peak_bf16_tflops()
+    out = {'hifigan_train_batch': [B, seg],
+           'hifigan_train_steps_per_sec': round(1.0 / dt, 2),
+           'hifigan_train_device_step_ms': round(dt_dev * 1000, 2)}
+    if flops:
+        out['hifigan_train_flops_per_step'] = int(flops)
+        out['hifigan_train_mfu'] = round(flops / dt_dev / (peak * 1e12),
+                                         4)
+    return out
+
+
 def _bench_wavernn(config) -> dict:
     """WaveRNN generation rate (the reference prints this at runtime,
     fatchord_version.py:268-272) — scan sampler and, when supported, the
@@ -411,6 +655,37 @@ def _bench_wavernn(config) -> dict:
         out['vocoder_rtf'] = round(dt_v / wave_s, 5)
         out['vocoder_rtf_best'] = round(min(ts_v) / wave_s, 5)
 
+        # tunnel-proof device RTF (round-4): k fused vocodes chained in
+        # ONE program — separates code regressions from tunnel
+        # regressions (r2->r3 the wall numbers moved with no code
+        # change on this path; these fields pin the device truth)
+        from forwardtacotron_tpu.models.wavernn import (
+            build_vocode_program)
+        prog = build_vocode_program(
+            model, target=TARGET_TPU, overlap=550,
+            mu_law=(model.mode == 'RAW'), use_pallas=True, pcm16=False)
+
+        def _voc_rep(mel_b, wave_lens):
+            def rep(variables, mb, wl, k, seed):
+                def body(i, acc):
+                    w = prog(variables, mb, wl,
+                             seed + i * jnp.int32(1009))
+                    return acc + jnp.sum(w)
+                return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
+            jit_rep = jax.jit(rep)
+            mb = jnp.asarray(mel_b)
+            wl = jnp.asarray(wave_lens, jnp.int32)
+            return lambda k, seed: jit_rep(variables, mb, wl, k,
+                                           jnp.asarray(seed, jnp.int32))
+
+        wl1 = [(mel_2d.shape[0] - 1) * model.hop_length]
+        try:
+            dt_dev1 = _repeat_device_seconds(
+                _voc_rep(mel_2d[None], wl1), k_lo=1, k_hi=5)
+            out['vocoder_rtf_device'] = round(dt_dev1 / wave_s, 5)
+        except Exception as e:  # keep the wall numbers on any failure
+            out['vocoder_device_error'] = f'{type(e).__name__}: {e}'
+
         # streaming: time to FIRST audio chunk (stream_wav emits fold
         # groups incrementally) vs the full one-shot vocoding above
         if os.environ.get('BENCH_FULL'):
@@ -452,6 +727,17 @@ def _bench_wavernn(config) -> dict:
         dt_b = sorted(ts_b)[len(ts_b) // 2]
         batch_audio_s = sum(len(w) for w in waves) / model.sample_rate
         out['vocoder_rtf_batched4'] = round(dt_b / batch_audio_s, 5)
+
+        # batched4 device RTF (same repeat-program methodology)
+        mel_b4 = np.stack(mels4)                     # same T for all 4
+        wl4 = [(m.shape[0] - 1) * model.hop_length for m in mels4]
+        try:
+            dt_dev4 = _repeat_device_seconds(
+                _voc_rep(mel_b4, wl4), k_lo=1, k_hi=5)
+            out['vocoder_rtf_batched4_device'] = round(
+                dt_dev4 / batch_audio_s, 5)
+        except Exception as e:
+            out['vocoder_batched4_device_error'] = f'{type(e).__name__}: {e}'
 
         from forwardtacotron_tpu.models.streaming import stream_wav
         it = stream_wav(model, variables, mel_2d, group=8)
