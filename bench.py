@@ -85,7 +85,15 @@ def _repeat_device_seconds(run_k, k_lo: int = 1, k_hi: int = 9,
         hi.append(time.perf_counter() - t0)
     lo_m = sorted(lo)[len(lo) // 2]
     hi_m = sorted(hi)[len(hi) // 2]
-    return max(hi_m - lo_m, 0.0) / (k_hi - k_lo)
+    if hi_m <= lo_m:
+        # tunnel noise swamped the k_hi-k_lo delta; a 0.0 here would
+        # propagate into 1/dt and flops/dt divisions downstream, so
+        # fail loudly and let each call site keep its wall numbers
+        raise RuntimeError(
+            f'degenerate device-time delta (t[{k_hi}]={hi_m:.4f}s <= '
+            f't[{k_lo}]={lo_m:.4f}s over {reps} reps): tunnel noise '
+            f'exceeded the repeat-program signal')
+    return (hi_m - lo_m) / (k_hi - k_lo)
 
 
 # bf16 peak TFLOP/s per chip by device kind (public figures); used for
@@ -559,16 +567,21 @@ def _bench_hifigan_train(config) -> dict:
         final = jax.lax.fori_loop(0, k, body, st)
         return optax.global_norm(final.gen_params)
 
-    jit_k = jax.jit(steps_k)
-    dt_dev = _repeat_device_seconds(
-        lambda k, seed: jit_k(state, k, jnp.asarray(seed, jnp.float32)),
-        k_lo=1, k_hi=5, reps=2)
-    peak = _peak_bf16_tflops()
     out = {'hifigan_train_batch': [B, seg],
-           'hifigan_train_steps_per_sec': round(1.0 / dt, 2),
-           'hifigan_train_device_step_ms': round(dt_dev * 1000, 2)}
+           'hifigan_train_steps_per_sec': round(1.0 / dt, 2)}
     if flops:
         out['hifigan_train_flops_per_step'] = int(flops)
+    jit_k = jax.jit(steps_k)
+    try:
+        dt_dev = _repeat_device_seconds(
+            lambda k, seed: jit_k(state, k, jnp.asarray(seed, jnp.float32)),
+            k_lo=1, k_hi=5, reps=2)
+    except Exception as e:  # keep the wall numbers on any failure
+        out['hifigan_train_device_error'] = f'{type(e).__name__}: {e}'
+        return out
+    peak = _peak_bf16_tflops()
+    out['hifigan_train_device_step_ms'] = round(dt_dev * 1000, 2)
+    if flops:
         out['hifigan_train_mfu'] = round(flops / dt_dev / (peak * 1e12),
                                          4)
     return out

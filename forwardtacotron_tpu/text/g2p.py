@@ -152,6 +152,17 @@ _LEXICON = {
     'breathe': 'bɹiːð', 'breathing': 'bɹiːðɪŋ', 'breathed': 'bɹiːðd',
     'bathe': 'beɪð', 'bathing': 'beɪðɪŋ', 'bathed': 'beɪðd',
     'clothe': 'kloʊð', 'clothing': 'kloʊðɪŋ', 'clothed': 'kloʊðd',
+    # single-vowel th e-verbs (the VVth digraph rule in morphology
+    # can't see these — 'writh' spells like 'froth')
+    'writhe': 'ɹaɪð', 'tithe': 'taɪð', 'scathe': 'skeɪð',
+    'mouthed': 'maʊðd', 'mouthing': 'maʊðɪŋ',
+    'soothe': 'suːð', 'loathe': 'loʊð', 'seethe': 'siːð',
+    # Latinate -as/-us/-is nouns whose plural appends -es: without a
+    # lexicon stem the sibilant-es branch mistakes them for e-stems
+    # (buses -> 'buse')
+    'bus': 'bʌs', 'gas': 'ɡæs', 'atlas': 'ætləs', 'census': 'sɛnsəs',
+    'walrus': 'wɔːlɹəs', 'promise': 'pɹɑːmɪs', 'canvas': 'kænvəs',
+    'iris': 'aɪɹɪs', 'crisis': 'kɹaɪsɪs',
     # round-4 expanded-eval additions: stems the rule scan renders
     # wrong and morphology composes over
     'temperature': 'tɛmpɹətʃɚ', 'plunge': 'plʌndʒ', 'worse': 'wɜːs',
@@ -596,6 +607,14 @@ def _try_morphology(w: str, depth: int = 0):
                        or w.endswith(('ches', 'shes'))):
         if w[:-1] in _LEXICON:  # sibilant stem keeps its e: browses
             return _LEXICON[w[:-1]] + 'ᵻz'
+        if w[:-2] in _LEXICON:  # bare sibilant stem + es: buses,
+            return _LEXICON[w[:-2]] + 'ᵻz'  # viruses, biases, lenses
+        if w.endswith('uses') and len(w) > 5 and w[-5] not in 'aeiou':
+            # OOV consonant+'us' nouns are the Latinate class that
+            # appends -es (campuses, statuses, funguses); the common
+            # C+'use' e-stems (fuses, excuses) live in the lexicon
+            # and are caught above
+            return stem(w[:-2]) + 'ᵻz'
         if w[-3] in 'sz' and len(w) > 4 and w[-4] in 'aeiourln':
             # vowel (or r/l/n) + s/z + es spells an e-stem: roses =
             # rose+s, nurses = nurse+s, responses = response+s
@@ -656,6 +675,14 @@ def _try_morphology(w: str, depth: int = 0):
                     and s2[-2] in 'bcdfgkpstvz') \
                 or _sib_e_stem(s2):
             ipa = stem(s1)              # danced, judged, tabled, nursed
+        elif s2.endswith('th') and len(s2) >= 5 \
+                and s2[-3] in 'aeiou' and s2[-4] in 'aeiou':
+            # vowel-digraph + 'the' verbs voice the fricative:
+            # soothed/wreathed/mouthed are e-verbs (suːð+d), not
+            # sooth+ed (suːθt); single-vowel members (writhe, tithe)
+            # are pinned in the lexicon instead — orthography can't
+            # separate them from froth-class voiceless stems
+            ipa = stem(s1)
         elif not cvce:
             ipa = stem(s2)              # boxed, crawled, haired
         else:
@@ -691,6 +718,10 @@ def _try_morphology(w: str, depth: int = 0):
             return stem(s + 'e') + 'ɪŋ'     # candle-class syllabic l
         if _sib_e_stem(s):
             return stem(s + 'e') + 'ɪŋ'     # nursing, raising, closing
+        if s.endswith('th') and len(s) >= 5 \
+                and s[-3] in 'aeiou' and s[-4] in 'aeiou':
+            return stem(s + 'e') + 'ɪŋ'     # soothing, teething,
+        #                                     mouthing (see -ed rule)
         if s[-1] == 'u':
             return stem(s + 'e') + 'ɪŋ'     # gluing, arguing
         if len(s) >= 3 and s[-1] not in 'aeioux' and s[-2] in 'aeiou' \

@@ -464,19 +464,36 @@ class TopKTracker:
             # so this runs strictly AFTER the new checkpoint's atomic
             # rename — on the (single, ordered) writer thread in the
             # async path, inline in the sync path. The step loop never
-            # blocks on the fetch+serialize either way.
+            # blocks on the fetch+serialize either way. `kept` is
+            # re-filtered against the disk because an EARLIER async
+            # save may have failed after its update() mutated the
+            # leaderboard — its phantom name must never reach the
+            # index (this save's own file exists: finalize runs after
+            # its rename).
             for old in pruned:
                 try:
                     os.remove(directory / old)
                 except OSError:
                     pass
-            pickle_binary(kept, index_path)
+            pickle_binary([e for e in kept
+                           if (directory / e[2]).exists()], index_path)
 
         if self.ckpt_writer is not None:
-            self.ckpt_writer.save(variables, config,
-                                  self.directory / name,
-                                  opt_state=opt_state, step=step,
-                                  on_complete=finalize)
+            try:
+                self.ckpt_writer.save(variables, config,
+                                      self.directory / name,
+                                      opt_state=opt_state, step=step,
+                                      on_complete=finalize)
+            except Exception:
+                # save() drains the previous save first and re-raises
+                # its failure — which means that earlier update()'s
+                # entry (and possibly this one's: never submitted)
+                # references a file that never landed. Drop every
+                # leaderboard entry with no file on disk so a caller
+                # that catches and retries can't persist a phantom.
+                self.entries = [e for e in self.entries
+                                if (self.directory / e[2]).exists()]
+                raise
         else:
             save_checkpoint(variables, config, self.directory / name,
                             opt_state=opt_state, step=step)

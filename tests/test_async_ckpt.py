@@ -197,6 +197,49 @@ def test_topk_index_never_references_failed_save(tmp_path):
     w.close()
 
 
+def test_topk_phantom_entry_purged_after_failed_save(tmp_path,
+                                                     monkeypatch):
+    """update() mutates the in-memory leaderboard before the async
+    save lands; if that save FAILS, the phantom entry must not
+    survive into later finalizes (review finding: a caller that
+    catches the re-raised failure and continues used to get the
+    phantom name persisted into top_k.pkl by the next successful
+    update)."""
+    from forwardtacotron_tpu.train.common import TopKTracker
+    from forwardtacotron_tpu.utils import async_ckpt as ac
+
+    real_save = ac.save_checkpoint
+    fail = {'n': 1}
+
+    def flaky_save(*a, **kw):
+        if fail['n']:
+            fail['n'] -= 1
+            raise OSError('transient disk error')
+        return real_save(*a, **kw)
+
+    monkeypatch.setattr(ac, 'save_checkpoint', flaky_save)
+    w = AsyncCheckpointWriter()
+    t = TopKTracker(tmp_path, k=3, prefix='fw', ckpt_writer=w)
+    variables = {'params': {'x': jnp.ones(4)}}
+    assert t.update(1.0, variables, {}, None, step=5)   # save will fail
+    # next offer drains the failed save -> re-raises; the phantom
+    # (step5) and the never-submitted current offer must be purged
+    with pytest.raises(OSError):
+        t.update(0.5, variables, {}, None, step=10)
+    assert t.entries == []
+    # caller catches and continues: the retry succeeds and the index
+    # must reference ONLY files that exist
+    assert t.update(0.5, variables, {}, None, step=10)
+    w.wait()
+    names = [e[2] for e in t.entries]
+    assert names == ['fw_step10_score0.50000.fjax']
+    import pickle as _pkl
+    kept = _pkl.loads(t.index_path.read_bytes())
+    assert [e[2] for e in kept] == names
+    assert (tmp_path / names[0]).exists()
+    w.close()
+
+
 def test_back_to_back_saves_both_land(tmp_path):
     """Epoch boundaries issue latest + top-k saves in a row; the
     snapshot-first ordering must still write both files correctly."""

@@ -37,8 +37,14 @@ def test_repeat_device_seconds_measures_marginal_cost():
             lambda k, key: jax.lax.fori_loop(0, k, body,
                                              jnp.float32(0.0)))(k, key)
 
-    dt = bench._repeat_device_seconds(run_k, k_lo=1, k_hi=9, reps=2)
-    assert dt >= 0.0
+    # tiny CPU workload: the k_hi-k_lo delta may drown in host noise,
+    # in which case the helper now refuses to report a degenerate
+    # (<= 0) delta rather than returning 0.0 (div-by-zero downstream)
+    try:
+        dt = bench._repeat_device_seconds(run_k, k_lo=1, k_hi=9, reps=2)
+        assert dt > 0.0
+    except RuntimeError as e:
+        assert 'degenerate device-time delta' in str(e)
     # warmup covers both trip counts, then reps of each
     assert sorted(set(calls)) == [1, 9]
 
@@ -61,7 +67,10 @@ def test_repeat_device_seconds_single_compile_for_all_k():
     def run_k(k, seed):
         return jit_rep(k, jax.random.PRNGKey(seed))
 
-    bench._repeat_device_seconds(run_k, k_lo=1, k_hi=9, reps=2)
+    try:
+        bench._repeat_device_seconds(run_k, k_lo=1, k_hi=9, reps=2)
+    except RuntimeError as e:  # trivial body: delta can degenerate
+        assert 'degenerate device-time delta' in str(e)
     assert len(traces) == 1, 'trip count retraced -> per-k recompiles'
 
 

@@ -155,14 +155,15 @@ def _is_cons(c: str) -> bool:
 
 
 def _gen_plural(w: str, ipa: str):
-    if w in IRREGULAR_PLURAL or w.endswith(('s', 'x', 'z', 'ch', 'sh')):
-        # sibilant-final: orthographic -es with epenthetic ᵻz
-        if w.endswith(('s', 'x', 'z', 'ch', 'sh')) \
-                and not w.endswith('ss') and w not in IRREGULAR_PLURAL:
-            return w + 'es', compose(ipa, 'ᵻz')
-        if w.endswith('ss'):
-            return w + 'es', compose(ipa, 'ᵻz')
+    if w in IRREGULAR_PLURAL:
         return None
+    if w.endswith(('s', 'x', 'z', 'ch', 'sh')):
+        # epenthesis is phonological, not orthographic: decide from
+        # the trusted base IPA. 'stomach' spells 'ch' but ends /k/,
+        # so its plural is 'stomachs' + s, not 'stomaches' + ᵻz
+        if ipa.endswith(('s', 'z', 'ʃ', 'ʒ')):
+            return w + 'es', compose(ipa, 'ᵻz')
+        return w + 's', compose(ipa, plural_suffix(ipa))
     if w.endswith('y') and len(w) > 2 and _is_cons(w[-2]):
         # city -> cities; trusted base IPA ends in the reduced i
         return w[:-1] + 'ies', compose(ipa, 'z')
