@@ -27,6 +27,12 @@ import jax.numpy as jnp
 
 Params = Dict[str, jnp.ndarray]
 
+# lax.scan unroll factor for all RNN recurrences. On TPU the per-step
+# matmuls are small (B x H x G*H), so while-loop trip overhead is a
+# first-order cost of the training step; unrolling amortizes it at the
+# price of code size / compile time (measured A/B: tools/exp_scan_unroll.py).
+SCAN_UNROLL = 1
+
 
 def gru_cell(params: Params, x: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
     """Single GRU step from *unprojected* input x (B, D)."""
@@ -90,7 +96,8 @@ def _directional_scan(cell_from_gi, params: Params, gi: jnp.ndarray,
         h_out = new_state[0] if isinstance(new_state, tuple) else new_state
         return new_state, h_out
 
-    _, ys = jax.lax.scan(step, init_state, (gi_t, ts))
+    _, ys = jax.lax.scan(step, init_state, (gi_t, ts),
+                         unroll=SCAN_UNROLL)
     if reverse:
         ys = ys[::-1]
     return jnp.swapaxes(ys, 0, 1)  # (B, T, H)
@@ -188,10 +195,12 @@ def _bidir_fused(cell_kind: str, params_fwd: Params, params_bwd: Params,
 
     if lstm_mode:
         init = (jnp.zeros((2, B, H), x.dtype), jnp.zeros((2, B, H), x.dtype))
-        _, ys = jax.lax.scan(lstm_step, init, (gi, ts))
+        _, ys = jax.lax.scan(lstm_step, init, (gi, ts),
+                             unroll=SCAN_UNROLL)
     else:
         init = jnp.zeros((2, B, H), x.dtype)
-        _, ys = jax.lax.scan(gru_step, init, (gi, ts))
+        _, ys = jax.lax.scan(gru_step, init, (gi, ts),
+                             unroll=SCAN_UNROLL)
 
     y_f = jnp.swapaxes(ys[:, 0], 0, 1)          # (B, T, H)
     y_b = jnp.swapaxes(ys[::-1, 1], 0, 1)       # un-reverse
@@ -245,7 +254,8 @@ def grouped_bigru(w_ih: jnp.ndarray, w_hh: jnp.ndarray, b_ih: jnp.ndarray,
         return h_new, h_new
 
     init = jnp.zeros((2, G, B, H), x_groups.dtype)
-    _, ys = jax.lax.scan(step, init, (gi, ts))           # (T, 2, G, B, H)
+    _, ys = jax.lax.scan(step, init, (gi, ts),
+                         unroll=SCAN_UNROLL)       # (T, 2, G, B, H)
     y = jnp.stack([ys[:, 0], ys[::-1, 1]], axis=3)       # (T, G, B, 2, H)
     y = jnp.transpose(y, (2, 0, 1, 3, 4))                # (B, T, G, 2, H)
     if lengths is not None:

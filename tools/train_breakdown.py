@@ -97,12 +97,18 @@ def main() -> None:
 
     results = {}
 
-    def measure(name, make_fn, operand, k_hi=5):
+    def measure(name, make_fn, operand, k_hi=9):
         """make_fn(operand, key_leaf) -> scalar jax value, chained in a
         fori_loop. `operand` (params and/or big inputs) is passed as a
         jit ARGUMENT — large arrays captured as closure constants blow
         the remote-compile request size limit (HTTP 413 through the
-        tunnel)."""
+        tunnel).
+
+        IMPORTANT (hoist-proofing): make_fn MUST make its computation
+        depend on the per-iteration key — a loop-invariant body gets
+        hoisted out of the fori_loop by XLA and measures as ~0 device
+        time (this produced impossible sub-ms BiLSTM numbers in the
+        first version of this tool)."""
         def prog(k, kk, op):
             def body(i, acc):
                 return acc + make_fn(op, jax.random.fold_in(kk, i))
@@ -119,6 +125,17 @@ def main() -> None:
         except Exception as e:
             results[name] = f'{type(e).__name__}: {e}'
             print(f'{name:18s} FAILED: {e}', flush=True)
+
+    def jiggle(key, arr):
+        """Make `arr` iteration-dependent without changing its scale:
+        float arrays are scaled by (1 + u*1e-6); int token ids are
+        rolled along time by a key-derived shift. Cost is one scalar
+        RNG draw + a broadcast op — negligible next to a fwd+bwd."""
+        if jnp.issubdtype(arr.dtype, jnp.integer):
+            shift = jax.random.randint(key, (), 0, arr.shape[1])
+            return jnp.roll(arr, shift, axis=1)
+        u = jax.random.uniform(key, (), arr.dtype)
+        return arr * (1.0 + u * 1e-6)
 
     # --- full production step (state chained through iterations;
     # state passed as a jit argument, see measure())
@@ -141,25 +158,33 @@ def main() -> None:
         results['full_step'] = f'{type(e).__name__}: {e}'
         print(f'full_step FAILED: {e}', flush=True)
 
-    # --- loss fwd+bwd (no optimizer), same loss as the trainer
-    from forwardtacotron_tpu.train.common import forward_loss
+    # --- loss fwd+bwd (no optimizer) — mirrors the production loss_fn
+    # (build_forward_train_step) exactly: bf16 cast at the boundary,
+    # f32 masters, preds cast back to f32 for the loss, batch_stats f32
+    from forwardtacotron_tpu.train.common import (cast_full, cast_half,
+                                                  forward_loss, half_dtype)
+    half = half_dtype(train_cfg)
 
-    def loss_of(params, key):
-        vs = {'params': params, **{k: v for k, v in variables.items()
-                                   if k != 'params'}}
-        pred = model.apply(cast(vs), batch, train=True,
-                           rngs={'dropout': key},
-                           mutable=['batch_stats'])[0]
-        loss, _ = forward_loss(pred, batch, batch['pitch'],
-                               batch['energy'], train_cfg)
+    def loss_of(params, b, key):
+        p = cast_half(params, half) if half else params
+        bb = cast_half(b, half) if half else b
+        pred, _ = model.apply(
+            {'params': p, 'batch_stats': state.batch_stats}, bb,
+            train=True, mutable=['batch_stats'], rngs={'dropout': key})
+        if half:
+            pred = cast_full(pred, half)
+        loss, _ = forward_loss(pred, b, b['pitch'], b['energy'], train_cfg)
         return loss
 
     grad_fn = jax.value_and_grad(loss_of)
 
-    def fwd_bwd(params, key):
-        l, g = grad_fn(params, key)
+    def fwd_bwd(op, key):
+        params, b = op
+        kj, kd = jax.random.split(key)
+        b = dict(b, mel=jiggle(kj, b['mel']))
+        l, g = grad_fn(params, b, kd)
         return l + optax.global_norm(g)
-    measure('loss_fwd_bwd', fwd_bwd, state.params)
+    measure('loss_fwd_bwd', fwd_bwd, (state.params, dict(batch)))
 
     # --- submodule fwd+bwd probes. Each applies ONE submodule via
     # flax's method= hook with a synthetic input of the right shape,
@@ -168,21 +193,23 @@ def main() -> None:
     mel_in = jnp.asarray(rng.randn(B, Tm, 80).astype(np.float32))
     h_tok = jnp.asarray(rng.randn(B, Tx, 256).astype(np.float32))
 
-    def probe(name, method_fn, x, needs_dropout=True):
+    def probe(name, method_fn, x, needs_dropout=True, k_hi=9):
         def loss_p(params, x, key):
-            vs = {'params': params, **{k: v for k, v in variables.items()
-                                       if k != 'params'}}
+            p = cast_half(params, half) if half else params
             kwargs = {'rngs': {'dropout': key}} if needs_dropout else {}
-            out = model.apply(cast(vs), x, method=method_fn,
-                              mutable=['batch_stats'], **kwargs)[0]
+            out = model.apply(
+                {'params': p, 'batch_stats': state.batch_stats}, x,
+                method=method_fn, mutable=['batch_stats'], **kwargs)[0]
             return jnp.sum(out.astype(jnp.float32) ** 2) * 1e-6
         g_fn = jax.value_and_grad(loss_p)
 
         def f(op, key):
             params, xx = op
-            l, g = g_fn(params, xx, key)
+            kj, kd = jax.random.split(key)
+            xx = jiggle(kj, xx)  # hoist-proof: input varies per iteration
+            l, g = g_fn(params, xx, kd)
             return l + optax.global_norm(g)
-        measure(name, f, (state.params, x))
+        measure(name, f, (state.params, x), k_hi=k_hi)
 
     probe('decoder_bilstm', lambda m, x: m.lstm(x), cast(h_dec),
           needs_dropout=False)
@@ -212,14 +239,33 @@ def main() -> None:
         return optax.global_norm(g_lr(h))
     measure('length_regulate', lr_f, jnp.float32(0.0))
 
-    # --- optimizer-only: clip + Adam on fixed grads
-    def opt_only(op, key):
-        st = op
-        scale = jax.random.uniform(key, ())
-        g = jax.tree.map(lambda a: jnp.full_like(a, scale), st.params)
-        upd, _ = optimizer.update(g, st.opt_state, st.params)
-        return optax.global_norm(upd)
-    measure('optimizer_only', opt_only, state)
+    # --- optimizer-only: clip + Adam. opt_state+params are CHAINED
+    # through the fori_loop (via a separate chained program, not
+    # measure()) so no iteration can be hoisted or CSE'd.
+    def opt_prog(k, kk, st):
+        def body(i, carry):
+            params, opt_state = carry
+            scale = jax.random.uniform(jax.random.fold_in(kk, i), ())
+            g = jax.tree.map(lambda a: jnp.full_like(a, scale * 1e-8),
+                             params)
+            upd, opt_state = optimizer.update(g, opt_state, params)
+            params = optax.apply_updates(params, upd)
+            return (params, opt_state)
+        params, _ = jax.lax.fori_loop(0, k, body,
+                                      (st.params, st.opt_state))
+        return optax.global_norm(params)
+    jit_opt = jax.jit(opt_prog)
+
+    def run_opt(k, seed):
+        return jit_opt(k, jax.random.PRNGKey(seed), state)
+    try:
+        dt = bench._repeat_device_seconds(run_opt, k_lo=1, k_hi=17,
+                                          reps=3)
+        results['optimizer_only'] = round(dt * 1000, 3)
+        print(f'{"optimizer_only":18s} {dt * 1000:8.3f} ms', flush=True)
+    except Exception as e:
+        results['optimizer_only'] = f'{type(e).__name__}: {e}'
+        print(f'optimizer_only FAILED: {e}', flush=True)
 
     dev = jax.devices()[0]
     print(json.dumps({'device': str(dev), 'precision': args.precision,
