@@ -30,7 +30,8 @@ Params = Dict[str, jnp.ndarray]
 # lax.scan unroll factor for all RNN recurrences. On TPU the per-step
 # matmuls are small (B x H x G*H), so while-loop trip overhead is a
 # first-order cost of the training step; unrolling amortizes it at the
-# price of code size / compile time (measured A/B: tools/exp_scan_unroll.py).
+# price of code size / compile time (measured A/B: tools/scan_unroll_ab.py;
+# numbers in docs/benchmarks.md "scan unroll" section).
 SCAN_UNROLL = 1
 
 

@@ -165,6 +165,27 @@ def test_g2p_heldout_ratchet():
     assert out['overall']['per'] <= 0.005, out['overall']
 
 
+def test_g2p_heldout2_ratchet():
+    """Held-out set #2 (tests/resources/g2p_heldout2.tsv): 230 words
+    frozen 2026-08-21 AFTER the round-4 stemming rewrite, under the
+    selection protocol in the file header. Measured ONCE at freeze:
+    0.365 word acc / 0.210 PER (docs/g2p.md) — the honest post-rewrite
+    novel-stem generalization figure. These floors ratchet as
+    post-freeze tuning lands."""
+    import pathlib
+    import sys
+    sys.path.insert(0, 'tools')
+    from eval_g2p import evaluate, load_golden
+    path = (pathlib.Path(__file__).parent / 'resources'
+            / 'g2p_heldout2.tsv')
+    out = evaluate(load_golden(path))
+    assert out['overall']['n'] == 230
+    # all words were OOV at selection time; tuning may add lexicon
+    # entries later, but the overall floors are what ratchet
+    assert out['overall']['word_acc'] >= 0.36, out['overall']
+    assert out['overall']['per'] <= 0.215, out['overall']
+
+
 def test_extended_normalize_times_percent_negative():
     """Opt-in extended normalizer (cleaner_name:
     english_cleaners_extended): clock times, percent, negatives —

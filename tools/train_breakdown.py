@@ -128,14 +128,17 @@ def main() -> None:
 
     def jiggle(key, arr):
         """Make `arr` iteration-dependent without changing its scale:
-        float arrays are scaled by (1 + u*1e-6); int token ids are
-        rolled along time by a key-derived shift. Cost is one scalar
+        float arrays are scaled by (1 + u*eps) with eps the dtype's own
+        machine epsilon (1e-6 would round to exactly 1.0 in bf16, whose
+        ulp is ~2^-8, leaving the values loop-invariant); int token ids
+        are rolled along time by a key-derived shift. Cost is one scalar
         RNG draw + a broadcast op — negligible next to a fwd+bwd."""
         if jnp.issubdtype(arr.dtype, jnp.integer):
             shift = jax.random.randint(key, (), 0, arr.shape[1])
             return jnp.roll(arr, shift, axis=1)
+        eps = jnp.finfo(arr.dtype).eps
         u = jax.random.uniform(key, (), arr.dtype)
-        return arr * (1.0 + u * 1e-6)
+        return arr * (1.0 + u * eps)
 
     # --- full production step (state chained through iterations;
     # state passed as a jit argument, see measure())
