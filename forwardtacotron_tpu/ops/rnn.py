@@ -19,6 +19,7 @@ Parameter pytrees: {'w_ih': (G*H, D), 'w_hh': (G*H, H), 'b_ih': (G*H,),
 """
 from __future__ import annotations
 
+import os
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -27,11 +28,13 @@ import jax.numpy as jnp
 
 Params = Dict[str, jnp.ndarray]
 
-# lax.scan unroll factor for all RNN recurrences. On TPU the per-step
-# matmuls are small (B x H x G*H), so while-loop trip overhead is a
-# first-order cost of the training step; unrolling amortizes it at the
-# price of code size / compile time (measured A/B: tools/scan_unroll_ab.py;
-# numbers in docs/benchmarks.md "scan unroll" section).
+# lax.scan unroll factor for all RNN recurrences. Measured A/B
+# (tools/scan_unroll_ab.py, v5e B=32 bf16 train step, 2026-08-21):
+# separate-dir scans 40.7/41.4/38.0 ms at unroll 1/4/8; fused-dir
+# scans 36.9/35.8/35.9. Default stays 1: the trainable Pallas kernel
+# (kernels/birnn.py) owns the hot training path at 34-36 ms, and
+# unroll's ~7% on the fallback scan doesn't justify its compile-time
+# cost. Numbers in docs/benchmarks.md "SCAN_UNROLL" section.
 SCAN_UNROLL = 1
 
 
@@ -290,6 +293,32 @@ def _fast_kernel_ok(x: jnp.ndarray, hidden: int) -> bool:
             and birnn_pallas_supported(hidden, x.shape[0]))
 
 
+# Trainable fused kernel (kernels/birnn.py birnn_train, custom_vjp):
+# replaces BOTH the forward direction-scans and their backward replay
+# in training-shaped calls (batch > FUSE_BIDIR_MAX_BATCH) with one
+# Pallas kernel each way. Kill switch for A/B and debugging.
+TRAIN_KERNEL_ENABLED = os.environ.get('FTT_NO_TRAIN_KERNEL', '') == ''
+
+
+def _train_kernel_ok(x: jnp.ndarray, hidden: int) -> bool:
+    from forwardtacotron_tpu.kernels.birnn import birnn_train_supported
+    return TRAIN_KERNEL_ENABLED and birnn_train_supported(
+        hidden, x.shape[1])
+
+
+def _birnn_trainable(cell: str, params_fwd: Params, params_bwd: Params,
+                     x: jnp.ndarray, lengths: Optional[jnp.ndarray]
+                     ) -> jnp.ndarray:
+    from forwardtacotron_tpu.kernels.birnn import birnn_train
+    return birnn_train(
+        cell,
+        jnp.stack([params_fwd['w_ih'], params_bwd['w_ih']]),
+        jnp.stack([params_fwd['w_hh'], params_bwd['w_hh']]),
+        jnp.stack([params_fwd['b_ih'], params_bwd['b_ih']]),
+        jnp.stack([params_fwd['b_hh'], params_bwd['b_hh']]),
+        x, lengths)
+
+
 def _birnn_fast(cell: str, params_fwd: Params, params_bwd: Params,
                 x: jnp.ndarray, lengths: Optional[jnp.ndarray]
                 ) -> jnp.ndarray:
@@ -323,6 +352,8 @@ def bigru(params_fwd: Params, params_bwd: Params, x: jnp.ndarray,
         y = _birnn_fast('gru', params_fwd, params_bwd, x, lengths)
     elif x.shape[0] <= FUSE_BIDIR_MAX_BATCH:
         y = _bidir_fused('gru', params_fwd, params_bwd, x, lengths)
+    elif _train_kernel_ok(x, params_fwd['w_hh'].shape[1]):
+        y = _birnn_trainable('gru', params_fwd, params_bwd, x, lengths)
     else:
         y_f = gru(params_fwd, x, reverse=False, lengths=lengths)
         y_b = gru(params_bwd, x, reverse=True, lengths=lengths)
@@ -337,6 +368,8 @@ def bilstm(params_fwd: Params, params_bwd: Params, x: jnp.ndarray,
         y = _birnn_fast('lstm', params_fwd, params_bwd, x, lengths)
     elif x.shape[0] <= FUSE_BIDIR_MAX_BATCH:
         y = _bidir_fused('lstm', params_fwd, params_bwd, x, lengths)
+    elif _train_kernel_ok(x, params_fwd['w_hh'].shape[1]):
+        y = _birnn_trainable('lstm', params_fwd, params_bwd, x, lengths)
     else:
         y_f = lstm(params_fwd, x, reverse=False, lengths=lengths)
         y_b = lstm(params_bwd, x, reverse=True, lengths=lengths)

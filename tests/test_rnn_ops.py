@@ -2,6 +2,7 @@
 for checkpoint conversion: same stacked-gate weight layout)."""
 import numpy as np
 import pytest
+import jax
 import jax.numpy as jnp
 
 torch = pytest.importorskip('torch')
@@ -103,6 +104,40 @@ def test_length_regulator_matches_reference_semantics():
     assert total.tolist() == [1 + 0 + 3 + 1, 0 + 3 + 1 + 0]
     np.testing.assert_allclose(ours[:, :ref.shape[1]], ref, atol=1e-6)
     assert np.all(ours[:, ref.shape[1]:] == 0)
+
+
+def test_length_regulate_custom_vjp_matches_gather_autodiff():
+    """The round-5 custom_vjp (backward as a one-hot MXU matmul
+    instead of XLA's serialized scatter-add) must produce the same
+    x-gradient as plain autodiff through the gather, and zero duration
+    cotangent (rounding is non-differentiable, like the reference's
+    repeat_interleave)."""
+    from forwardtacotron_tpu.ops.length_regulator import length_regulate
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 5, 3).astype(np.float32))
+    dur = jnp.asarray([[2., 1., 0., 3., 1.], [1., 1., 1., 1., 1.]])
+    w = jnp.asarray(rng.randn(2, 9, 3).astype(np.float32))
+
+    def plain(x):
+        d = jnp.maximum(dur, 0.0)
+        reps = jnp.floor(d + 0.5).astype(jnp.int32)
+        ends = jnp.cumsum(reps, axis=1)
+        fi = jnp.arange(9, dtype=jnp.int32)
+        idx = jax.vmap(
+            lambda e: jnp.searchsorted(e, fi, side='right'))(ends)
+        idx = jnp.minimum(idx, x.shape[1] - 1)
+        out = jnp.take_along_axis(x, idx[..., None], axis=1)
+        valid = fi[None, :] < ends[:, -1][:, None]
+        return jnp.where(valid[..., None], out, 0.0)
+
+    g_new = jax.grad(lambda x: jnp.sum(length_regulate(x, dur, 9)[0]
+                                       * w))(x)
+    g_old = jax.grad(lambda x: jnp.sum(plain(x) * w))(x)
+    np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_old),
+                               rtol=1e-6)
+    g_dur = jax.grad(lambda d: jnp.sum(length_regulate(x, d, 9)[0]
+                                       * w))(dur)
+    assert float(jnp.max(jnp.abs(g_dur))) == 0.0
 
 
 def test_masked_l1_matches_reference():
