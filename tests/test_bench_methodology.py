@@ -95,6 +95,18 @@ def test_peak_table_matches_v5e_default_and_known_kinds():
     assert table['v4'] == 275.0
 
 
+def test_vocoder_gate_is_device_time_based():
+    """Round-5 gate re-draw: the batched-serving pass/fail is the
+    device-time RTF (wall stays informational). Pinned so the gate
+    cannot silently float again."""
+    g = bench._vocoder_gate(0.0019)
+    assert g['metric'] == 'vocoder_rtf_batched4_device'
+    assert g['target'] == 0.005 and g['pass'] is True
+    assert bench._vocoder_gate(0.0051)['pass'] is False
+    # a failed device measurement must read as gate-failed, not pass
+    assert bench._vocoder_gate(None)['pass'] is False
+
+
 def test_mel_device_fields_shape_of_output():
     """End-to-end micro-check of the repeat program pattern used for
     the mel path: per-iteration PRNG-derived inputs make every
