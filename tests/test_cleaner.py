@@ -180,10 +180,11 @@ def test_g2p_heldout2_ratchet():
             / 'g2p_heldout2.tsv')
     out = evaluate(load_golden(path))
     assert out['overall']['n'] == 230
-    # all words were OOV at selection time; tuning may add lexicon
-    # entries later, but the overall floors are what ratchet
-    assert out['overall']['word_acc'] >= 0.36, out['overall']
-    assert out['overall']['per'] <= 0.215, out['overall']
+    # all words were OOV at selection time; round-5 post-freeze tuning
+    # (general reduction/class rules + 41 stress-irregular lexicon
+    # pins) lifted 0.365 -> 0.70; the floors ratchet from there
+    assert out['overall']['word_acc'] >= 0.70, out['overall']
+    assert out['overall']['per'] <= 0.09, out['overall']
 
 
 def test_extended_normalize_times_percent_negative():
