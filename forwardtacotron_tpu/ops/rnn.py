@@ -302,8 +302,13 @@ TRAIN_KERNEL_ENABLED = os.environ.get('FTT_NO_TRAIN_KERNEL', '') == ''
 
 def _train_kernel_ok(x: jnp.ndarray, hidden: int) -> bool:
     from forwardtacotron_tpu.kernels.birnn import birnn_train_supported
-    return TRAIN_KERNEL_ENABLED and birnn_train_supported(
-        hidden, x.shape[1])
+    # Measured crossover (docs/benchmarks.md): the kernel wins at
+    # B<=32 (decoder BiLSTM 15.0 vs 18.2 ms fwd+bwd) but loses badly
+    # beyond (B=64: 36.0 vs 25.5; B=128: 73.1 vs 44.5) — its
+    # VMEM-budget chunk collapses as b_pad grows while the scan path
+    # saturates the serial-chain ceiling on its own. Dispatch by B.
+    return (TRAIN_KERNEL_ENABLED and x.shape[0] <= 32
+            and birnn_train_supported(hidden, x.shape[1]))
 
 
 def _birnn_trainable(cell: str, params_fwd: Params, params_bwd: Params,
