@@ -187,6 +187,23 @@ def test_train_grads_through_model_kernel_vs_scan(monkeypatch):
             err_msg=jax.tree_util.keystr(path))
 
 
+def test_train_kernel_dispatch_batch_crossover(monkeypatch):
+    """The trainable kernel must engage only at B <= 32: beyond that
+    its VMEM-driven chunk collapses and the scan path is measurably
+    faster (docs/benchmarks.md batch-crossover table)."""
+    import forwardtacotron_tpu.kernels.birnn as birnn
+    import forwardtacotron_tpu.ops.rnn as rnn_ops
+    monkeypatch.setattr(birnn, 'birnn_train_supported',
+                        lambda hidden, seq_len: True)
+    monkeypatch.setattr(rnn_ops, 'TRAIN_KERNEL_ENABLED', True)
+    x32 = jnp.zeros((32, 128, 8))
+    x64 = jnp.zeros((64, 128, 8))
+    assert rnn_ops._train_kernel_ok(x32, 128) is True
+    assert rnn_ops._train_kernel_ok(x64, 128) is False
+    monkeypatch.setattr(rnn_ops, 'TRAIN_KERNEL_ENABLED', False)
+    assert rnn_ops._train_kernel_ok(x32, 128) is False
+
+
 def test_generate_fast_path_through_model(monkeypatch):
     """model.generate(fast=True) with the kernel force-enabled equals
     the scan path (tiny dims padded to the kernel's 128 alignment are
