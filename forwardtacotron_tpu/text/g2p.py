@@ -442,6 +442,10 @@ _LEXICON = {
     'silhouette': 'sɪluːɛt', 'silo': 'saɪloʊ', 'spiral': 'spaɪɹəl',
     'tortoise': 'tɔːɹɾəs', 'trachea': 'tɹeɪkiə',
     'volcano': 'vɑːlkeɪnoʊ', 'lime': 'laɪm',
+    'gimmick': 'ɡɪmɪk', 'jagged': 'dʒæɡɪd', 'mauve': 'moʊv',
+    'admiral': 'ædmɚɹəl', 'lemur': 'liːmɚ', 'zenith': 'ziːnɪθ',
+    'twilight': 'twaɪlaɪt', 'precinct': 'pɹiːsɪŋkt',
+    'scallop': 'skɑːləp', 'occult': 'əkʌlt',
 }
 
 # Longest-match context-free digraph/letter rules (en-us flavored).
@@ -485,6 +489,7 @@ _RULES = [
     ('ing', 'ɪŋ'), ('eau', 'oʊ'),
     # round 5 (held-out2-driven) class rules:
     ('cheon', 'tʃən'),            # luncheon, truncheon
+    ('iliar', 'ɪljɚ'),            # familiar, billiards
     ('ucial', 'uːʃəl'),           # crucial
     ('cial', 'ʃəl'),              # social, special, official
     ('liant', 'ljənt'),           # brilliant, valiant
@@ -1052,12 +1057,26 @@ def _word_to_phonemes(word: str, depth: int = 0) -> str:
         suffix, w = 'ətɹi', w[:-4]  # symmetry, geometry, poetry
     elif len(w) >= 5 and w.endswith('stle'):
         suffix, w = 'səl', w[:-4]  # pestle, whistle, thistle (silent t)
+    elif len(w) >= 5 and w.endswith('uice'):
+        suffix, w = 'uːs', w[:-4]  # sluice, juice (must pre-empt the
+        #                            'ce' soft-c strip)
+    elif len(w) >= 6 and w.endswith('easel'):
+        suffix, w = 'iːzəl', w[:-5]  # easel, weasel (voiced s)
+    elif len(w) >= 5 and w.endswith('msy'):
+        suffix, w = 'mzi', w[:-3]  # flimsy, clumsy, whimsy (voiced s)
+    elif len(w) >= 5 and w.endswith('ee') and w[-3] not in 'aeioury' \
+            and _has_vowel(w[:-2]):
+        suffix, w = 'i', w[:-2]    # coffee, levee, committee (final
+        #                            unstressed -ee; degree/agree-type
+        #                            r-stems keep stressed iː)
     elif len(w) >= 6 and w.endswith('sphere'):
         suffix, w = 'sfɪɹ', w[:-6]  # sphere, hemisphere, atmosphere
         #                             (must pre-empt the silent-e strip
         #                             or the scan never sees 'phere')
-    elif len(w) >= 6 and w.endswith('ette'):
-        suffix, w = 'ɛt', w[:-4]   # cassette, gazette, baguette
+    elif len(w) >= 5 and lower.endswith('ette') and w.endswith('ete'):
+        # degemination has already collapsed tt (palette -> palete),
+        # so match the ORIGINAL spelling but strip the collapsed form
+        suffix, w = 'ɛt', w[:-3]   # cassette, gazette, palette
     elif len(w) >= 6 and w.endswith('iot'):
         suffix, w = 'iət', w[:-3]  # patriot, idiot, chariot
         #                            (riot/monosyllabic keep aɪ: len)
@@ -1124,6 +1143,19 @@ def _word_to_phonemes(word: str, depth: int = 0) -> str:
         if w.startswith('war', i) and \
                 (i + 3 >= len(w) or w[i + 3] != 'e'):
             out.append('wɔːɹ')
+            i += 3
+            continue
+        # 'wan' -> wAAn (wand, want, wander); wane/wany keep magic-e
+        if w.startswith('wan', i) \
+                and not (magic_e and i + 1 == magic_pos):
+            out.append('wɑːn')
+            i += 3
+            continue
+        # 'wal' + consonant -> wOOl (walnut, walrus; swallow-type
+        # wal+vowel stays)
+        if w.startswith('wal', i) and i + 3 < len(w) \
+                and w[i + 3] not in 'aeiouy':
+            out.append('wɔːl')
             i += 3
             continue
         # 'ng' before a back vowel keeps the g: flamingo, bungalow,
